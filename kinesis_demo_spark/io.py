@@ -1,0 +1,60 @@
+"""Parquet readers for the driver fixtures.
+
+Scans stay declarative (``spark.read.parquet``) so Catalyst gets predicate
+pushdown, column pruning, and partition-size splitting for free; callers apply
+``.select``/``.filter`` and the physical scan shrinks accordingly (visible as
+PushedFilters / ReadSchema in ``.explain``). At 100 TB the same call reads a
+partitioned lake path; nothing here assumes local files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .schemas import TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+# Columns stored as TIMESTAMP(NANOS) in the fixtures; read as int64 nanos via
+# spark.sql.legacy.parquet.nanosAsLong and restored to TimestampType here
+# (integer DIV keeps the math exact — a double round-trip would lose bits
+# above 2^53).
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Runtime-settable confs the engine's plans depend on, applied
+    defensively in case the caller (e.g. the driver harness) built the
+    session without them: nanos-typed parquet columns must surface as int64,
+    and event-time window math must be timezone-stable (matches the DuckDB
+    oracle's naive timestamps)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # conf locked down — proceed with whatever the session has
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every fixture table as a temp view for spark.sql queries."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

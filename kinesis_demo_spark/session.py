@@ -1,0 +1,50 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local tests run on ``local[N]`` but every setting here is chosen so the same
+plans hold on a multi-executor cluster at 100 TB:
+
+- AQE on (runtime re-planning: coalesce shuffle partitions, skew-join split,
+  dynamic broadcast conversion).
+- UTC session timezone so event-time window semantics are deployment-stable
+  and match the DuckDB oracle's naive timestamps.
+- Arrow enabled for any pandas-UDF path (vectorized Python boundary).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "kinesis-demo-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) the session.
+
+    ``shuffle_partitions`` defaults to the local core count; on a real cluster
+    AQE coalesces the post-shuffle partitions anyway, so the static value only
+    needs to be "not absurdly small" relative to the input size.
+    """
+    cores = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # The driver fixtures store events.ts as TIMESTAMP(NANOS), which the
+        # Parquet reader rejects by default; read the raw int64 and convert in
+        # the IO layer (io.load_table) — values are microsecond-aligned.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    return builder.getOrCreate()

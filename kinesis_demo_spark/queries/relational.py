@@ -1,1 +1,482 @@
-"""Placeholder — populated in a later milestone."""
+"""Relational operator suite (SURVEY.md §2.6: the surface the reference lacks
+but the north star mandates): joins of every flavor (broadcast, sort-merge,
+semi, anti, as-of, range), set ops, distinct, rollup/cube/grouping sets, and
+ranking/analytic windows — all over the TPC-H-ish star schema.
+
+Float policy: money columns are summed as DECIMAL on both engines (exact,
+order-independent — double sums diverge across engines/partitionings in the
+last ulp) and served as DOUBLE. Ratios divide two exact numbers, so both
+engines perform the identical single IEEE division.
+
+Scale notes are per-query docstrings; the common themes: dimension joins are
+broadcast (no shuffle of the fact side), fact-fact joins shuffle on the join
+key once and AQE handles skew, and every aggregation is partial-aggregated
+map-side before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_table
+from ..registry import register
+
+DEC = "decimal(18,2)"
+
+
+def _dsum(col: str) -> F.Column:
+    return F.sum(F.col(col).cast(DEC)).cast("double")
+
+
+# --- TPC-H Q1-style pricing summary (wide agg, the classic scan+agg shape) ----
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + filter + wide hash aggregate. The filter reaches the parquet
+    scan (PushedFilters) and only 8 of 11 columns are read (ReadSchema);
+    partial aggregation runs map-side so the exchange carries ~|groups| rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ep, di, tx, qt = (F.col(c).cast(DEC) for c in ("l_extendedprice", "l_discount", "l_tax", "l_quantity"))
+    one_minus_disc = (F.lit(1) - F.col("l_discount")).cast(DEC)
+    one_plus_tax = (F.lit(1) + F.col("l_tax")).cast(DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qt).cast("double").alias("sum_qty"),
+            F.sum(ep).cast("double").alias("sum_base_price"),
+            F.sum(ep * one_minus_disc).cast("double").alias("sum_disc_price"),
+            F.sum(ep * one_minus_disc * one_plus_tax).cast("double").alias("sum_charge"),
+            (F.sum(qt).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(ep).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(di).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- star-schema join with broadcast dimensions --------------------------------
+
+
+@register(
+    "star_join_revenue_by_region",
+    oracle="""
+SELECT r.r_name AS region,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def star_join_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact->dim->dim->dim chain with every dimension explicitly broadcast:
+    the fact table never shuffles for the joins (BroadcastHashJoin x3), only
+    the final small aggregation exchanges. This is the plan shape that
+    survives a 1000-executor 100 TB fact scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(_dsum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --- fact-fact join (shuffled hash / sort-merge territory) ----------------------
+
+
+@register(
+    "join_orders_lineitem_priority",
+    oracle="""
+SELECT o.o_orderpriority AS priority,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def join_orders_lineitem_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The big fact-fact equi-join: both sides shuffle on o_orderkey once
+    (sort-merge or shuffled-hash per AQE stats; skew split is automatic).
+    At 100 TB the win is bucketing both tables on orderkey — then this is a
+    zero-shuffle join; the declarative plan is identical either way."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    revenue = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount")).cast(DEC)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --- semi / anti joins -----------------------------------------------------------
+
+
+@register(
+    "semi_join_customers_with_orders",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+""",
+)
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: existence check without fan-out (never duplicates the
+    left side, never materializes the right's payload columns)."""
+    customer = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return customer.join(
+        big_orders, customer.c_custkey == big_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS shape)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# --- set operations ----------------------------------------------------------------
+
+
+@register(
+    "set_union_nations",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+""",
+)
+def set_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — union + hash-dedup on the output key."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "set_intersect_nations",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+""",
+)
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except_nations",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey FROM supplier
+""",
+)
+def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT (set semantics): distinct left rows not in right
+
+
+# --- distinct ------------------------------------------------------------------------
+
+
+@register(
+    "distinct_part_supp_pairs",
+    oracle="""
+SELECT count(*) AS n_pairs FROM (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+""",
+)
+def distinct_part_supp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_partkey", "l_suppkey").distinct().agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register("approx_distinct_parts")  # approximate -> no SQL oracle; rows-only check
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB-scale substitute for
+    exact distinct (no shuffle of distinct keys, constant-size sketch state).
+    Approximate by design, so the driver records a rows-only check; the pytest
+    suite bounds its relative error against the exact count instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# --- rollup / cube / grouping sets ----------------------------------------------------
+
+
+@register(
+    "rollup_flag_status",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag, flag+status, grand total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), _dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "cube_flag_status",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), _dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "grouping_sets_priority_status",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus, count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+""",
+)
+def grouping_sets_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        """
+    )
+
+
+# --- ranking / analytic windows ---------------------------------------------------------
+
+
+@register(
+    "window_topk_orders_per_customer",
+    oracle="""
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+         rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+         dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS drnk
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice, rn::BIGINT AS rn, rnk::BIGINT AS rnk, drnk::BIGINT AS drnk
+FROM ranked WHERE rn <= 3
+""",
+)
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key top-k via ranking windows (the distributed form of the
+    reference's client-side last-N eviction, generalized). One shuffle on the
+    partition key; ties broken deterministically by o_orderkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_lag_lead_user_values",
+    oracle="""
+SELECT event_id, user_id, value,
+       lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+       lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+       value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+FROM events
+""",
+)
+def window_lag_lead_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics over per-user event-time order. The delta is a
+    single IEEE subtraction of identical operands on both engines — exact."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+# --- as-of join (event-time alignment) ----------------------------------------------------
+
+
+_ASOF_ORACLE = """
+WITH tagged AS (
+  SELECT user_id AS k, ts AS t, 0 AS tag, event_id, value,
+         CAST(NULL AS BIGINT) AS o_orderkey
+  FROM events
+  UNION ALL
+  SELECT o_custkey % 16, o_orderdate, 1, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), o_orderkey
+  FROM orders
+),
+carried AS (
+  SELECT *,
+         last_value(CASE WHEN tag = 0 THEN t END IGNORE NULLS) OVER w AS last_event_ts,
+         last_value(CASE WHEN tag = 0 THEN value END IGNORE NULLS) OVER w AS last_event_value
+  FROM tagged
+  WINDOW w AS (PARTITION BY k ORDER BY t, tag, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT o_orderkey, k AS join_key, last_event_ts, last_event_value
+FROM carried WHERE tag = 1
+"""
+
+
+@register("asof_join_orders_events", oracle=_ASOF_ORACLE)
+def asof_join_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: for each order, the most recent event with the
+    same key at-or-before the order date.
+
+    Implemented the scale-native way: union the two tagged streams, single
+    shuffle+sort on (key, time, tag), then last-ignorenulls carries the event
+    payload onto each order row. One exchange total — no per-row lookups, no
+    O(n*m) range join, no driver involvement. Event rows sort before order
+    rows at equal timestamps (tag 0 < 1), giving inclusive <= semantics.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("tag"),
+        "event_id",
+        "value",
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 16).alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        "o_orderkey",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = events.unionByName(orders).select(
+        "*",
+        F.last(F.when(F.col("tag") == 0, F.col("t")), ignorenulls=True)
+        .over(w)
+        .alias("last_event_ts"),
+        F.last(F.when(F.col("tag") == 0, F.col("value")), ignorenulls=True)
+        .over(w)
+        .alias("last_event_value"),
+    )
+    return carried.filter(F.col("tag") == 1).select(
+        "o_orderkey", F.col("k").alias("join_key"), "last_event_ts", "last_event_value"
+    )
+
+
+# --- range join -----------------------------------------------------------------------------
+
+
+@register(
+    "range_join_events_before_orders",
+    oracle="""
+SELECT o.o_orderkey, count(e.event_id) AS n_events
+FROM orders o
+LEFT JOIN events e
+  ON e.user_id = o.o_custkey % 16
+ AND e.ts > o.o_orderdate - INTERVAL 1 DAY
+ AND e.ts <= o.o_orderdate
+GROUP BY o.o_orderkey
+""",
+)
+def range_join_events_before_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band/range join: events in the 24 h window before each order, per key.
+    The equi-condition on the key carries the shuffle; the time band is a
+    post-join filter — the shape Spark executes as an equi-join, not a
+    cartesian. (A pure range join with no equi key would need bucketized
+    time-bin blow-up; the key makes that unnecessary here.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    cond = (
+        (events.user_id == orders.o_custkey % 16)
+        & (events.ts > orders.o_orderdate - F.expr("INTERVAL 1 DAY"))
+        & (events.ts <= orders.o_orderdate)
+    )
+    return (
+        orders.join(events, cond, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("event_id").alias("n_events"))
+    )

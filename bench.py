@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints exactly ONE JSON line:
+
+    {"metric": "headline_total", "value": <sum-sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a ``noop``-format write (full plan
+execution, nothing collected to the driver), timed with a monotonic clock.
+The query set spans every plan shape the engine ships: scan+agg, broadcast
+star join, fact-fact shuffle join, ranking windows, as-of union-window join,
+the reference serving/heatmap/LOCF pipelines, and the LLM-pipeline extension
+operators (dedup / similarity / text) once registered.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kinesis_demo_spark.registry import all_queries
+from kinesis_demo_spark.session import get_spark
+
+# Ordered headline set; silently skips names not (yet) in the registry so the
+# bench stays runnable at every milestone.
+HEADLINE = (
+    "tpch_q1_pricing_summary",
+    "star_join_revenue_by_region",
+    "join_orders_lineitem_priority",
+    "window_topk_orders_per_customer",
+    "asof_join_orders_events",
+    "range_join_events_before_orders",
+    "agg_window_movs_stats",
+    "heatmap_rollup",
+    "locf_impute_value",
+    "serving_poll_sum",
+    "json_extract_props",
+    # LLM-data-pipeline extensions
+    "dedup_exact_text",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "text_quality_score",
+    "text_lang_id",
+)
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("kinesis-demo-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -31,12 +31,31 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
     defensively in case the caller (e.g. the driver harness) built the
     session without them: nanos-typed parquet columns must surface as int64,
     and event-time window math must be timezone-stable (matches the DuckDB
-    oracle's naive timestamps)."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:
-        pass  # conf locked down — proceed with whatever the session has
+    oracle's naive timestamps). Each conf is set independently so one locked
+    conf can't mask the other, and a failure to achieve the required value
+    raises with an actionable message instead of surfacing later as an
+    obscure parquet/window error."""
+    required = {
+        # events.ts is parquet TIMESTAMP(NANOS); without this the scan fails.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # window math must match the oracle's naive (UTC) timestamps.
+        "spark.sql.session.timeZone": "UTC",
+    }
+    for key, want in required.items():
+        try:
+            spark.conf.set(key, want)
+        except Exception:
+            pass  # locked session — verified below
+        try:
+            have = spark.conf.get(key, None)
+        except Exception:
+            have = None
+        if have != want:
+            raise RuntimeError(
+                f"session conf {key}={have!r} but the engine requires {want!r} "
+                "(TIMESTAMP(NANOS) fixtures + timezone-stable event-time "
+                "windows); build the session with this conf or unlock it."
+            )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -21,23 +21,32 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 # Deterministic coordinate derivation (Knuth multiplicative constants).
-# The DuckDB oracle uses the identical 64-bit integer arithmetic: both engines
-# evaluate (event_id * C) % M exactly in BIGINT for all fixture ids.
+# Both sides reduce event_id mod M BEFORE multiplying by (MULT % M) —
+# mathematically identical to (event_id * MULT) % M but overflow-free for the
+# entire BIGINT id range (max intermediate < M^2 < 4e6), so Spark's wrapping
+# non-ANSI arithmetic and DuckDB's overflow-checked arithmetic can never
+# diverge, at any scale factor.
 X_MULT, X_MOD = 2654435761, 1920
 Y_MULT, Y_MOD = 1013904223, 1080
 SENTINEL_TYPE = "error"  # stands in for the reference's (0,0) idle heartbeat
 
 # SQL fragments kept in one place so every oracle query derives coordinates
 # exactly like the Spark plan does.
-X_SQL = f"CASE WHEN event_type = '{SENTINEL_TYPE}' THEN 0 ELSE (event_id * {X_MULT}) % {X_MOD} END"
-Y_SQL = f"CASE WHEN event_type = '{SENTINEL_TYPE}' THEN 0 ELSE (event_id * {Y_MULT}) % {Y_MOD} END"
+X_SQL = (
+    f"CASE WHEN event_type = '{SENTINEL_TYPE}' THEN 0 "
+    f"ELSE ((event_id % {X_MOD}) * {X_MULT % X_MOD}) % {X_MOD} END"
+)
+Y_SQL = (
+    f"CASE WHEN event_type = '{SENTINEL_TYPE}' THEN 0 "
+    f"ELSE ((event_id % {Y_MOD}) * {Y_MULT % Y_MOD}) % {Y_MOD} END"
+)
 SENTINEL_SQL = f"event_type = '{SENTINEL_TYPE}'"
 
 
 def x_col() -> Column:
     return (
         F.when(F.col("event_type") == SENTINEL_TYPE, F.lit(0))
-        .otherwise((F.col("event_id") * F.lit(X_MULT)) % F.lit(X_MOD))
+        .otherwise(((F.col("event_id") % X_MOD) * F.lit(X_MULT % X_MOD)) % F.lit(X_MOD))
         .cast("long")
     )
 
@@ -45,7 +54,7 @@ def x_col() -> Column:
 def y_col() -> Column:
     return (
         F.when(F.col("event_type") == SENTINEL_TYPE, F.lit(0))
-        .otherwise((F.col("event_id") * F.lit(Y_MULT)) % F.lit(Y_MOD))
+        .otherwise(((F.col("event_id") % Y_MOD) * F.lit(Y_MULT % Y_MOD)) % F.lit(Y_MOD))
         .cast("long")
     )
 

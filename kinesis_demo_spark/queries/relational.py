@@ -167,12 +167,13 @@ def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFra
     "anti_join_customers_without_orders",
     oracle="""
 SELECT c_custkey, c_name
-FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """,
 )
 def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS shape)."""
+    """Left-anti join. Oracle uses NOT EXISTS (not NOT IN) so its NULL
+    semantics match Spark's left_anti exactly even if o_custkey had NULLs."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     return customer.join(

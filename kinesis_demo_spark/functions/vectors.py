@@ -1,0 +1,39 @@
+"""Cross-engine vector arithmetic over ``array<float>`` embedding columns.
+
+Both engines fold the elementwise product left-to-right in double precision
+(Spark ``F.aggregate`` HOF — JVM codegen, no Python boundary; DuckDB
+``list_reduce``). The Spark fold seeds with 0.0 and the DuckDB fold seeds with
+the first product; ``(0.0 + p1) == p1`` exactly in IEEE, so both produce
+bit-identical sums and cosine scores need no rounding for the value-hash gate.
+
+Scale note: the fold is per-row compute inside whole-stage codegen —
+embarrassingly parallel, no shuffle. At 100 TB the cost center is never the
+arithmetic but the pair/candidate generation around it (see similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def dot_fold(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def dot_fold_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a})+1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x,y) -> x + y)"
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot_fold(a, a))
+
+
+def norm_sql(a: str) -> str:
+    return f"sqrt({dot_fold_sql(a, a)})"

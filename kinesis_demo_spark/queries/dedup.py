@@ -356,23 +356,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- embedding-cosine near-dup ------------------------------------------------------------
 
 
-def dot_fold(a: Column, b: Column) -> Column:
-    """Left-to-right double-precision fold of the elementwise product —
-    bit-identical to DuckDB's list_reduce over the same values."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-# DuckDB mirror: seed = first product, then left fold; (0.0 + p1) == p1 in
-# IEEE, so both folds produce bit-identical sums.
-def dot_fold_sql(a: str, b: str) -> str:
-    return (
-        f"list_reduce(list_transform(range(1, len({a})+1), "
-        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x,y) -> x + y)"
-    )
+from ..functions.vectors import dot_fold, dot_fold_sql  # noqa: E402  (shared with similarity.py)
 
 
 @register(

@@ -1,1 +1,180 @@
-"""Placeholder — populated in a later milestone."""
+"""Approximate-nearest-neighbor similarity search over the ``embeddings``
+fixture (``embedding: array<float>``, dim 64) — SURVEY.md §7 Phase 5.
+
+Two variants of cosine top-k for a fixed query set:
+
+- ``ann_cosine_topk``: brute-force exact baseline. The query side is tiny and
+  broadcast, so the corpus never shuffles for the join; scoring is per-row
+  JVM-codegen arithmetic and the only exchange is the per-query top-k
+  (TakeOrdered-style window). This is the shape that scales linearly with
+  corpus size at 100 TB — 1 broadcast + 1 narrow scan + 1 small shuffle of
+  |queries| * k rows.
+- ``ann_cosine_topk_lsh``: sign-bit LSH (hyperplane signs on the first
+  ``LSH_SIGN_DIMS`` dimensions) buckets the corpus; each query scores only
+  its own bucket — the candidate set shrinks ~2^bits-fold at the cost of
+  recall. Deterministic bucketing means the DuckDB oracle replicates it
+  exactly, so even the approximate variant is value-hash checked.
+
+Both emit (query_id, neighbor_id, rnk, score) with bit-exact scores (see
+functions/vectors.py) and id-tie-broken ranks, so results are fully
+deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import dot_fold, dot_fold_sql, norm, norm_sql
+from ..io import load_table
+from ..registry import register
+
+N_QUERIES = 5  # vec_id < 5 at every scale factor
+TOP_K = 10
+LSH_SIGN_DIMS = 8  # 2^8 = 256 buckets
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+
+
+def _topk(scored: DataFrame) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", "score")
+    )
+
+
+_V_CTE = f"""
+v AS (
+  SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm
+  FROM embeddings
+)
+"""
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+WITH {_V_CTE},
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {dot_fold_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS score
+  FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, score
+FROM ranked WHERE rnk <= {TOP_K}
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-{TOP_K} for queries vec_id < {N_QUERIES}.
+    Queries are broadcast (corpus side never shuffles for the join); the
+    final ranking exchanges only |queries| * |corpus| scored rows, which AQE
+    coalesces — and on a cluster the per-partition top-k prunes before the
+    exchange."""
+    v = _vectors(spark, sf_dir)
+    q = F.broadcast(
+        v.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    c = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = q.join(c, F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        (dot_fold(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("score"),
+    )
+    return _topk(scored)
+
+
+# Sign-bit bucket: bit d set iff embedding[d] >= 0, d in [0, LSH_SIGN_DIMS).
+def _bucket_col() -> F.Column:
+    bits = [
+        F.when(F.element_at("embedding", d + 1) >= 0, F.lit(1 << d)).otherwise(F.lit(0))
+        for d in range(LSH_SIGN_DIMS)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << d} ELSE 0 END)" for d in range(LSH_SIGN_DIMS)
+)
+
+
+@register(
+    "ann_cosine_topk_lsh",
+    oracle=f"""
+WITH vb AS (
+  SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm,
+         {_BUCKET_SQL} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {dot_fold_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS score
+  FROM vb q JOIN vb c ON q.bucket = c.bucket AND q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, score
+FROM ranked WHERE rnk <= {TOP_K}
+""",
+)
+def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit-LSH ANN: score only the query's own hyperplane-sign bucket
+    ({LSH_SIGN_DIMS} bits -> {1 << LSH_SIGN_DIMS} buckets). The bucket join is
+    an equi-join — at 100 TB the corpus shuffles once by bucket (or is
+    written bucketed, making this zero-shuffle) and each query touches
+    ~1/{1 << LSH_SIGN_DIMS} of it. Recall < 1 by design; the exact variant
+    is the correctness baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vb = emb.select(
+        "vec_id",
+        "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+        _bucket_col().alias("bucket"),
+    )
+    q = F.broadcast(
+        vb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+            "bucket",
+        )
+    )
+    c = vb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+        "bucket",
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_fold(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("score"),
+        )
+    )
+    return _topk(scored)

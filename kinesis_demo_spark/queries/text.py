@@ -1,1 +1,215 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators over the ``documents`` fixture — the
+training-data-pipeline surface (SURVEY.md §7 Phase 5): language ID, quality
+scoring, token counting, and document fingerprinting.
+
+All metrics are pure JVM-side expression work (split / regexp / array HOFs —
+no Python UDFs), mirrored exactly in DuckDB SQL for the value-hash gate.
+Language ID uses real stopword marker lists; on the synthetic fixture corpus
+(31-word tech vocab) every doc scores 0 and falls back to 'und', which is the
+honest answer — tests/test_text.py proves the classifier on real sentences in
+all five languages.
+
+Scale: every query is scan -> per-row expressions -> (optionally) one small
+aggregation; no joins, no skew, embarrassingly parallel at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..functions.hashing import h60, h60_sql
+from ..io import load_table
+from ..registry import register
+
+# Small, public stopword marker lists (most-frequent function words).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "von", "mit", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"),
+    "es": ("el", "la", "los", "y", "es", "no", "por", "que", "una", "para"),
+    "zh": ("的", "是", "不", "了", "在", "有", "我", "他", "这", "中"),
+}
+LANG_ORDER = tuple(LANG_MARKERS)  # deterministic tie precedence
+
+BPE_ISH_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"  # letter runs | digit runs | other glyphs
+FP_PREFIX_CHARS = 120
+FP_KGRAM = 8
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _tokens() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+# --- language ID ----------------------------------------------------------------
+
+
+def _marker_hits(lang: str) -> Column:
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(_tokens(), lambda t: F.array_contains(markers, t))).cast("long")
+
+
+def _marker_hits_sql(lang: str) -> str:
+    arr = "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
+    return (
+        f"CAST(len(list_filter(string_split(text, ' '), t -> list_contains({arr}, t))) AS BIGINT)"
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {", ".join(f"{_marker_hits_sql(lg)} AS hits_{lg}" for lg in LANG_ORDER)}
+  FROM documents
+)
+SELECT doc_id, labeled_lang, {", ".join(f"hits_{lg}" for lg in LANG_ORDER)},
+       CASE
+         {" ".join(f"WHEN hits_{lg} > 0 AND hits_{lg} >= greatest({', '.join('hits_' + o for o in LANG_ORDER)}) THEN '{lg}'" for lg in LANG_ORDER)}
+         ELSE 'und'
+       END AS predicted_lang
+FROM scored
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID: count function-word hits per language,
+    argmax with fixed precedence ({" > ".join(LANG_ORDER)}), 'und' when no
+    marker fires."""
+    scored = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[_marker_hits(lg).alias(f"hits_{lg}") for lg in LANG_ORDER],
+    )
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in LANG_ORDER])
+    pred = F.lit("und")
+    for lg in reversed(LANG_ORDER):  # build CASE so earlier langs win ties
+        pred = F.when((F.col(f"hits_{lg}") > 0) & (F.col(f"hits_{lg}") >= best), F.lit(lg)).otherwise(pred)
+    return scored.select(
+        "doc_id", "labeled_lang", *[f"hits_{lg}" for lg in LANG_ORDER], pred.alias("predicted_lang")
+    )
+
+
+# --- quality scoring ---------------------------------------------------------------
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars, n_tokens,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens AS type_token_ratio,
+         CAST(list_max(list_transform(list_distinct(toks),
+              w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE) / n_tokens AS max_rep_ratio,
+         CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len
+  FROM t
+)
+SELECT doc_id, n_tokens, type_token_ratio, max_rep_ratio, avg_token_len,
+       least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * type_token_ratio * (1.0 - max_rep_ratio) AS quality_score
+FROM m
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length saturation x lexical diversity x
+    (1 - repetition). All array HOFs; the worst-case per-row cost is
+    O(|vocab| * n_tokens), bounded and embarrassingly parallel."""
+    toks = _tokens()
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        "n_chars",
+        toks.alias("toks"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    distinct_toks = F.array_distinct("toks")
+    max_rep = F.array_max(
+        F.transform(distinct_toks, lambda w: F.size(F.filter(F.col("toks"), lambda x: x == w)))
+    )
+    m = t.select(
+        "doc_id",
+        "n_tokens",
+        (F.size(distinct_toks).cast("double") / F.col("n_tokens")).alias("type_token_ratio"),
+        (max_rep.cast("double") / F.col("n_tokens")).alias("max_rep_ratio"),
+        ((F.col("n_chars") - (F.col("n_tokens") - 1)).cast("double") / F.col("n_tokens")).alias(
+            "avg_token_len"
+        ),
+    )
+    score = (
+        F.least(F.col("n_tokens").cast("double") / 64.0, F.lit(1.0))
+        * F.col("type_token_ratio")
+        * (F.lit(1.0) - F.col("max_rep_ratio"))
+    )
+    return m.select(
+        "doc_id", "n_tokens", "type_token_ratio", "max_rep_ratio", "avg_token_len",
+        score.alias("quality_score"),
+    )
+
+
+# --- token counting -----------------------------------------------------------------
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_ISH_RE}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_measured
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish sub-token count (letter runs / digit
+    runs / individual other glyphs — the GPT-2-style pre-tokenizer shape,
+    regex kept to char classes valid in both Java regex and RE2)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(_tokens()).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_RE), 0)).cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+    )
+
+
+# --- document fingerprinting -----------------------------------------------------------
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       {h60_sql("trim(regexp_replace(text, ' +', ' ', 'g'))")} AS content_fp,
+       CASE WHEN length(text) >= {FP_KGRAM} THEN
+         list_min(list_transform(range(1, least(length(text), {FP_PREFIX_CHARS}) - {FP_KGRAM - 2}),
+                  i -> {h60_sql(f"substr(text, CAST(i AS INT), {FP_KGRAM})")}))
+       ELSE NULL END AS min_kgram_fp
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: whole-content hash of whitespace-normalized
+    text, plus a winnowing-style min-hash over rolling {FP_KGRAM}-char grams
+    of the first {FP_PREFIX_CHARS} chars (prefix-bounded so per-row cost is
+    constant at any document length)."""
+    docs = _docs(spark, sf_dir)
+    normalized = F.trim(F.regexp_replace("text", " +", " "))
+    n_grams = F.least(F.length("text"), F.lit(FP_PREFIX_CHARS)) - (FP_KGRAM - 1)
+    kgram_hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: h60(F.col("text").substr(i, F.lit(FP_KGRAM))),
+    )
+    min_fp = F.when(F.length("text") >= FP_KGRAM, F.array_min(kgram_hashes)).otherwise(
+        F.lit(None).cast("long")
+    )
+    return docs.select(
+        "doc_id",
+        h60(normalized).alias("content_fp"),
+        min_fp.alias("min_kgram_fp"),
+    )

@@ -1,0 +1,89 @@
+"""Text-analysis semantics on real-language inputs (the synthetic fixture's
+31-word tech vocab exercises parity, not classification quality)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kinesis_demo_spark.queries import similarity as S
+from kinesis_demo_spark.queries import text as X
+
+SENTENCES = [
+    (0, "the cat and the dog sat in the garden and it was warm", "en"),
+    (1, "der hund und die katze sind nicht mit der maus zu hause", "de"),
+    (2, "le chat et la souris sont dans le jardin pour la nuit", "fr"),
+    (3, "el perro y la casa no son los mismos que una mesa para dos", "es"),
+    (4, "我 的 朋友 是 不 在 这 里 了 他 有 我 的 书", "zh"),
+]
+
+
+@pytest.fixture(scope="module")
+def real_docs_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("textq")
+    rows = [(i, t, lang, "src", len(t)) for i, t, lang in SENTENCES]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(out / "documents.parquet"))
+    return str(out)
+
+
+def test_lang_id_classifies_real_sentences(spark, real_docs_dir):
+    rows = X.text_lang_id(spark, real_docs_dir).collect()
+    assert {r.doc_id: r.predicted_lang for r in rows} == {
+        i: lang for i, _, lang in SENTENCES
+    }
+
+
+def test_quality_score_penalizes_repetition(spark, tmp_path):
+    rows = [
+        (0, "spam " * 49 + "spam", "en", "s", 249),          # 50x one token
+        (1, " ".join(f"word{i}" for i in range(50)), "en", "s", 349),  # all distinct
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in X.text_quality_score(spark, str(tmp_path)).collect()}
+    assert out[0].max_rep_ratio == 1.0 and out[0].quality_score == 0.0
+    assert out[1].type_token_ratio == 1.0
+    assert out[1].quality_score > out[0].quality_score
+
+
+def test_token_count_bpe_splits_mixed_text(spark, tmp_path):
+    rows = [(0, "abc123 def!", "en", "s", 11)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    r = X.text_token_count(spark, str(tmp_path)).collect()[0]
+    assert r.n_ws_tokens == 2
+    assert r.n_bpe_tokens == 4  # abc | 123 | def | !
+
+
+def test_fingerprint_invariant_to_whitespace_runs(spark, tmp_path):
+    rows = [(0, "hello  world", "en", "s", 12), (1, "hello world", "en", "s", 11)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r.content_fp for r in X.text_fingerprint(spark, str(tmp_path)).collect()}
+    assert out[0] == out[1]
+
+
+def test_ann_topk_is_exact_vs_numpy(spark):
+    """Brute-force ANN must agree with an independent numpy computation."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()}
+    got = S.ann_cosine_topk(spark, sf).collect()
+    by_query: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rnk)):
+        by_query.setdefault(r.query_id, []).append(r.neighbor_id)
+    for q, neighbors in by_query.items():
+        qv = emb[q]
+        scores = {
+            c: float(qv @ cv / (np.linalg.norm(qv) * np.linalg.norm(cv)))
+            for c, cv in emb.items()
+            if c != q
+        }
+        expected = [c for c, _ in sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]]
+        assert neighbors == expected

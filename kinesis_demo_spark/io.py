@@ -69,6 +69,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition before compute-heavy per-row stages.
+
+    The local fixtures are single small parquet files — one input split, so
+    without this every expression-heavy derivation (shingling, hashing,
+    vector folds, pandas UDFs) runs on ONE core of local[32]. On a real
+    cluster the lake has many splits and this exchange is a cheap fan-out of
+    a small table; for compute-bound stages the shuffle cost is noise next to
+    the per-row work it parallelizes."""
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

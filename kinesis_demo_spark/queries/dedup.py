@@ -40,7 +40,7 @@ from ..functions.hashing import (
     h60,
     h60_sql,
 )
-from ..io import load_table
+from ..io import load_table, spread
 from ..registry import register
 
 JACCARD_THRESHOLD = 0.2
@@ -54,15 +54,20 @@ COSINE_DUP_THRESHOLD = 0.40
 
 
 def shingles_col() -> Column:
-    """Distinct word-3-shingles of ``text``; empty array for < 3 words."""
+    """Distinct word-3-shingles of ``text``; empty array for < 3 words.
+
+    Built with zip_with over shifted slices instead of
+    transform(sequence, i -> element_at(words, i..i+2)): expressions inside
+    HOF lambdas are re-evaluated per element and escape Spark's
+    subexpression elimination, so the index-based form re-splits the text
+    O(n_shingles * n_words) times per row. The zip_with form references
+    ``words`` a constant number of times at top level -> linear work.
+    """
     words = F.split(F.col("text"), " ")
-    mk = F.transform(
-        F.sequence(F.lit(1), F.size(words) - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
-        ),
-    )
-    return F.when(F.size(words) >= 3, F.array_distinct(mk)).otherwise(
+    n = F.size(words)
+    pairs = F.zip_with(words, F.slice(words, 2, n), lambda a, b: F.concat(a, F.lit(" "), b))
+    trips = F.zip_with(pairs, F.slice(words, 3, n), lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(n >= 3, F.array_distinct(F.slice(trips, 1, n - 2))).otherwise(
         F.array().cast("array<string>")
     )
 
@@ -95,7 +100,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select("doc_id", shingles_col().alias("shingles"))
+    # spread: shingling is the per-row hot loop; see io.spread
+    return spread(_docs(spark, sf_dir).select("doc_id", "text")).select(
+        "doc_id", shingles_col().alias("shingles")
+    )
 
 
 def _jaccard_verified(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
@@ -153,14 +161,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on the shingle to count intersections (only co-shingled doc
     pairs are ever materialized), Jaccard from |A|,|B|,|A∩B|."""
     sh = _shingled(spark, sf_dir)
-    ex = sh.select("doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
-    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
-    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), "s")
+    b = ex.select(F.col("doc_id").alias("doc_b"), "s")
+    # The pair shuffle carries only (doc_a, doc_b); per-doc set sizes join in
+    # afterwards as a broadcast dimension instead of riding every pair row.
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
     pairs = (
         a.join(b, "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"), F.first("na").alias("na"), F.first("nb").alias("nb"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))), "doc_a")
+        .join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))), "doc_b")
     )
     jaccard = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     return pairs.select("doc_a", "doc_b", jaccard.alias("jaccard")).filter(
@@ -171,28 +184,40 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- MinHash + LSH ------------------------------------------------------------------
 
 
-def _minhash_sig(sh: DataFrame) -> DataFrame:
-    """(doc_id, j, minh): N_PERM-wide MinHash signature as rows.
+def _minhash_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash): LSH band keys, computed as pure per-doc
+    array expressions — one md5 per shingle into an h30 array, then each
+    permutation is an array_min over JVM-codegen arithmetic. NO shuffle at
+    all until the band self-join: signatures are narrow per-row work, which
+    is the optimal distributed shape (the alternative — explode to
+    (shingle, perm) rows and groupBy-min — pushes |shingles| x N_PERM rows
+    through an exchange for no benefit)."""
+    hs = sh.select(
+        "doc_id", F.transform("shingles", lambda s: h60(s) % MINHASH_P).alias("h30s")
+    ).filter(F.size("h30s") > 0)
+    def _perm(j: int):
+        # closure factory, NOT a default-arg lambda: a 2-ary lambda would be
+        # interpreted by pyspark as (element, index) and receive the array
+        # index as its second argument
+        return lambda h: (F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j])) % MINHASH_P
 
-    The permuted hash of every (shingle, j) is computed JVM-side from one
-    md5 per shingle; groupBy-min is a map-side-combinable aggregation, so
-    signature state per doc is N_PERM longs regardless of doc size."""
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    h30 = (h60(F.col("s")) % MINHASH_P).alias("h30")
-    perms = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("j"),
-                ((F.lit(MINHASH_A[j]) * F.col("h30") + F.lit(MINHASH_B[j])) % MINHASH_P).alias("ph"),
-            )
-            for j in range(N_PERM)
-        ]
+    minh = [F.array_min(F.transform("h30s", _perm(j))) for j in range(N_PERM)]
+    band_rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    sum(
+                        (minh[b * LSH_ROWS + r] * F.lit(BAND_W[r]) for r in range(1, LSH_ROWS)),
+                        minh[b * LSH_ROWS] * F.lit(BAND_W[0]),
+                    ).alias("band_hash"),
+                )
+                for b in range(LSH_BANDS)
+            ]
+        )
     )
-    return (
-        ex.select("doc_id", h30)
-        .select("doc_id", F.explode(perms).alias("p"))
-        .groupBy("doc_id", F.col("p.j").alias("j"))
-        .agg(F.min("p.ph").alias("minh"))
+    return hs.select("doc_id", band_rows.alias("b")).select(
+        "doc_id", "b.band_idx", "b.band_hash"
     )
 
 
@@ -234,12 +259,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature arithmetic, so this sketch op is value-hash checked, not
     rows-only."""
     sh = _shingled(spark, sf_dir)
-    sig = _minhash_sig(sh)
-    w = F.element_at(F.array(*[F.lit(x) for x in BAND_W]), (F.col("j") % LSH_ROWS).cast("int") + 1)
-    bands = (
-        sig.groupBy("doc_id", (F.col("j") / LSH_ROWS).cast("int").alias("band_idx"))
-        .agg(F.sum(F.col("minh") * w).alias("band_hash"))
-    )
+    bands = _minhash_bands(sh)
     x = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
     y = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
     cands = (
@@ -259,34 +279,35 @@ _SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 
 def _simhash(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): {SIMHASH_BITS}-bit tf-weighted SimHash over word
-    hashes. Explode tokens -> explode bit positions -> signed-sum per bit ->
-    recombine; every step is a map-side-combinable aggregation."""
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    h = (h60(F.col("w")) % (1 << SIMHASH_BITS)).alias("hw")
-    bit_rows = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(bit).alias("bit"),
-                    (2 * ((F.col("hw") / (1 << bit)).cast("long") % 2) - 1).alias("contrib"),
-                )
-                for bit in range(SIMHASH_BITS)
-            ]
+    hashes, computed entirely as per-doc array expressions: one md5 per
+    token into a hash array, then each bit's signed sum is an
+    aggregate-fold over that array. Zero shuffles — the alternative
+    (explode tokens x bits and groupBy) pushes |tokens| x {SIMHASH_BITS}
+    rows through an exchange for the same answer."""
+    tok_h = spread(docs.select("doc_id", "text")).select(
+        "doc_id",
+        F.transform(
+            F.split("text", " "), lambda w: h60(w) % (1 << SIMHASH_BITS)
+        ).alias("hws"),
+    )
+    def _bit_contrib(bit: int):
+        # closure factory (see _perm in _minhash_bands for why not default-arg)
+        return lambda h: 2 * ((h / (1 << bit)).cast("long") % 2) - 1
+
+    bit_sums = [
+        F.aggregate(
+            F.transform("hws", _bit_contrib(bit)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
-    )
-    per_bit = (
-        tok.select("doc_id", h)
-        .select("doc_id", bit_rows.alias("b"))
-        .groupBy("doc_id", "b.bit")
-        .agg(F.sum("b.contrib").alias("s"))
-    )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+        for bit in range(SIMHASH_BITS)
+    ]
+    simhash = F.lit(0).cast("long")
+    for bit in range(SIMHASH_BITS):
+        simhash = simhash + F.when(bit_sums[bit] > 0, F.lit(1 << bit).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return tok_h.select("doc_id", simhash.alias("simhash"))
 
 
 _SIMHASH_ORACLE = f"""
@@ -380,7 +401,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.py (ann_cosine_topk_lsh) followed by this exact scorer on
     candidates only. Dot products fold left-to-right in double on both
     engines, so scores are bit-exact — no rounding needed."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     v = emb.select(
         "vec_id",
         "embedding",

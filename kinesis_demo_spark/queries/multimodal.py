@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..io import load_table
+from ..io import load_table, spread
 from ..operators.multimodal import decode_features, frame_sample
 from ..registry import register
 
@@ -23,7 +23,8 @@ FORMATS = ("png", "jpeg", "wav")
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> media(doc_id, payload binary, format, width, height)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: downstream mapInPandas otherwise runs on one Python worker
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("payload"),

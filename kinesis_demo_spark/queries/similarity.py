@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vectors import dot_fold, dot_fold_sql, norm, norm_sql
-from ..io import load_table
+from ..io import load_table, spread
 from ..registry import register
 
 N_QUERIES = 5  # vec_id < 5 at every scale factor
@@ -35,7 +35,7 @@ LSH_SIGN_DIMS = 8  # 2^8 = 256 buckets
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     return emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
 
 
@@ -147,7 +147,7 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     written bucketed, making this zero-shuffle) and each query touches
     ~1/{1 << LSH_SIGN_DIMS} of it. Recall < 1 by design; the exact variant
     is the correctness baseline."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     vb = emb.select(
         "vec_id",
         "embedding",

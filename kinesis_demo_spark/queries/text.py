@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..functions.hashing import h60, h60_sql
-from ..io import load_table
+from ..io import load_table, spread
 from ..registry import register
 
 # Small, public stopword marker lists (most-frequent function words).
@@ -37,7 +37,8 @@ FP_KGRAM = 8
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # spread: every query here is per-row expression-bound; see io.spread
+    return spread(load_table(spark, sf_dir, "documents"))
 
 
 def _tokens() -> Column:

@@ -1,0 +1,133 @@
+"""Gap-based sessionization — the canonical custom stateful operator
+(SURVEY.md §2.4 territory: the reference's cursor/window logic generalized to
+sessions). Two implementations sharing one spec:
+
+- ``batch_sessionize``: lag + running-sum window functions — one shuffle on
+  user_id, in-partition sort, linear scan. The exact distributed shape for
+  100 TB backfills.
+- ``streaming_sessionize``: ``applyInPandasWithState`` over a keyed stream —
+  per-user state carries the open session across micro-batches; closed
+  sessions emit as soon as the gap that closes them is seen. This is the
+  operator Spark's built-ins can't express (session windows with custom
+  aggregates and emission policy), hence the Arrow-batched stateful UDF.
+
+Money-exact invariant: per-session value sums are accumulated in integer
+cents (the fixture's ``value`` has 2 decimals), so batch (DECIMAL sums),
+streaming (int64 cents), and the DuckDB oracle agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql.streaming.state import GroupState
+
+SESSION_GAP_MS = 24 * 3600 * 1000  # events are sparse (median per-user gap ~7 h)
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_start", T.TimestampType(), False),
+        T.StructField("session_end", T.TimestampType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("sum_value", T.DoubleType(), False),
+    ]
+)
+
+# Open-session state: epoch-us bounds + counts + cents accumulator.
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType(), False),
+        T.StructField("end_us", T.LongType(), False),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("cents", T.LongType(), False),
+    ]
+)
+
+
+def batch_sessionize(events: DataFrame, gap_ms: int = SESSION_GAP_MS) -> DataFrame:
+    """Sessions = maximal runs of per-user events with inter-event gap <=
+    gap_ms. Returns one row per session with count and exact decimal sum."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+    new_session = F.when(gap.isNull() | (gap > gap_ms), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_session = events.select(
+        "user_id", "ts", "event_id", "value", F.sum(new_session).over(run).alias("session_id")
+    )
+    return (
+        with_session.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def _sessionize_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+) -> Iterator[pd.DataFrame]:
+    """Stateful kernel: fold this batch's events (ts-sorted) into the open
+    session; emit every session closed by a gap, keep the trailing open one
+    in state for the next micro-batch."""
+    (user_id,) = key
+    if state.exists:
+        start_us, end_us, n, cents = state.get
+    else:
+        start_us = end_us = -1
+        n = cents = 0
+
+    closed: list[tuple] = []
+    # A group's rows can arrive as MULTIPLE Arrow chunks per micro-batch, in
+    # no guaranteed order — gather the whole batch, sort once, then fold.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
+        ev_cents = (pdf["value"] * 100).round().astype("int64")
+        for t_us, c in zip(ts_us, ev_cents):
+            if n == 0:
+                start_us, end_us, n, cents = t_us, t_us, 1, int(c)
+            # gap compared in whole milliseconds exactly like the batch/
+            # oracle side (unix_millis/epoch_ms floor each timestamp to ms
+            # BEFORE subtracting — floor(a)-floor(b) != floor(a-b) for
+            # sub-ms components)
+            elif (t_us // 1000) - (end_us // 1000) > SESSION_GAP_MS:
+                closed.append((user_id, start_us, end_us, n, cents / 100.0))
+                start_us, end_us, n, cents = t_us, t_us, 1, int(c)
+            else:
+                end_us, n, cents = t_us, n + 1, cents + int(c)
+
+    state.update((int(start_us), int(end_us), int(n), int(cents)))
+    if closed:
+        out = pd.DataFrame(
+            closed, columns=["user_id", "session_start", "session_end", "n_events", "sum_value"]
+        )
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+        yield out
+
+
+def streaming_sessionize(events: DataFrame) -> DataFrame:
+    """Keyed stream -> per-user open-session state -> closed-session rows.
+    State is O(1) per user (four longs) — bounded regardless of stream
+    length; sessions emit exactly once, when the closing gap arrives."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

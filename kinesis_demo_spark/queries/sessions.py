@@ -1,0 +1,89 @@
+"""Sessionization queries: the batch window-function form and the
+applyInPandasWithState streaming form, BOTH value-hash oracle-checked.
+
+The streaming variant emits a session only when the gap that closes it is
+observed, so after draining the finite fixture (single micro-batch) its
+output is exactly "all sessions except each user's last" — a deterministic
+set the oracle expresses with a row_number anti-filter. That turns the custom
+stateful operator from a rows-only check into a real differential test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+from ..operators.sessionize import SESSION_GAP_MS, batch_sessionize, streaming_sessionize
+from ..registry import register
+from ..streaming.pipeline import stream_events
+
+_SESSIONS_CTE = f"""
+o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+),
+sessions AS (
+  SELECT user_id, session_id,
+         min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM s GROUP BY 1, 2
+)
+"""
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+WITH {_SESSIONS_CTE}
+SELECT user_id, session_id, session_start, session_end, n_events, sum_value
+FROM sessions
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (24 h gap): lag + running-sum windows, one
+    shuffle on user_id. See operators/sessionize.py."""
+    events = load_table(spark, sf_dir, "events")
+    return batch_sessionize(events).withColumn("session_id", F.col("session_id").cast("long"))
+
+
+@register(
+    "sessionize_stateful_streaming",
+    oracle=f"""
+WITH {_SESSIONS_CTE}
+SELECT user_id, session_start, session_end, n_events, sum_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY session_id DESC) AS rn
+  FROM sessions
+)
+WHERE rn > 1
+""",
+)
+def sessionize_stateful_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: applyInPandasWithState carries the
+    open session per user across micro-batches and emits sessions as their
+    closing gap arrives (each user's trailing session stays open — excluded
+    from the oracle by construction)."""
+    name = "stream_sessions_" + str(abs(hash(sf_dir)) % 10**6)
+    sessions = streaming_sessionize(stream_events(spark, sf_dir))
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -25,6 +25,7 @@ _QUERY_MODULES = (
     "kinesis_demo_spark.queries.text",
     "kinesis_demo_spark.queries.multimodal",
     "kinesis_demo_spark.queries.streaming_parity",
+    "kinesis_demo_spark.queries.sessions",
 )
 
 

@@ -1,0 +1,74 @@
+"""Physical-plan shape assertions: the scale story is only real if the plans
+actually do what the docstrings claim — filters reach the parquet scan,
+dimensions broadcast, projections prune the read schema, limits become
+TakeOrdered. These tests pin that, so a regression in plan shape fails CI
+even while results stay correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from kinesis_demo_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+Q = all_queries()
+
+
+def _plan(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_serving_scan_pushes_user_and_time_predicates(spark):
+    plan = _plan(Q["serving_forward_poll"](spark, SF))
+    assert "PushedFilters:" in plan
+    assert "EqualTo(user_id" in plan  # Q1 keyed filter reaches the scan
+    assert "IsNotNull" in plan
+
+
+def test_tpch_q1_pushes_shipdate_filter_and_prunes_columns(spark):
+    plan = _plan(Q["tpch_q1_pricing_summary"](spark, SF))
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate pushdown
+    # column pruning: the untouched wide columns never reach the scan
+    assert "l_partkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_star_join_broadcasts_every_dimension(spark):
+    plan = _plan(Q["star_join_revenue_by_region"](spark, SF), mode="simple")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_projection_switch_prunes_movs(spark):
+    # count-projection serving query must not read/carry the movs payload
+    plan = _plan(Q["serving_forward_poll"](spark, SF), mode="simple")
+    assert "movs" not in plan
+
+
+def test_topk_limit_becomes_take_ordered(spark):
+    plan = _plan(Q["serving_reverse_limit"](spark, SF), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_covers_agg_pipeline(spark):
+    # under AQE codegen stages only appear in the FINAL adaptive plan, after
+    # execution; starred operators (`*(n) HashAggregate...`) are the
+    # WholeStageCodegen spans
+    df = Q["agg_window_count"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan and "*(" in plan
+
+
+def test_ann_broadcasts_query_side(spark):
+    plan = _plan(Q["ann_cosine_topk"](spark, SF), mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_exact_dedup_partial_aggregates_before_exchange(spark):
+    plan = _plan(Q["dedup_exact_text"](spark, SF), mode="simple")
+    # HashAggregate(partial) -> Exchange -> HashAggregate(final)
+    assert plan.count("HashAggregate") >= 2 and "Exchange" in plan

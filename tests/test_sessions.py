@@ -1,0 +1,114 @@
+"""Sessionization: batch/streaming agreement, including state carried across
+micro-batches (the single-batch registry check can't prove the carry)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesis_demo_spark.io import load_table
+from kinesis_demo_spark.operators.sessionize import batch_sessionize, streaming_sessionize
+
+SF = "/root/testdata/sf0.001"
+
+
+def _closed_sessions_batch(spark):
+    """Batch sessions minus each user's last (streaming can't close the
+    trailing session without a terminating gap)."""
+    sessions = batch_sessionize(load_table(spark, SF, "events"))
+    w = Window.partitionBy("user_id").orderBy(F.col("session_id").desc())
+    return (
+        sessions.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    )
+
+
+def _run_stream(spark, src_dir, max_files=None):
+    from kinesis_demo_spark.streaming.pipeline import stream_events
+
+    name = "t_sessions_stream"
+    q = (
+        streaming_sessionize(stream_events(spark, src_dir, max_files_per_trigger=max_files))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def test_streaming_sessions_match_batch_single_batch(spark):
+    got = {tuple(r) for r in _run_stream(spark, SF).collect()}
+    want = {tuple(r) for r in _closed_sessions_batch(spark).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_streaming_sessions_carry_state_across_batches(spark, tmp_path):
+    """Split the fixture into 3 time-ordered files processed one per
+    micro-batch: sessions spanning batch boundaries must still emit exactly
+    once with correct bounds and sums."""
+    events = load_table(spark, SF, "events").orderBy("ts", "event_id").collect()
+    third = len(events) // 3
+    chunks = [events[:third], events[third : 2 * third], events[2 * third :]]
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk).coalesce(1).write.parquet(str(src / f"part{i}.parquet"))
+    # the streaming reader reads a directory of parquet; rewrite files flat
+    import shutil, glob, os
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, d in enumerate(sorted(glob.glob(str(src / "part*.parquet")))):
+        (f,) = glob.glob(os.path.join(d, "*.parquet"))
+        dst = flat / f"{i:02d}.parquet"
+        shutil.copy(f, dst)
+        # FileStreamSource orders by modification time: force distinct,
+        # ascending mtimes so micro-batches replay in event-time order (the
+        # operator's documented in-order contract; late data needs the
+        # watermarked agg path)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    from kinesis_demo_spark.streaming.pipeline import _EVENTS_NANOS  # noqa: F401
+    from pyspark.sql import SparkSession
+    import kinesis_demo_spark.streaming.pipeline as P
+
+    name = "t_sessions_multibatch"
+    # stream the flat dir one file per trigger (3 micro-batches)
+    reader = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    q = (
+        streaming_sessionize(reader)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.table(name).collect()}
+    want = {tuple(r) for r in _closed_sessions_batch(spark).collect()}
+    assert got == want
+
+
+def test_session_sums_are_cent_exact(spark):
+    sessions = batch_sessionize(load_table(spark, SF, "events"))
+    bad = sessions.filter(
+        F.abs(F.col("sum_value") * 100 - F.round(F.col("sum_value") * 100)) > 1e-6
+    ).count()
+    assert bad == 0

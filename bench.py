@@ -41,13 +41,20 @@ HEADLINE = (
     "locf_impute_value",
     "serving_poll_sum",
     "json_extract_props",
+    "sessionize_events",
+    "stats_moments_by_type",
+    "stats_percentiles_value",
     # LLM-data-pipeline extensions
     "dedup_exact_text",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
     "ann_cosine_topk",
+    "ann_cosine_topk_lsh",
     "text_quality_score",
     "text_lang_id",
+    "text_fingerprint",
+    "multimodal_decode_features",
 )
 
 

@@ -1,0 +1,213 @@
+"""Statistical/analytic aggregates beyond the reference surface: moments
+(variance/stddev), correlation, exact percentiles/median, argmin/argmax,
+mode, and HLL approximate quantile bounds.
+
+Float policy (same as relational.py): every sum that feeds a statistic is
+accumulated as DECIMAL (exact, order-independent) and the final formula is a
+fixed sequence of IEEE double ops identical on both engines — so variance and
+correlation are value-hash exact, not tolerance-matched. Exact percentiles
+use Spark ``percentile`` / DuckDB ``quantile_cont``, which share the
+linear-interpolation definition (probed bit-identical on the fixtures).
+
+Scale: all are single hash-aggregates with map-side partials. Exact
+percentile needs a per-group sort of values — the documented scale-out path
+is ``approx_percentile`` (constant-memory sketch, registered rows-only
+below with an error-bound test in tests/test_analytics.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_table
+from ..registry import register
+
+D2 = "decimal(18,2)"   # value has 2 decimals
+D4 = "decimal(28,4)"   # value^2
+DK = "decimal(28,6)"   # value * k cross terms
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "stats_moments_by_type",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       s1 / n AS mean,
+       (s2 - s1 * s1 / n) / (n - 1) AS var_samp,
+       sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_samp
+FROM s
+""",
+)
+def stats_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/variance/stddev from exact decimal power sums; the two engines
+    then perform the identical double-precision formula, so no tolerance is
+    needed. (Built-in var_samp uses engine-specific streaming updates whose
+    rounding differs across engines and partitionings — power sums are the
+    deterministic distributed formulation.)"""
+    v = F.col("value").cast(D2)
+    s = (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).cast("double").alias("s1"),
+            F.sum(v * v).cast("double").alias("s2"),
+        )
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    return s.select(
+        "event_type", "n",
+        (s1 / n).alias("mean"),
+        var.alias("var_samp"),
+        F.sqrt(var).alias("stddev_samp"),
+    )
+
+
+@register(
+    "stats_corr_value_props",
+    oracle="""
+WITH base AS (
+  SELECT CAST(value AS DECIMAL(18,2)) AS x,
+         CAST(json_extract_string(props, '$.k') AS DECIMAL(18,2)) AS y
+  FROM events
+),
+s AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM base
+)
+SELECT n,
+       (sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_xy,
+       (sxy - sx * sy / n) / (n - 1) AS covar_samp
+FROM s
+""",
+)
+def stats_corr_value_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance between ``value`` and the
+    JSON payload's ``k`` — exact power sums, identical double formula."""
+    x = F.col("value").cast(D2)
+    y = F.get_json_object("props", "$.k").cast(D2)
+    s = _events(spark, sf_dir).select(x.alias("x"), y.alias("y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy, sxy, sxx, syy = (F.col(c) for c in ("sx", "sy", "sxy", "sxx", "syy"))
+    corr = (sxy - sx * sy / n) / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+    return s.select("n", corr.alias("corr_xy"), ((sxy - sx * sy / n) / (n - 1)).alias("covar_samp"))
+
+
+@register(
+    "stats_percentiles_value",
+    oracle="""
+SELECT event_type,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.5) AS median,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY event_type
+""",
+)
+def stats_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the definition (probed bit-identical)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.25)").alias("p25"),
+            F.expr("percentile(value, 0.5)").alias("median"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+    )
+
+
+@register("approx_percentiles_value")  # sketch-based -> rows-only; error bounded in tests
+def approx_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for quantiles: KLL/GK-style sketch via
+    ``approx_percentile`` — constant memory per group, mergeable partials, no
+    per-group sort. Approximate by design; tests bound its error against the
+    exact percentiles."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
+            F.expr("percentile(value, 0.5)").alias("exact_median"),
+        )
+    )
+
+
+@register(
+    "stats_argminmax_value",
+    oracle="""
+SELECT event_type,
+       min(struct_pack(v := value, e := event_id)).v AS min_value,
+       min(struct_pack(v := value, e := event_id)).e AS min_event_id,
+       max(struct_pack(v := value, e := event_id)).v AS max_value,
+       max(struct_pack(v := value, e := event_id)).e AS max_event_id
+FROM events GROUP BY event_type
+""",
+)
+def stats_argminmax_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin/argmax with DETERMINISTIC ties via lexicographic struct
+    ordering ((value, event_id) pairs) — the tie-safe form of min_by/max_by,
+    identical on both engines, still a single map-side-combinable agg."""
+    pair = F.struct(F.col("value").alias("v"), F.col("event_id").alias("e"))
+    agg = _events(spark, sf_dir).groupBy("event_type").agg(
+        F.min(pair).alias("mn"), F.max(pair).alias("mx")
+    )
+    return agg.select(
+        "event_type",
+        F.col("mn.v").alias("min_value"),
+        F.col("mn.e").alias("min_event_id"),
+        F.col("mx.v").alias("max_value"),
+        F.col("mx.e").alias("max_event_id"),
+    )
+
+
+@register(
+    "stats_mode_event_type_per_user",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS mode_event_type, cnt AS mode_count
+FROM r WHERE rn = 1
+""",
+)
+def stats_mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type, ties broken lexicographically — count +
+    ranking window, both shuffles on user_id (the second reuses the first's
+    partitioning)."""
+    c = _events(spark, sf_dir).groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), "event_type")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event_type"), F.col("cnt").alias("mode_count"))
+    )

@@ -26,6 +26,8 @@ _QUERY_MODULES = (
     "kinesis_demo_spark.queries.multimodal",
     "kinesis_demo_spark.queries.streaming_parity",
     "kinesis_demo_spark.queries.sessions",
+    "kinesis_demo_spark.queries.analytics",
+    "kinesis_demo_spark.queries.scalar_extended",
 )
 
 

@@ -1,0 +1,60 @@
+"""Skew mitigation: two-stage salted aggregation.
+
+AQE's skew handling splits oversized SHUFFLE partitions, but a single
+pathological key still lands every one of its rows on one reducer for a
+groupBy. Salting splits the KEY itself: stage 1 aggregates on
+(key, salt = hash(row) % N) — N-way parallel partials — and stage 2 merges
+the N partials per key. Works for any algebraic aggregate (sum/count/min/
+max/decimal-sum); results are identical to the direct groupBy, which both
+the oracle query and tests/test_salting.py pin.
+
+Cost model: one extra (tiny) shuffle of |keys| x N partial rows in exchange
+for removing the hot-key straggler — at 100 TB with a power-law key (the
+norm for user/tenant keys) this is the difference between a wall-clock
+bounded by the median reducer and one bounded by the hottest key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+DEFAULT_SALT = 16
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, Column],
+    merges: dict[str, Column],
+    n_salt: int = DEFAULT_SALT,
+) -> DataFrame:
+    """Generic two-stage salted aggregation.
+
+    ``aggs``: stage-1 aggregate expressions (applied per (key, salt));
+    ``merges``: stage-2 expressions merging the stage-1 columns per key.
+    The salt derives from a spread column (here the row's own id hash) so
+    every hot key fans out across n_salt reducers.
+    """
+    salt = (F.abs(F.hash(F.monotonically_increasing_id())) % n_salt).alias("_salt")
+    stage1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(*[c.alias(name) for name, c in aggs.items()])
+    )
+    return stage1.groupBy(key).agg(*[c.alias(name) for name, c in merges.items()])
+
+
+def salted_sum_count(df: DataFrame, key: str, value_col: str, n_salt: int = DEFAULT_SALT) -> DataFrame:
+    """Salted exact-decimal sum + count per key — identical results to
+    ``df.groupBy(key).agg(sum, count)`` under any skew."""
+    v = F.col(value_col).cast("decimal(18,2)")
+    return salted_agg(
+        df,
+        key,
+        aggs={"_psum": F.sum(v), "_pcnt": F.count(F.lit(1))},
+        merges={
+            "sum_value": F.sum("_psum").cast("double"),
+            "n_events": F.sum("_pcnt"),
+        },
+        n_salt=n_salt,
+    )

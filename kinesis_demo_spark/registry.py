@@ -28,6 +28,7 @@ _QUERY_MODULES = (
     "kinesis_demo_spark.queries.sessions",
     "kinesis_demo_spark.queries.analytics",
     "kinesis_demo_spark.queries.scalar_extended",
+    "kinesis_demo_spark.queries.wire",
 )
 
 

@@ -44,6 +44,10 @@ HEADLINE = (
     "sessionize_events",
     "stats_moments_by_type",
     "stats_percentiles_value",
+    "json_wire_roundtrip",
+    "salted_sum_by_user",
+    "streaming_window_counts",
+    "sessionize_stateful_streaming",
     # LLM-data-pipeline extensions
     "dedup_exact_text",
     "dedup_minhash_lsh",
@@ -68,6 +72,10 @@ def main() -> None:
     spark = get_spark("kinesis-demo-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
+
+    # Warm the JVM/codegen/parquet-reader paths once so per-query timings
+    # measure the queries, not session bring-up.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

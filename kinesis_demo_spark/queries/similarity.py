@@ -178,3 +178,113 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _topk(scored)
+
+
+# --- IVF (inverted-file) ANN ---------------------------------------------------
+
+N_CENTROIDS = 16
+N_PROBE = 2
+
+# Deterministic coarse quantizer: the first N_CENTROIDS corpus vectors serve
+# as centroids (production swaps in offline k-means; the index/search
+# machinery is identical). Assignment = argmax cosine with ties to the
+# smallest centroid id, encoded as struct max over (score, -cid).
+
+_IVF_ORACLE = f"""
+WITH vb AS (
+  SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM vb WHERE vec_id < {N_CENTROIDS}
+),
+assign AS (
+  SELECT v.vec_id,
+         -(max(struct_pack(s := {dot_fold_sql('v.embedding', 'c.ce')} / (v.nrm * c.cn),
+                           nc := -c.cid)).nc) AS cid
+  FROM vb v CROSS JOIN cents c
+  GROUP BY v.vec_id
+),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dot_fold_sql('q.embedding', 'c.ce')} / (q.nrm * c.cn) DESC, c.cid) AS pr
+    FROM vb q CROSS JOIN cents c WHERE q.vec_id < {N_QUERIES}
+  ) WHERE pr <= {N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {dot_fold_sql('q.embedding', 'v.embedding')} / (q.nrm * v.nrm) AS score
+  FROM probes p
+  JOIN assign a ON a.cid = p.cid
+  JOIN vb q ON q.vec_id = p.query_id
+  JOIN vb v ON v.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, score
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@register("ann_cosine_topk_ivf", oracle=_IVF_ORACLE)
+def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus to {N_CENTROIDS} centroid cells
+    (assignment = one broadcast join + struct-max argmax, a single narrow
+    pass), then each query scores only its {N_PROBE} nearest cells. At scale
+    the corpus is stored partitioned/bucketed BY CELL, so a query reads
+    ~nprobe/ncells of the data — the classic IVF index expressed as plain
+    joins. Centroids here are the first {N_CENTROIDS} vectors (deterministic
+    stand-in for offline k-means; search machinery identical)."""
+    vb = _vectors(spark, sf_dir)
+    cents = F.broadcast(
+        vb.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), F.col("nrm").alias("cn")
+        )
+    )
+    cscore = dot_fold(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cn"))
+    assign = (
+        vb.join(cents)
+        .select("vec_id", cscore.alias("s"), (-F.col("cid")).alias("nc"))
+        .groupBy("vec_id")
+        .agg(F.max(F.struct("s", "nc")).alias("m"))
+        .select("vec_id", (-F.col("m.nc")).alias("cid"))
+    )
+    qw = Window.partitionBy("query_id").orderBy(F.col("qs").desc(), "cid")
+    probes = (
+        vb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn"))
+        .join(cents)
+        .select(
+            "query_id",
+            "cid",
+            (dot_fold(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("qs"),
+        )
+        .withColumn("pr", F.row_number().over(qw))
+        .filter(F.col("pr") <= N_PROBE)
+        .select("query_id", "cid")
+    )
+    q = vb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    v = vb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ve"), F.col("nrm").alias("vn")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assign, "cid")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .join(v, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_fold(F.col("qe"), F.col("ve")) / (F.col("qn") * F.col("vn"))).alias("score"),
+        )
+    )
+    return _topk(scored)

@@ -1,0 +1,87 @@
+"""Vectorized-Python UDF surface coverage: the two Arrow-batched shapes not
+already exercised elsewhere (mapInPandas → multimodal, applyInPandasWithState
+→ sessions):
+
+- scalar ``@pandas_udf``: per-row vectorized transform (pandas str ops),
+  batched over Arrow — the 10-100x-over-row-Python path for logic Spark
+  expressions can't state cleanly.
+- grouped ``applyInPandas``: one pandas DataFrame per group — the escape
+  hatch for per-group algorithms (model fits, custom rollups). The kernel
+  here uses integer-exact arithmetic (microseconds, cents) so even the
+  Python path is value-hash checked against SQL.
+
+Scale: both run executor-side on Arrow batches. applyInPandas materializes
+EACH GROUP in one worker's memory — fine for per-user groups, the documented
+wrong tool for whale groups (use salted/windowed forms instead;
+operators/salting.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..io import load_table, spread
+from ..registry import register
+
+
+# NOTE: the @pandas_udf wrap happens inside the query function, not at module
+# level — Python workers import this module to unpickle the grouped kernel,
+# and the decorator's DDL type parsing needs an active session (absent in
+# workers).
+def _norm_text_kernel(s: pd.Series) -> pd.Series:
+    return s.str.lower().str.replace(r" +", " ", regex=True).str.strip()
+
+
+@register(
+    "pandas_udf_text_normalize",
+    oracle="""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm_text,
+       CAST(length(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+FROM documents
+""",
+)
+def pandas_udf_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf (Arrow-vectorized) text normalization, hash-checked
+    against the equivalent SQL — proving the Python batch path is lossless."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    norm = pandas_udf(_norm_text_kernel, "string")(F.col("text"))
+    return docs.select(
+        "doc_id", norm.alias("norm_text"), F.length(norm).cast("long").alias("norm_len")
+    )
+
+
+def _user_stats_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    ts_us = pdf["ts"].astype("int64") // 1000
+    cents = (pdf["value"] * 100).round().astype("int64")
+    return pd.DataFrame(
+        {
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n_events": [len(pdf)],
+            "span_us": [int(ts_us.max() - ts_us.min())],
+            "sum_value": [cents.sum() / 100.0],
+        }
+    )
+
+
+@register(
+    "grouped_pandas_user_stats",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY user_id
+""",
+)
+def grouped_pandas_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInPandas rollup with integer-exact kernel arithmetic
+    (microsecond spans, cent sums) — identical to the SQL oracle despite
+    running in Python."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").applyInPandas(
+        _user_stats_kernel,
+        "user_id bigint, n_events bigint, span_us bigint, sum_value double",
+    )

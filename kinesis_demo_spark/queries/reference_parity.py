@@ -467,3 +467,47 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("long").alias("k"),
         F.get_json_object("props", "$.missing").alias("missing"),
     )
+
+
+_HEATMAP_CLIENT_ORACLE = f"""
+WITH {_MOV_CTE},
+recent AS (
+  SELECT date_trunc('second', ts) AS window_start
+  FROM events
+  WHERE user_id = {DEFAULT_USER} AND date_trunc('second', ts) <= TIMESTAMP '{NOW}'
+  GROUP BY 1
+  ORDER BY window_start DESC
+  LIMIT 10
+),
+flat AS (
+  SELECT m.*, r.window_start
+  FROM mov m
+  JOIN recent r ON date_trunc('second', m.ts) = r.window_start
+  WHERE m.user_id = {DEFAULT_USER}
+),
+locf AS (
+  SELECT
+    last_value(CASE WHEN NOT (x = 0 AND y = 0) THEN x END IGNORE NULLS) OVER w AS cx,
+    last_value(CASE WHEN NOT (x = 0 AND y = 0) THEN y END IGNORE NULLS) OVER w AS cy
+  FROM flat
+  WINDOW w AS (PARTITION BY user_id ORDER BY window_start DESC, time_ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT cx AS x, cy AS y, count(*) AS cnt
+FROM locf
+WHERE cx IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@register("heatmap_rollup_client_order", oracle=_HEATMAP_CLIENT_ORACLE)
+def heatmap_rollup_client_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 in the reference client's EXACT iteration order (windows DESC from
+    the reverse-scan response, movs ASC within each window — functions.js:
+    356-391): the reference-faithful companion to heatmap_rollup, which uses
+    global event-time order. Shipping both makes the documented LOCF
+    divergence (plans/heatmap.py) a user choice instead of a behavior gap."""
+    from ..plans.heatmap import heatmap_counts_client_order
+
+    agg = movement_aggregates(_events(spark, sf_dir))
+    return heatmap_counts_client_order(agg, user_id=DEFAULT_USER, now=NOW, n_windows=10)

@@ -211,3 +211,74 @@ def stats_mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("mode_event_type"), F.col("cnt").alias("mode_count"))
     )
+
+
+# --- window-frame battery -----------------------------------------------------
+
+
+@register(
+    "window_range_frame_running_sum",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h,
+       count(*) OVER w AS n_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_range_frame_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per-user trailing-1-hour sum/count — the
+    sliding-window analytic the reference's chart approximates client-side,
+    as one shuffle + in-partition sort with an exact decimal accumulator.
+    RANGE (not ROWS) so timestamp peers share a frame identically on both
+    engines."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-3_600_000, Window.currentRow)
+    )
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(D2)).over(w).cast("double").alias("sum_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+@register(
+    "window_distribution_functions",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(ntile(4) OVER o AS INT) AS quartile,
+       percent_rank() OVER o AS pct_rank,
+       cume_dist() OVER o AS cdist,
+       first_value(event_id) OVER t AS first_eid,
+       last_value(event_id) OVER t AS last_eid,
+       nth_value(event_id, 2) OVER t AS second_eid
+FROM events
+WINDOW o AS (PARTITION BY user_id ORDER BY value, event_id),
+       t AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution + navigation window functions with deterministic
+    tiebreaks (event_id). percent_rank/cume_dist are the same closed-form
+    rank ratios on both engines — exact doubles, no tolerance."""
+    o = Window.partitionBy("user_id").orderBy("value", "event_id")
+    t = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(o).alias("quartile"),
+        F.percent_rank().over(o).alias("pct_rank"),
+        F.cume_dist().over(o).alias("cdist"),
+        F.first("event_id").over(t).alias("first_eid"),
+        F.last("event_id").over(t).alias("last_eid"),
+        F.nth_value("event_id", 2).over(t).alias("second_eid"),
+    )

@@ -415,3 +415,50 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
     )
+
+
+# --- end-to-end training-corpus pipeline ---------------------------------------
+
+
+QUALITY_MIN_TOKENS = 30
+
+
+@register(
+    "pipeline_training_corpus",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+quality AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(string_split(text, ' ')) >= {QUALITY_MIN_TOKENS}
+),
+exact_survivors AS (
+  SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+),
+near_dup_losers AS (
+  SELECT DISTINCT doc_b AS doc_id FROM pairs
+  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+)
+SELECT s.doc_id
+FROM exact_survivors s
+WHERE NOT EXISTS (SELECT 1 FROM near_dup_losers l WHERE l.doc_id = s.doc_id)
+""",
+)
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-data pipeline: quality gate (min token count) ->
+    exact dedup (keep smallest doc_id per digest) -> near-dup removal (drop
+    the higher doc_id of every Jaccard pair) -> surviving corpus ids.
+
+    Composition is free in Spark: each stage is a DataFrame transform, so
+    Catalyst plans the WHOLE pipeline as one DAG — the quality filter pushes
+    into the scan feeding both dedup stages, and the near-dup anti join
+    broadcasts its loser set. This query is the integration proof that the
+    individual operators compose without materialization barriers."""
+    docs = _docs(spark, sf_dir)
+    quality = docs.filter(F.size(F.split("text", " ")) >= QUALITY_MIN_TOKENS)
+    exact_survivors = quality.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    losers = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return exact_survivors.select("doc_id").join(F.broadcast(losers), "doc_id", "left_anti")

@@ -1,0 +1,59 @@
+"""Empty-input robustness: every operator family must return an empty (or
+correctly degenerate) result on empty tables — not crash. At 100 TB, empty
+partitions/date-ranges are routine, not exceptional."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_demo_spark.schemas import DOCUMENTS, EMBEDDINGS, EVENTS
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("empty_sf")
+    for name, schema in (
+        ("documents", DOCUMENTS),
+        ("embeddings", EMBEDDINGS),
+        ("events", EVENTS),
+    ):
+        spark.createDataFrame([], schema).write.parquet(str(out / f"{name}.parquet"))
+    return str(out)
+
+
+def test_dedup_suite_on_empty_documents(spark, empty_dir):
+    from kinesis_demo_spark.queries import dedup as D
+
+    assert D.dedup_exact_text(spark, empty_dir).count() == 0
+    assert D.dedup_ngram_jaccard(spark, empty_dir).count() == 0
+    assert D.dedup_minhash_lsh(spark, empty_dir).count() == 0
+    assert D.dedup_simhash(spark, empty_dir).count() == 0
+
+
+def test_ann_on_empty_embeddings(spark, empty_dir):
+    from kinesis_demo_spark.queries import similarity as S
+
+    assert S.ann_cosine_topk(spark, empty_dir).count() == 0
+    assert S.ann_cosine_topk_lsh(spark, empty_dir).count() == 0
+    assert S.ann_cosine_topk_ivf(spark, empty_dir).count() == 0
+
+
+def test_sessionize_and_serving_on_empty_events(spark, empty_dir):
+    from kinesis_demo_spark.operators.sessionize import batch_sessionize
+    from kinesis_demo_spark.io import load_table
+    from kinesis_demo_spark.plans.movements import movement_aggregates
+
+    events = load_table(spark, empty_dir, "events")
+    assert batch_sessionize(events).count() == 0
+    assert movement_aggregates(events).count() == 0
+
+
+def test_single_word_and_empty_docs_shingle_safely(spark, tmp_path):
+    from kinesis_demo_spark.queries.dedup import shingles_col
+
+    rows = [(0, ""), (1, "one"), (2, "two words"), (3, "now three words")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r.s for r in df.select("doc_id", shingles_col().alias("s")).collect()}
+    assert out[0] == [] and out[1] == [] and out[2] == []
+    assert out[3] == ["now three words"]

@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis): the tricky stateful semantics checked
+against independent pure-Python reference implementations on randomized small
+inputs — the oracle gate covers the fixtures; these cover the input space
+around the edges (leading sentinels, ties, single-row groups, empty gaps).
+
+Example counts are kept small (Spark jobs per example); deadline disabled for
+JVM warmup jitter.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kinesis_demo_spark.operators.sessionize import SESSION_GAP_MS, batch_sessionize
+from kinesis_demo_spark.plans.heatmap import locf_positions
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+# --- LOCF vs pure-Python reference ------------------------------------------------
+
+movement = st.tuples(
+    st.integers(min_value=1, max_value=3),     # user_id
+    st.integers(min_value=0, max_value=50),    # time step
+    st.booleans(),                              # sentinel?
+    st.integers(min_value=1, max_value=9),     # x (non-sentinel)
+    st.integers(min_value=1, max_value=9),     # y
+)
+
+
+def _locf_reference(rows):
+    """Straight port of the engine's spec: per user in (time, event_id)
+    order, carry the last non-sentinel position; drop rows before the first
+    real movement. Returns a MULTISET (Counter) — duplicate (user, time)
+    rows must match in count, not just presence."""
+    from collections import Counter
+
+    out: Counter = Counter()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r[0], []).append(r)
+    for user, rs in by_user.items():
+        last = None
+        for (u, t, eid, x, y) in sorted(rs, key=lambda r: (r[1], r[2])):
+            if (x, y) != (0, 0):
+                last = (x, y)
+            if last is not None:
+                out[(u, t, *last)] += 1
+    return out
+
+
+@given(st.lists(movement, min_size=0, max_size=25))
+@_settings
+def test_locf_matches_reference_implementation(spark, movements):
+    rows = [
+        (u, t * 1000, i, 0 if s else x, 0 if s else y)
+        for i, (u, t, s, x, y) in enumerate(movements)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, time_ms bigint, event_id bigint, x bigint, y bigint"
+    ) if rows else None
+    if df is None:
+        return
+    from collections import Counter
+
+    got = Counter(
+        (r.user_id, r.time_ms // 1000, r.x, r.y) for r in locf_positions(df).collect()
+    )
+    want = _locf_reference([(u, t // 1000, i, x, y) for (u, t, i, x, y) in rows])
+    assert got == want
+
+
+# --- sessionize vs pure-Python reference ------------------------------------------
+
+
+event = st.tuples(
+    st.integers(min_value=0, max_value=2),                 # user
+    st.integers(min_value=0, max_value=100),               # hours offset
+    st.integers(min_value=0, max_value=9999),              # cents
+)
+
+
+def _sessions_reference(rows, gap_ms=SESSION_GAP_MS):
+    from collections import Counter
+
+    out: Counter = Counter()
+    by_user: dict[int, list] = {}
+    for i, (u, h, c) in enumerate(rows):
+        by_user.setdefault(u, []).append((h * 3_600_000, i, c))
+    for u, evs in by_user.items():
+        evs.sort()
+        start = end = None
+        n = cents = 0
+        for t, _i, c in evs:
+            if start is None:
+                start, end, n, cents = t, t, 1, c
+            elif t - end > gap_ms:
+                out[(u, start, end, n, cents)] += 1
+                start, end, n, cents = t, t, 1, c
+            else:
+                end, n, cents = t, n + 1, cents + c
+        if start is not None:
+            out[(u, start, end, n, cents)] += 1
+    return out
+
+
+@given(st.lists(event, min_size=1, max_size=30))
+@_settings
+def test_batch_sessionize_matches_reference_implementation(spark, events):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(hours=h), u, c / 100.0)
+        for i, (u, h, c) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, user_id bigint, value double")
+    from collections import Counter
+
+    got = Counter(
+        (
+            r.user_id,
+            int((r.session_start - base).total_seconds() * 1000),
+            int((r.session_end - base).total_seconds() * 1000),
+            r.n_events,
+            round(r.sum_value * 100),
+        )
+        for r in batch_sessionize(df).collect()
+    )
+    want = _sessions_reference(events)
+    assert got == want

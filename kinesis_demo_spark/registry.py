@@ -30,6 +30,7 @@ _QUERY_MODULES = (
     "kinesis_demo_spark.queries.scalar_extended",
     "kinesis_demo_spark.queries.wire",
     "kinesis_demo_spark.queries.udfs",
+    "kinesis_demo_spark.queries.reshape",
 )
 
 

@@ -70,10 +70,6 @@ LSH_ROWS = N_PERM // LSH_BANDS
 BAND_W = tuple(31**i for i in range(LSH_ROWS))
 
 
-def minhash_perm(h30: Column, j: int) -> Column:
-    """Spark: j-th permuted hash of an already-reduced h30 value."""
-    return (F.lit(MINHASH_A[j]) * h30 + F.lit(MINHASH_B[j])) % F.lit(MINHASH_P)
-
-
-def minhash_perm_sql(expr: str, j: int) -> str:
-    return f"({MINHASH_A[j]} * ({expr}) + {MINHASH_B[j]}) % {MINHASH_P}"
+# The permutation formula ((A_j * h30 + B_j) % P) is inlined at both use
+# sites (queries/dedup.py Spark-side and its oracle SQL) — kept as one
+# arithmetic expression there to avoid drift between helper and oracle.

@@ -42,6 +42,32 @@ _EVENTS_NANOS = T.StructType(
 )
 
 
+def stream_source(spark: SparkSession, kind: str = "file", **kwargs) -> DataFrame:
+    """Config-pluggable stream source (SURVEY.md §7 Phase 4: 'Kinesis source
+    stays a config option, not a test dependency'). Every source yields the
+    same events schema, so the downstream plan never changes:
+
+    - ``file``: the fixture stream (tests; kwargs: sf_dir, max_files_per_trigger)
+    - ``rate``: synthetic unbounded generator (throughput experiments)
+    - ``kinesis`` / ``kafka``: production connectors — require their Spark
+      packages on the classpath; raise with an actionable message here since
+      this environment ships neither.
+    """
+    if kind == "file":
+        return stream_events(spark, **kwargs)
+    if kind == "rate":
+        from ..sources.synthetic import stream_synthetic_events
+
+        return stream_synthetic_events(spark, **kwargs)
+    if kind in ("kinesis", "kafka"):
+        raise RuntimeError(
+            f"{kind} source requires the spark-{kind} connector package on the "
+            "classpath (spark.jars.packages); wire it here and the downstream "
+            "pipeline runs unchanged."
+        )
+    raise ValueError(f"unknown stream source kind {kind!r}")
+
+
 def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """events fixture as an unbounded stream (file source standing in for the
     Kinesis/Kafka source; swapping sources changes only this reader)."""

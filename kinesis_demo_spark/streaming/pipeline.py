@@ -68,11 +68,18 @@ def stream_source(spark: SparkSession, kind: str = "file", **kwargs) -> DataFram
     raise ValueError(f"unknown stream source kind {kind!r}")
 
 
-def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    glob: str = "events.parquet",
+) -> DataFrame:
     """events fixture as an unbounded stream (file source standing in for the
-    Kinesis/Kafka source; swapping sources changes only this reader)."""
+    Kinesis/Kafka source; swapping sources changes only this reader).
+    ``glob`` filters filenames — the default picks the events table out of a
+    fixture dir; tests streaming their own file sequences pass "*.parquet"."""
     ensure_runtime_confs(spark)
-    reader = spark.readStream.schema(_EVENTS_NANOS).option("pathGlobFilter", "events.parquet")
+    reader = spark.readStream.schema(_EVENTS_NANOS).option("pathGlobFilter", glob)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(sf_dir)  # file source wants a directory; glob picks the table
@@ -120,7 +127,12 @@ def run_complete_to_memory(spark: SparkSession, sf_dir: str, name: str | None = 
 
 
 def run_foreach_batch_upsert(
-    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    glob: str = "events.parquet",
 ) -> DataFrame:
     """Production sink shape (S5): update-mode streaming aggregate whose
     changed rows are MERGEd into a keyed serving table per micro-batch via
@@ -129,7 +141,9 @@ def run_foreach_batch_upsert(
     (user_id, window_start): each batch unions the delta with the current
     table and keeps the newest version per key (on Delta/Iceberg this is a
     single MERGE INTO). Watermarked so state is bounded."""
-    agg = windowed_aggregate(stream_events(spark, sf_dir, max_files_per_trigger), watermark="10 seconds")
+    agg = windowed_aggregate(
+        stream_events(spark, sf_dir, max_files_per_trigger, glob=glob), watermark="10 seconds"
+    )
     agg = agg.withColumn("batch_seq", F.lit(None).cast("long"))
 
     def merge_batch(delta: DataFrame, batch_id: int) -> None:

@@ -288,3 +288,60 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _topk(scored)
+
+
+# --- cross-modality enrichment --------------------------------------------------
+
+
+@register(
+    "ann_with_document_metadata",
+    oracle=f"""
+WITH {_V_CTE},
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {dot_fold_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS score
+  FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT r.query_id, r.neighbor_id, CAST(r.rnk AS BIGINT) AS rnk, r.score,
+       d.lang, d.source, d.n_chars
+FROM ranked r JOIN documents d ON d.doc_id = r.neighbor_id
+WHERE r.rnk <= 5
+""",
+)
+def ann_with_document_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality retrieval: ANN over the embedding space, result rows
+    enriched with the matching document's metadata (doc_id aligns with
+    vec_id in the fixtures). The metadata join is a broadcast of the tiny
+    top-k result against the documents scan — at 100 TB the top-k side is
+    |queries| x k rows, so enrichment costs one broadcast regardless of
+    corpus size."""
+    v = _vectors(spark, sf_dir)
+    q = F.broadcast(
+        v.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+        )
+    )
+    c = v.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), F.col("nrm").alias("cn")
+    )
+    scored = q.join(c, F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        (dot_fold(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    topk = (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("neighbor_id"), "lang", "source", "n_chars"
+    )
+    return F.broadcast(topk).join(docs, "neighbor_id").select(
+        "query_id", "neighbor_id", "rnk", "score", "lang", "source", "n_chars"
+    )

@@ -59,6 +59,7 @@ HEADLINE = (
     "text_lang_id",
     "text_fingerprint",
     "multimodal_decode_features",
+    "pipeline_training_corpus",
 )
 
 

@@ -470,7 +470,13 @@ def range_join_events_before_orders(spark: SparkSession, sf_dir: str) -> DataFra
     cartesian. (A pure range join with no equi key would need bucketized
     time-bin blow-up; the key makes that unnecessary here.)"""
     orders = load_table(spark, sf_dir, "orders")
-    events = load_table(spark, sf_dir, "events")
+    # constraint-derived prefilter: the equi-key is o_custkey % 16 ∈ [0, 16),
+    # so events outside that key range can never match — pushing the filter
+    # shrinks the probe side ~10x at this fixture's user cardinality (Catalyst
+    # cannot infer range constraints through %, so it is stated explicitly)
+    events = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") >= 0) & (F.col("user_id") < 16)
+    )
     cond = (
         (events.user_id == orders.o_custkey % 16)
         & (events.ts > orders.o_orderdate - F.expr("INTERVAL 1 DAY"))

@@ -72,3 +72,12 @@ def test_exact_dedup_partial_aggregates_before_exchange(spark):
     plan = _plan(Q["dedup_exact_text"](spark, SF), mode="simple")
     # HashAggregate(partial) -> Exchange -> HashAggregate(final)
     assert plan.count("HashAggregate") >= 2 and "Exchange" in plan
+
+
+def test_no_query_plans_a_cartesian_product(spark):
+    """Guardrail across the ENTIRE registry: no registered query may compile
+    to a CartesianProduct. Broadcast nested-loop joins are allowed — they are
+    the intended physical form of the (tiny) x (big) score joins."""
+    for name, fn in Q.items():
+        plan = _plan(fn(spark, SF), mode="simple")
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"

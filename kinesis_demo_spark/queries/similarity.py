@@ -345,3 +345,49 @@ def ann_with_document_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return F.broadcast(topk).join(docs, "neighbor_id").select(
         "query_id", "neighbor_id", "rnk", "score", "lang", "source", "n_chars"
     )
+
+
+# --- grouped vector mean (per-label centroids) -----------------------------------
+
+
+@register(
+    "embedding_centroid_by_label",
+    oracle="""
+WITH e AS (
+  SELECT label, vec_id, unnest(embedding) AS v,
+         unnest(range(1, len(embedding)+1)) AS dim
+  FROM embeddings
+)
+SELECT label, CAST(dim AS INT) AS dim,
+       list_reduce(list(CAST(v AS DOUBLE) ORDER BY vec_id), (x, y) -> x + y)
+         / count(*) AS mean_v,
+       count(*) AS n
+FROM e GROUP BY label, dim
+""",
+)
+def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (grouped vector mean), one row per (label, dim).
+
+    Floating-point sums are order-dependent, so both engines fold the
+    members in the SAME deterministic order (by vec_id) — bit-identical
+    means with no tolerance. (float->decimal casts are NOT portable: Spark
+    converts via the float's decimal rendering, DuckDB via the exact binary
+    value — probed divergent, hence the ordered fold.) Scale note: the
+    per-group collect is bounded by cluster size; for whale clusters switch
+    to a two-stage mean-of-partial-sums with fixed partial boundaries."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    e = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("d0", "v")
+    ).select("label", (F.col("d0") + 1).alias("dim"), "vec_id", "v")
+    folded = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("vec_id", "v"))), lambda s: s["v"].cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.groupBy("label", "dim")
+        .agg(folded.alias("sum_v"), F.count(F.lit(1)).alias("n"))
+        .select("label", "dim", (F.col("sum_v") / F.col("n")).alias("mean_v"), "n")
+    )

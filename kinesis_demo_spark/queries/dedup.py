@@ -462,3 +462,86 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return exact_survivors.select("doc_id").join(F.broadcast(losers), "doc_id", "left_anti")
+
+
+# --- transitive dedup clusters (connected components over dup pairs) -------------
+
+
+MAX_CC_ITERATIONS = 20
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE
+{_SHINGLE_CTES},
+jp AS (
+  SELECT doc_a, doc_b FROM pairs
+  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM jp
+  UNION ALL
+  SELECT doc_b, doc_a FROM jp
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+)
+SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate CLUSTERS: near-dup pairs are edges; every doc is
+    labeled with the smallest doc_id reachable through them (connected
+    components), singletons labeling themselves. Pairwise dedup alone under-
+    deletes: if A~B and B~C but A!~C, keep-one-per-pair retains two of the
+    three — clustering retains exactly one.
+
+    Spark side: iterative min-label propagation — per round, each node takes
+    min(own label, neighbors' labels); converges in O(component diameter)
+    rounds (each round one shuffle join). Intermediate labels are persisted
+    and the loop exits on a converged round — the driver holds ONE scalar per
+    round (the changed-row count), never data. The DuckDB oracle computes
+    the same fixpoint declaratively with a recursive CTE; the iterative
+    Spark form is the one that scales (transitive closure materializes
+    O(n^2) rows per component, min-label state stays O(n))."""
+    jp = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = jp.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = fwd.union(jp.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))).persist()
+    docs = _docs(spark, sf_dir).select("doc_id")
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
+    labels.count()
+    for _ in range(MAX_CC_ITERATIONS):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy(F.col("u").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", "cluster_id")

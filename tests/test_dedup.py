@@ -86,3 +86,10 @@ def test_fixture_planted_near_dups_detected(spark):
     surface them at sf0.001 too."""
     n = D.dedup_ngram_jaccard(spark, SF).count()
     assert n > 0
+
+
+def test_dedup_clusters_transitive(spark, planted_dir):
+    """docs 0,1,3 form one near-dup component (0~1 one-word change, 0~3
+    exact); doc 2 is a singleton labeling itself."""
+    labels = {r.doc_id: r.cluster_id for r in D.dedup_clusters(spark, planted_dir).collect()}
+    assert labels == {0: 0, 1: 0, 3: 0, 2: 2}

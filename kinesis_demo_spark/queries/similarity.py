@@ -391,3 +391,121 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(folded.alias("sum_v"), F.count(F.lit(1)).alias("n"))
         .select("label", "dim", (F.col("sum_v") / F.col("n")).alias("mean_v"), "n")
     )
+
+
+# --- deterministic k-means (Lloyd, fixed iterations) ------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _sqdist(vec_col: str, cent_col: str) -> F.Column:
+    """Bit-exact squared L2: left-to-right fold of (a - b)^2 in double."""
+    return F.aggregate(
+        F.zip_with(
+            vec_col, cent_col, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cid, dist): nearest centroid, ties to the smaller cid via
+    lexicographic struct min — 8 centroids broadcast, corpus never shuffles."""
+    scored = vecs.join(F.broadcast(cents)).select(
+        "vec_id", "cid", _sqdist("embedding", "c").alias("dist")
+    )
+    m = scored.groupBy("vec_id").agg(F.min(F.struct("dist", "cid")).alias("m"))
+    return m.select("vec_id", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist"))
+
+
+def _recompute_centroids(vecs: DataFrame, assign: DataFrame) -> DataFrame:
+    """(cid, c): per-dimension member means with vec_id-ordered folds (see
+    embedding_centroid_by_label for why ordered folds, not plain sums)."""
+    e = (
+        vecs.join(assign.select("vec_id", "cid"), "vec_id")
+        .select("cid", "vec_id", F.posexplode("embedding").alias("d0", "v"))
+        .select("cid", (F.col("d0") + 1).alias("dim"), "vec_id", "v")
+    )
+    folded = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("vec_id", "v"))), lambda s: s["v"].cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    means = e.groupBy("cid", "dim").agg(
+        (folded / F.count(F.lit(1))).alias("mean")
+    )
+    return means.groupBy("cid").agg(
+        F.transform(F.sort_array(F.collect_list(F.struct("dim", "mean"))), lambda s: s["mean"]).alias("c")
+    )
+
+
+_KMEANS_ORACLE = f"""
+WITH
+v AS (SELECT vec_id, embedding FROM embeddings),
+c0 AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+  FROM embeddings WHERE vec_id < {KMEANS_K}
+),
+s1 AS (
+  SELECT v.vec_id, c0.cid,
+         list_reduce(list_transform(range(1, len(v.embedding)+1),
+           i -> (CAST(v.embedding[i] AS DOUBLE) - c0.c[i]) * (CAST(v.embedding[i] AS DOUBLE) - c0.c[i])),
+           (x, y) -> x + y) AS dist
+  FROM v CROSS JOIN c0
+),
+a1 AS (
+  SELECT vec_id, min(struct_pack(d := dist, c := cid)).c AS cid
+  FROM s1 GROUP BY vec_id
+),
+e AS (
+  SELECT vec_id, unnest(embedding) AS val, unnest(range(1, len(embedding)+1)) AS dim
+  FROM embeddings
+),
+m1 AS (
+  SELECT a1.cid, e.dim,
+         list_reduce(list(CAST(e.val AS DOUBLE) ORDER BY e.vec_id), (x, y) -> x + y)
+           / count(*) AS mean
+  FROM e JOIN a1 ON a1.vec_id = e.vec_id
+  GROUP BY a1.cid, e.dim
+),
+c1 AS (SELECT cid, list(mean ORDER BY dim) AS c FROM m1 GROUP BY cid),
+s2 AS (
+  SELECT v.vec_id, c1.cid,
+         list_reduce(list_transform(range(1, len(v.embedding)+1),
+           i -> (CAST(v.embedding[i] AS DOUBLE) - c1.c[i]) * (CAST(v.embedding[i] AS DOUBLE) - c1.c[i])),
+           (x, y) -> x + y) AS dist
+  FROM v CROSS JOIN c1
+)
+SELECT vec_id,
+       min(struct_pack(d := dist, c := cid)).c AS cluster_id,
+       min(struct_pack(d := dist, c := cid)).d AS dist
+FROM s2 GROUP BY vec_id
+"""
+
+
+@register("kmeans_embeddings", oracle=_KMEANS_ORACLE)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means, K={KMEANS_K}, {KMEANS_ITERS} fixed
+    iterations, init = the first K vectors (no RNG anywhere). Every float
+    reduction is an ordered fold, so assignments and final distances are
+    bit-identical to the oracle's fully unrolled recursive formulation.
+
+    Scale shape per iteration: centroids broadcast (assignment never
+    shuffles the corpus), update is one shuffle on (cid, dim). Driver holds
+    nothing; iterations are fixed-count so the whole job is one DAG — the
+    batch-iterative pattern (vs dedup_clusters' converge-and-test loop)."""
+    vecs = _vectors(spark, sf_dir).select("vec_id", "embedding")
+    cents = vecs.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+    )
+    assign = None
+    for _ in range(KMEANS_ITERS - 1):
+        assign = _assign(vecs, cents)
+        cents = _recompute_centroids(vecs, assign)
+    final = _assign(vecs, cents)
+    return final.select("vec_id", F.col("cid").alias("cluster_id"), "dist")

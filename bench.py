@@ -42,8 +42,9 @@ HEADLINE = (
     "serving_poll_sum",
     "json_extract_props",
     "sessionize_events",
-    "stats_moments_by_type",
-    "stats_percentiles_value",
+    "stats_moments_percentiles_by_type",
+    "window_functions_battery",
+    "scalar_extended_battery",
     "json_wire_roundtrip",
     "salted_sum_by_user",
     "streaming_window_counts",
@@ -53,6 +54,7 @@ HEADLINE = (
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_embedding_cosine_lsh",
     "ann_cosine_topk",
     "ann_cosine_topk_lsh",
     "text_quality_score",

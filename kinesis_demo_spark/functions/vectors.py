@@ -37,3 +37,25 @@ def norm(a: Column) -> Column:
 
 def norm_sql(a: str) -> str:
     return f"sqrt({dot_fold_sql(a, a)})"
+
+
+def sign_bucket(a: Column | str, dims: int) -> Column:
+    """Hyperplane-sign LSH bucket id: bit d set iff a[d] >= 0, d < dims.
+    Deterministic, so the DuckDB oracle can replicate it exactly; shared by
+    the ANN bucketed search (similarity.py) and the bucketed embedding
+    near-dup (dedup.py)."""
+    col = F.col(a) if isinstance(a, str) else a
+    bits = [
+        F.when(F.element_at(col, d + 1) >= 0, F.lit(1 << d)).otherwise(F.lit(0))
+        for d in range(dims)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def sign_bucket_sql(a: str, dims: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN {a}[{d + 1}] >= 0 THEN {1 << d} ELSE 0 END)" for d in range(dims)
+    )

@@ -21,8 +21,9 @@ Scale design (the point of each shape at 100 TB):
   collisions, not pairs.
 - SimHash: 32-bit signature, 4 bands x 8 bits; hamming <= 3 implies at least
   one identical band (pigeonhole), so the band join is EXACT, not heuristic.
-- embedding-cosine: documented brute-force shape at fixture scale; the
-  LSH-bucketed variant in similarity.py is the scale path.
+- embedding-cosine: the brute-force all-pairs shape is the verified-exact
+  baseline at fixture scale; ``dedup_embedding_cosine_lsh`` is the scale
+  path — sign-bit-bucketed candidate generation + the same exact scorer.
 """
 
 from __future__ import annotations
@@ -161,19 +162,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on the shingle to count intersections (only co-shingled doc
     pairs are ever materialized), Jaccard from |A|,|B|,|A∩B|."""
     sh = _shingled(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    a = ex.select(F.col("doc_id").alias("doc_a"), "s")
-    b = ex.select(F.col("doc_id").alias("doc_b"), "s")
-    # The pair shuffle carries only (doc_a, doc_b); per-doc set sizes join in
-    # afterwards as a broadcast dimension instead of riding every pair row.
-    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    # Per-doc set sizes ride the exploded index rows (2 extra ints per row)
+    # and fold back out with min() in the pair aggregation — the same trick
+    # the DuckDB oracle uses (any_value(a.n)). The former alternative — a
+    # post-agg join against a per-document sizes side — needed either a
+    # broadcast of an UNBOUNDED per-doc table (OOM at 100 TB) or two more
+    # shuffles; this form needs zero extra joins.
+    ex = sh.select("doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
+    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
     pairs = (
         a.join(b, "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-        .join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))), "doc_a")
-        .join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))), "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("na").alias("na"),  # constant within the group; min() is the
+            F.min("nb").alias("nb"),  # deterministic any_value
+        )
     )
     jaccard = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     return pairs.select("doc_a", "doc_b", jaccard.alias("jaccard")).filter(
@@ -280,8 +286,8 @@ _SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 def _simhash(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): {SIMHASH_BITS}-bit tf-weighted SimHash over word
     hashes, computed entirely as per-doc array expressions: one md5 per
-    token into a hash array, then each bit's signed sum is an
-    aggregate-fold over that array. Zero shuffles — the alternative
+    token into a hash array, then ONE aggregate-fold over that array
+    accumulating all {SIMHASH_BITS} signed bit-sums. Zero shuffles — the alternative
     (explode tokens x bits and groupBy) pushes |tokens| x {SIMHASH_BITS}
     rows through an exchange for the same answer."""
     tok_h = spread(docs.select("doc_id", "text")).select(
@@ -290,23 +296,25 @@ def _simhash(docs: DataFrame) -> DataFrame:
             F.split("text", " "), lambda w: h60(w) % (1 << SIMHASH_BITS)
         ).alias("hws"),
     )
-    def _bit_contrib(bit: int):
-        # closure factory (see _perm in _minhash_bands for why not default-arg)
-        return lambda h: 2 * ((h / (1 << bit)).cast("long") % 2) - 1
-
-    bit_sums = [
-        F.aggregate(
-            F.transform("hws", _bit_contrib(bit)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        for bit in range(SIMHASH_BITS)
-    ]
-    simhash = F.lit(0).cast("long")
-    for bit in range(SIMHASH_BITS):
-        simhash = simhash + F.when(bit_sums[bit] > 0, F.lit(1 << bit).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+    # SINGLE fold over the token-hash array accumulating all bit sums in one
+    # 32-element array state (the former per-bit version built 32 separate
+    # aggregate folds — a 32x-larger expression tree Catalyst can't share,
+    # re-walking the array once per bit). Arithmetic is identical:
+    # contribution of hash h to bit b is 2*((h >> b) & 1) - 1, via the same
+    # double-divide-then-truncate as the DuckDB oracle's ``//``.
+    pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
+    bit_sums = F.aggregate(
+        F.col("hws"),
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(acc, pow2, lambda s, p: s + 2 * ((h / p).cast("long") % 2) - 1),
+    )
+    simhash = F.aggregate(
+        F.zip_with(
+            bit_sums, pow2, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return tok_h.select("doc_id", simhash.alias("simhash"))
 
 
@@ -377,7 +385,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- embedding-cosine near-dup ------------------------------------------------------------
 
 
-from ..functions.vectors import dot_fold, dot_fold_sql  # noqa: E402  (shared with similarity.py)
+from ..functions.vectors import (  # noqa: E402  (shared with similarity.py)
+    dot_fold,
+    dot_fold_sql,
+    sign_bucket,
+    sign_bucket_sql,
+)
 
 
 @register(
@@ -417,6 +430,64 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- bucketed embedding near-dup (the 100 TB candidate-generation path) ---------
+
+
+COSINE_LSH_DIMS = 8  # 2^8 sign-bit buckets, same quantizer as ann_cosine_topk_lsh
+
+
+@register(
+    "dedup_embedding_cosine_lsh",
+    oracle=f"""
+WITH vb AS (
+  SELECT vec_id, embedding,
+         sqrt({dot_fold_sql('embedding', 'embedding')}) AS nrm,
+         {sign_bucket_sql('embedding', COSINE_LSH_DIMS)} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {dot_fold_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
+FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {dot_fold_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
+""",
+)
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with BUCKETED candidate generation — the scale path
+    that replaces ``dedup_embedding_cosine``'s all-pairs theta join at 100 TB:
+    sign-bit LSH ({COSINE_LSH_DIMS} hyperplane signs -> {1 << COSINE_LSH_DIMS}
+    buckets, the same quantizer as ann_cosine_topk_lsh) buckets the corpus,
+    candidates are pairs sharing a bucket (an equi-join the corpus shuffles
+    ONCE for — or zero times if written bucketed), and the exact cosine
+    scorer then verifies each candidate. Work scales with bucket collision
+    counts, never with n^2. Recall < 1 by design (near-dups straddling a
+    hyperplane are missed); the brute-force variant remains the exact
+    baseline, and the deterministic bucketing means the DuckDB oracle
+    replicates candidate generation exactly — so this is value-hash checked,
+    not rows-only."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    vb = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        sign_bucket("embedding", COSINE_LSH_DIMS).alias("bucket"),
+    )
+    a = vb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    b = vb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"), "bucket",
+    )
+    cos = dot_fold(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+
+
 # --- end-to-end training-corpus pipeline ---------------------------------------
 
 
@@ -450,8 +521,11 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composition is free in Spark: each stage is a DataFrame transform, so
     Catalyst plans the WHOLE pipeline as one DAG — the quality filter pushes
-    into the scan feeding both dedup stages, and the near-dup anti join
-    broadcasts its loser set. This query is the integration proof that the
+    into the scan feeding both dedup stages, and the near-dup removal is a
+    plain keyed left_anti join (no broadcast hint: the loser set grows with
+    the corpus duplication rate, i.e. it is unbounded at 100 TB, so the
+    planner must stay free to shuffle it; AQE still picks broadcast when the
+    runtime size allows). This query is the integration proof that the
     individual operators compose without materialization barriers."""
     docs = _docs(spark, sf_dir)
     quality = docs.filter(F.size(F.split("text", " ")) >= QUALITY_MIN_TOKENS)
@@ -461,7 +535,7 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    return exact_survivors.select("doc_id").join(F.broadcast(losers), "doc_id", "left_anti")
+    return exact_survivors.select("doc_id").join(losers, "doc_id", "left_anti")
 
 
 # --- transitive dedup clusters (connected components over dup pairs) -------------
@@ -517,6 +591,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id")
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
     labels.count()
+    changed = -1
     for _ in range(MAX_CC_ITERATIONS):
         neighbor_min = (
             edges.join(labels, edges.v == labels.doc_id)
@@ -544,4 +619,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # A component with diameter > MAX_CC_ITERATIONS has not reached its
+        # fixpoint; silently returning partial labels would diverge from the
+        # recursive-CTE oracle, so fail loudly instead.
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {MAX_CC_ITERATIONS} "
+            f"label-propagation rounds ({changed} labels still changing); "
+            "raise MAX_CC_ITERATIONS for graphs with larger diameters"
+        )
     return labels.select("doc_id", "cluster_id")

@@ -447,6 +447,21 @@ def scalar_functions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("uuid_generate")  # nondeterministic by definition -> rows-only check
+def uuid_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 literally: a real RFC-4122 version-4 ``uuid()`` per event
+    (functions.js:38-46 generates one client-side per captured record). No
+    SQL oracle is possible — every call draws fresh randomness — so the
+    driver records a rows-only check; tests/test_hashing.py pins the format
+    and the version/variant bits instead. The deterministic md5-derived
+    surrogate in scalar_functions_parity remains the value-hash-checked
+    stand-in."""
+    return _events(spark, sf_dir).select(
+        "event_id",
+        F.expr("uuid()").alias("uuid"),
+    )
+
+
 # --- F9/F10: JSON serde --------------------------------------------------------------
 
 

@@ -185,46 +185,41 @@ def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
 
 
 @register(
-    "set_union_nations",
+    "set_ops_nations",
     oracle="""
-SELECT c_nationkey AS nationkey FROM customer
-UNION
-SELECT s_nationkey FROM supplier
+SELECT 'union' AS op, nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION
+  SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT 'intersect' AS op, nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT 'except' AS op, nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT
+  SELECT s_nationkey FROM supplier
+)
 """,
 )
-def set_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION (distinct) — union + hash-dedup on the output key."""
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three set operations in one tagged union (fused from the former
+    set_union_nations / set_intersect_nations / set_except_nations so the
+    family lands one hard-signal row inside the driver's 50-query cap):
+    UNION (distinct) is union + hash-dedup on the output key, INTERSECT and
+    EXCEPT are Spark's set-semantic intersect/subtract."""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.union(s).distinct()
-
-
-@register(
-    "set_intersect_nations",
-    oracle="""
-SELECT c_nationkey AS nationkey FROM customer
-INTERSECT
-SELECT s_nationkey FROM supplier
-""",
-)
-def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.intersect(s)
-
-
-@register(
-    "set_except_nations",
-    oracle="""
-SELECT c_nationkey AS nationkey FROM customer
-EXCEPT
-SELECT s_nationkey FROM supplier
-""",
-)
-def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)  # EXCEPT (set semantics): distinct left rows not in right
+    tagged = (
+        c.union(s).distinct().select(F.lit("union").alias("op"), "nationkey")
+        .unionAll(c.intersect(s).select(F.lit("intersect").alias("op"), "nationkey"))
+        .unionAll(c.subtract(s).select(F.lit("except").alias("op"), "nationkey"))
+    )
+    return tagged
 
 
 # --- distinct ------------------------------------------------------------------------

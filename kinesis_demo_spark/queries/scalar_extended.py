@@ -1,13 +1,21 @@
 """Extended scalar-function parity battery #2 (beyond the reference's F1-F15,
 which reference_parity.scalar_functions_parity covers): strings, date/time
 parts, math, bit ops, conditionals, and cryptographic digests — one wide
-projection per family over the events fixture, every column value-hash
-compared against DuckDB.
+projection over the events fixture, every column value-hash compared against
+DuckDB, plus a separate array battery over the tokenized documents.
 
 Functions chosen are the deterministic, correctly-rounded subset where both
 engines are bit-identical by spec (no libm transcendentals like exp/ln —
 their last-ulp rounding is libm-version-dependent and would make the
-differential gate flaky)."""
+differential gate flaky).
+
+Round 3 note: the former per-family queries (scalar_string_functions /
+scalar_datetime_functions / scalar_math_bit_functions) are fused into the
+single ``scalar_extended_battery`` projection so the whole family lands one
+hard-signal row inside the driver's 50-query CORRECTNESS cap. Column
+coverage is identical (the ``lo``/``hi`` aliases of the old math battery are
+renamed ``lo50``/``hi50`` to avoid colliding with the string battery's
+``lo``)."""
 
 from __future__ import annotations
 
@@ -22,9 +30,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "scalar_string_functions",
+    "scalar_extended_battery",
     oracle="""
 SELECT event_id,
+       -- strings
        upper(event_type) AS up, lower('ABC' || event_type) AS lo,
        trim('  ' || event_type || ' ') AS trimmed,
        lpad(event_type, 10, '*') AS lpadded,
@@ -41,13 +50,44 @@ SELECT event_id,
        CAST(length(event_type) AS INT) AS len,
        substr(event_type, 2, 3) AS sub23,
        event_type LIKE '%ick%' AS like_ick,
-       regexp_matches(event_type, '^[cv]') AS starts_cv
+       regexp_matches(event_type, '^[cv]') AS starts_cv,
+       -- date/time
+       CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS mo,
+       CAST(day(ts) AS INT) AS d,
+       CAST(hour(ts) AS INT) AS h, CAST(minute(ts) AS INT) AS mi,
+       CAST(dayofyear(ts) AS INT) AS doy,
+       CAST(weekofyear(ts) AS INT) AS woy,
+       CAST(isodow(ts) AS INT) AS iso_dow,
+       CAST(quarter(ts) AS INT) AS q,
+       last_day(CAST(ts AS DATE)) AS eom,
+       CAST(ts AS DATE) + 7 AS plus_week,
+       CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS days_since,
+       date_trunc('hour', ts) AS hour_bucket,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_bucket,  -- DuckDB yields DATE here, Spark TIMESTAMP
+       strftime(ts, '%Y-%m-%d %H:%M') AS formatted,
+       -- math / bit / conditional / digest
+       abs(value - 100.0) AS absv,
+       CAST(ceil(value / 7.0) AS BIGINT) AS ceiled,
+       CAST(floor(value / 7.0) AS BIGINT) AS floored,
+       sqrt(value) AS rooted,
+       CAST(sign(value - 100.0) AS BIGINT) AS sgn,
+       greatest(value, 50.0) AS hi50, least(value, 50.0) AS lo50,
+       event_id % 7 AS m7,
+       ((event_id - 500) % 7 + 7) % 7 AS pm7,
+       event_id & 255 AS band, event_id | 4096 AS bor,
+       xor(event_id, 1365) AS bxor,
+       CAST(bit_count(event_id) AS INT) AS popcount,
+       coalesce(nullif(event_type, 'error'), 'was_error') AS cond,
+       CASE WHEN value > 100 THEN 'hi' WHEN value > 10 THEN 'mid' ELSE 'lo' END AS bucket,
+       sha256(event_type) AS digest
 FROM events
 """,
 )
-def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scalar_extended_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weekday() is Monday=0; +1 matches DuckDB's isodow (Monday=1)
     return _events(spark, sf_dir).select(
         "event_id",
+        # strings
         F.upper("event_type").alias("up"),
         F.lower(F.concat(F.lit("ABC"), F.col("event_type"))).alias("lo"),
         F.trim(F.concat(F.lit("  "), F.col("event_type"), F.lit(" "))).alias("trimmed"),
@@ -67,33 +107,7 @@ def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("event_type", 2, 3).alias("sub23"),
         F.col("event_type").like("%ick%").alias("like_ick"),
         F.col("event_type").rlike("^[cv]").alias("starts_cv"),
-    )
-
-
-@register(
-    "scalar_datetime_functions",
-    oracle="""
-SELECT event_id,
-       CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS mo,
-       CAST(day(ts) AS INT) AS d,
-       CAST(hour(ts) AS INT) AS h, CAST(minute(ts) AS INT) AS mi,
-       CAST(dayofyear(ts) AS INT) AS doy,
-       CAST(weekofyear(ts) AS INT) AS woy,
-       CAST(isodow(ts) AS INT) AS iso_dow,
-       CAST(quarter(ts) AS INT) AS q,
-       last_day(CAST(ts AS DATE)) AS eom,
-       CAST(ts AS DATE) + 7 AS plus_week,
-       CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS days_since,
-       date_trunc('hour', ts) AS hour_bucket,
-       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_bucket,  -- DuckDB yields DATE here, Spark TIMESTAMP
-       strftime(ts, '%Y-%m-%d %H:%M') AS formatted
-FROM events
-""",
-)
-def scalar_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # weekday() is Monday=0; +1 matches DuckDB's isodow (Monday=1)
-    return _events(spark, sf_dir).select(
-        "event_id",
+        # date/time
         F.year("ts").alias("y"),
         F.month("ts").alias("mo"),
         F.dayofmonth("ts").alias("d"),
@@ -109,40 +123,14 @@ def scalar_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("hour_bucket"),
         F.date_trunc("day", "ts").alias("day_bucket"),
         F.date_format("ts", "yyyy-MM-dd HH:mm").alias("formatted"),
-    )
-
-
-@register(
-    "scalar_math_bit_functions",
-    oracle="""
-SELECT event_id,
-       abs(value - 100.0) AS absv,
-       CAST(ceil(value / 7.0) AS BIGINT) AS ceiled,
-       CAST(floor(value / 7.0) AS BIGINT) AS floored,
-       sqrt(value) AS rooted,
-       CAST(sign(value - 100.0) AS BIGINT) AS sgn,
-       greatest(value, 50.0) AS hi, least(value, 50.0) AS lo,
-       event_id % 7 AS m7,
-       ((event_id - 500) % 7 + 7) % 7 AS pm7,
-       event_id & 255 AS band, event_id | 4096 AS bor,
-       xor(event_id, 1365) AS bxor,
-       CAST(bit_count(event_id) AS INT) AS popcount,
-       coalesce(nullif(event_type, 'error'), 'was_error') AS cond,
-       CASE WHEN value > 100 THEN 'hi' WHEN value > 10 THEN 'mid' ELSE 'lo' END AS bucket,
-       sha256(event_type) AS digest
-FROM events
-""",
-)
-def scalar_math_bit_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _events(spark, sf_dir).select(
-        "event_id",
+        # math / bit / conditional / digest
         F.abs(F.col("value") - 100.0).alias("absv"),
         F.ceil(F.col("value") / 7.0).alias("ceiled"),
         F.floor(F.col("value") / 7.0).alias("floored"),
         F.sqrt("value").alias("rooted"),
         F.signum(F.col("value") - 100.0).cast("long").alias("sgn"),
-        F.greatest("value", F.lit(50.0)).alias("hi"),
-        F.least("value", F.lit(50.0)).alias("lo"),
+        F.greatest("value", F.lit(50.0)).alias("hi50"),
+        F.least("value", F.lit(50.0)).alias("lo50"),
         (F.col("event_id") % 7).alias("m7"),
         F.pmod(F.col("event_id") - 500, F.lit(7)).alias("pm7"),
         F.expr("event_id & 255").alias("band"),

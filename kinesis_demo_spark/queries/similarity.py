@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import dot_fold, dot_fold_sql, norm, norm_sql
+from ..functions.vectors import dot_fold, dot_fold_sql, norm, norm_sql, sign_bucket, sign_bucket_sql
 from ..io import load_table, spread
 from ..registry import register
 
@@ -102,20 +102,13 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Sign-bit bucket: bit d set iff embedding[d] >= 0, d in [0, LSH_SIGN_DIMS).
+# Shared implementation in functions/vectors.py (also used by the bucketed
+# embedding near-dup in dedup.py).
 def _bucket_col() -> F.Column:
-    bits = [
-        F.when(F.element_at("embedding", d + 1) >= 0, F.lit(1 << d)).otherwise(F.lit(0))
-        for d in range(LSH_SIGN_DIMS)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("long")
+    return sign_bucket("embedding", LSH_SIGN_DIMS)
 
 
-_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << d} ELSE 0 END)" for d in range(LSH_SIGN_DIMS)
-)
+_BUCKET_SQL = sign_bucket_sql("embedding", LSH_SIGN_DIMS)
 
 
 @register(

@@ -40,3 +40,22 @@ def test_dot_fold_matches_duckdb_bit_exact(spark):
         [a, b],
     ).fetchone()[0]
     assert spark_val == duck_val  # bit-exact, no tolerance
+
+
+def test_uuid_generate_is_rfc4122_v4(spark):
+    from kinesis_demo_spark.queries.reference_parity import uuid_generate
+
+    from .conftest import SF_SMOKE
+
+    rows = uuid_generate(spark, SF_SMOKE).limit(200).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        u = r["uuid"]
+        parts = u.split("-")
+        assert [len(p) for p in parts] == [8, 4, 4, 4, 12], u
+        assert parts[2][0] == "4", f"version nibble must be 4: {u}"
+        assert parts[3][0] in "89ab", f"variant bits must be 10xx: {u}"
+        int(u.replace("-", ""), 16)  # all-hex
+        seen.add(u)
+    assert len(seen) == len(rows)  # fresh randomness per row

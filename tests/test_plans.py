@@ -81,3 +81,33 @@ def test_no_query_plans_a_cartesian_product(spark):
     for name, fn in Q.items():
         plan = _plan(fn(spark, SF), mode="simple")
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_ngram_jaccard_never_forces_a_per_document_broadcast(spark):
+    """The pair aggregation carries set sizes through the exploded index
+    (min() as deterministic any_value) — a FORCED broadcast of a per-document
+    table would OOM at 100 TB, so the logical plan must contain no broadcast
+    hint. (Catalyst choosing broadcast for the fixture-sized build side on
+    its own is fine — at scale its size estimate flips the choice; a hint
+    would pin it forever.)"""
+    assert "ResolvedHint" not in _analyzed(Q["dedup_ngram_jaccard"](spark, SF))
+
+
+def test_pipeline_corpus_never_forces_broadcast_of_the_loser_set(spark):
+    """The near-dup loser set is unbounded (grows with corpus duplication
+    rate); the anti join must stay a plain keyed join the planner is free to
+    shuffle, i.e. no broadcast hint in the logical plan."""
+    assert "ResolvedHint" not in _analyzed(Q["pipeline_training_corpus"](spark, SF))
+
+
+def test_embedding_dedup_lsh_is_equi_join_not_all_pairs(spark):
+    """Bucketed candidate generation: the bucket join must be a hash/merge
+    equi-join, never a nested-loop over all pairs."""
+    plan = _plan(Q["dedup_embedding_cosine_lsh"](spark, SF), mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan

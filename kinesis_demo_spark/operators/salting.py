@@ -27,15 +27,25 @@ def salted_agg(
     aggs: dict[str, Column],
     merges: dict[str, Column],
     n_salt: int = DEFAULT_SALT,
+    salt_from: list[str] | None = None,
 ) -> DataFrame:
     """Generic two-stage salted aggregation.
 
     ``aggs``: stage-1 aggregate expressions (applied per (key, salt));
     ``merges``: stage-2 expressions merging the stage-1 columns per key.
-    The salt derives from a spread column (here the row's own id hash) so
-    every hot key fans out across n_salt reducers.
+
+    The salt MUST be a deterministic function of the row itself
+    (``salt_from`` columns, default all input columns): a nondeterministic
+    salt (e.g. hash of monotonically_increasing_id) changes on task retry
+    after a fetch failure, so re-executed rows land in different stage-1
+    groups than partials already aggregated — double-counting or dropping
+    rows under exactly the failure conditions a 100 TB shuffle makes
+    routine. Row-content hashing reproduces identical salts on every
+    re-execution; hot keys still fan out because their rows differ in the
+    non-key columns.
     """
-    salt = (F.abs(F.hash(F.monotonically_increasing_id())) % n_salt).alias("_salt")
+    cols = salt_from if salt_from is not None else df.columns
+    salt = (F.abs(F.hash(*[F.col(c) for c in cols])) % n_salt).alias("_salt")
     stage1 = (
         df.withColumn("_salt", salt)
         .groupBy(key, "_salt")

@@ -98,6 +98,20 @@ def _sessionize_group(
         for t_us, c in zip(ts_us, ev_cents):
             if n == 0:
                 start_us, end_us, n, cents = t_us, t_us, 1, int(c)
+            elif t_us < start_us:
+                # Cross-micro-batch contract: the source must deliver each
+                # key's events watermark-ordered ACROSS batches (in-batch
+                # disorder is handled by the sort above). An event older
+                # than the open session's start would have belonged to an
+                # earlier — possibly already-emitted — session; silently
+                # folding it in diverges from batch_sessionize, so fail
+                # loudly instead.
+                raise ValueError(
+                    f"streaming_sessionize: out-of-order event for user "
+                    f"{user_id} at {t_us}us predates the open session start "
+                    f"{start_us}us — the input stream must be "
+                    f"watermark-ordered per key across micro-batches"
+                )
             # gap compared in whole milliseconds exactly like the batch/
             # oracle side (unix_millis/epoch_ms floor each timestamp to ms
             # BEFORE subtracting — floor(a)-floor(b) != floor(a-b) for
@@ -106,7 +120,9 @@ def _sessionize_group(
                 closed.append((user_id, start_us, end_us, n, cents / 100.0))
                 start_us, end_us, n, cents = t_us, t_us, 1, int(c)
             else:
-                end_us, n, cents = t_us, n + 1, cents + int(c)
+                # max() guards the in-session late arrival (t_us < end_us
+                # but >= start_us): the session's end never moves backward.
+                end_us, n, cents = max(end_us, t_us), n + 1, cents + int(c)
 
     state.update((int(start_us), int(end_us), int(n), int(cents)))
     if closed:

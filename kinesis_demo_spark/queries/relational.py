@@ -374,14 +374,19 @@ def window_lag_lead_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- as-of join (event-time alignment) ----------------------------------------------------
 
+# Orders key into the events' user_id space via o_custkey % CUSTKEY_MOD; the
+# single module constant feeds both oracles, both Spark plans, and the
+# range-join probe prefilter bounds so they cannot drift.
+CUSTKEY_MOD = 16
 
-_ASOF_ORACLE = """
+
+_ASOF_ORACLE = f"""
 WITH tagged AS (
   SELECT user_id AS k, ts AS t, 0 AS tag, event_id, value,
          CAST(NULL AS BIGINT) AS o_orderkey
   FROM events
   UNION ALL
-  SELECT o_custkey % 16, o_orderdate, 1, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), o_orderkey
+  SELECT o_custkey % {CUSTKEY_MOD}, o_orderdate, 1, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), o_orderkey
   FROM orders
 ),
 carried AS (
@@ -417,7 +422,7 @@ def asof_join_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("o_orderkey"),
     )
     orders = load_table(spark, sf_dir, "orders").select(
-        (F.col("o_custkey") % 16).alias("k"),
+        (F.col("o_custkey") % CUSTKEY_MOD).alias("k"),
         F.col("o_orderdate").alias("t"),
         F.lit(1).alias("tag"),
         F.lit(None).cast("long").alias("event_id"),
@@ -448,11 +453,11 @@ def asof_join_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "range_join_events_before_orders",
-    oracle="""
+    oracle=f"""
 SELECT o.o_orderkey, count(e.event_id) AS n_events
 FROM orders o
 LEFT JOIN events e
-  ON e.user_id = o.o_custkey % 16
+  ON e.user_id = o.o_custkey % {CUSTKEY_MOD}
  AND e.ts > o.o_orderdate - INTERVAL 1 DAY
  AND e.ts <= o.o_orderdate
 GROUP BY o.o_orderkey
@@ -465,15 +470,17 @@ def range_join_events_before_orders(spark: SparkSession, sf_dir: str) -> DataFra
     cartesian. (A pure range join with no equi key would need bucketized
     time-bin blow-up; the key makes that unnecessary here.)"""
     orders = load_table(spark, sf_dir, "orders")
-    # constraint-derived prefilter: the equi-key is o_custkey % 16 ∈ [0, 16),
-    # so events outside that key range can never match — pushing the filter
-    # shrinks the probe side ~10x at this fixture's user cardinality (Catalyst
-    # cannot infer range constraints through %, so it is stated explicitly)
+    # constraint-derived prefilter: the equi-key is
+    # o_custkey % CUSTKEY_MOD ∈ [0, CUSTKEY_MOD), so events outside that key
+    # range can never match — pushing the filter shrinks the probe side ~10x
+    # at this fixture's user cardinality (Catalyst cannot infer range
+    # constraints through %, so it is stated explicitly); bounds and join key
+    # derive from the same constant so they cannot drift
     events = load_table(spark, sf_dir, "events").filter(
-        (F.col("user_id") >= 0) & (F.col("user_id") < 16)
+        (F.col("user_id") >= 0) & (F.col("user_id") < CUSTKEY_MOD)
     )
     cond = (
-        (events.user_id == orders.o_custkey % 16)
+        (events.user_id == orders.o_custkey % CUSTKEY_MOD)
         & (events.ts > orders.o_orderdate - F.expr("INTERVAL 1 DAY"))
         & (events.ts <= orders.o_orderdate)
     )

@@ -126,6 +126,39 @@ def run_complete_to_memory(spark: SparkSession, sf_dir: str, name: str | None = 
     return spark.table(name)
 
 
+# Serving-store partition column: UTC day index of the window start
+# (unix_micros // µs-per-day). A LONG derived from the instant itself, so it
+# is identical under every session timezone — to_date(timestamp) is not.
+_PARTITION_COL = "window_day"
+_US_PER_DAY = 86_400_000_000
+_BACKUP_PREFIX = "_backup__"  # leading _ -> invisible to Spark's file index
+
+
+def _hadoop_fs(sess: SparkSession, path: str):
+    jvm = sess._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(sess._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def _recover_partition_swaps(sess: SparkSession, out_dir: str) -> None:
+    """Crash recovery for the two-rename partition commit: a leftover backup
+    dir means a prior batch died mid-swap. If the live partition dir is
+    missing, the backup IS the committed data — restore it; if the live dir
+    exists, the swap completed and the backup is stale — drop it. After this
+    sweep the store is always a set of complete partition versions."""
+    fs, root, jvm = _hadoop_fs(sess, out_dir)
+    if not fs.exists(root):
+        return
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith(_BACKUP_PREFIX):
+            live = jvm.org.apache.hadoop.fs.Path(root, name[len(_BACKUP_PREFIX):])
+            if fs.exists(live):
+                fs.delete(st.getPath(), True)
+            else:
+                fs.rename(st.getPath(), live)
+
+
 def run_foreach_batch_upsert(
     spark: SparkSession,
     sf_dir: str,
@@ -137,39 +170,74 @@ def run_foreach_batch_upsert(
     """Production sink shape (S5): update-mode streaming aggregate whose
     changed rows are MERGEd into a keyed serving table per micro-batch via
     foreachBatch — the Spark equivalent of the reference Lambda's DynamoDB
-    PutItem/UpdateItem upsert. Here the store is a parquet dir keyed by
-    (user_id, window_start): each batch unions the delta with the current
-    table and keeps the newest version per key (on Delta/Iceberg this is a
-    single MERGE INTO). Watermarked so state is bounded."""
+    PutItem/UpdateItem upsert (architecture edges 3-4). The store is a
+    parquet dir PARTITIONED BY the window's UTC day; each batch
+
+    1. reads back only the partitions its delta touches (partition pruning —
+       a 1 s batch touches one day, so merge cost is O(|touched partitions|),
+       never O(|table|); on Delta/Iceberg this whole body is one MERGE INTO),
+    2. keeps the newest version per (user_id, window_start) key,
+    3. stages the merged partitions to a temp dir (complete when the
+       _SUCCESS marker lands), then
+    4. commits each touched partition with an atomic rename pair
+       (live -> backup, staged -> live, drop backup).
+
+    A crash at ANY point leaves only complete partition versions:
+    mid-stage -> the store is untouched; between the renames -> the backup
+    survives and `_recover_partition_swaps` restores it on the next batch
+    before merging. Replaying an acknowledged-but-uncommitted batch is
+    idempotent because the keep-newest merge is. Watermarked so streaming
+    state stays bounded."""
     agg = windowed_aggregate(
         stream_events(spark, sf_dir, max_files_per_trigger, glob=glob), watermark="10 seconds"
     )
     agg = agg.withColumn("batch_seq", F.lit(None).cast("long"))
 
     def merge_batch(delta: DataFrame, batch_id: int) -> None:
-        sess = delta.sparkSession
-        delta = delta.withColumn("batch_seq", F.lit(batch_id))
-        try:
-            current = sess.read.parquet(out_dir)
-        except Exception:
-            current = None
-        if current is not None:
-            from pyspark.sql.window import Window
+        from pyspark.sql.window import Window
 
-            merged = current.unionByName(delta)
-            w = (
-                Window.partitionBy("user_id", "window_start")
-                .orderBy(F.col("batch_seq").desc())
-            )
+        sess = delta.sparkSession
+        _recover_partition_swaps(sess, out_dir)
+        delta = delta.withColumn("batch_seq", F.lit(batch_id)).withColumn(
+            _PARTITION_COL, F.expr(f"unix_micros(window_start) div {_US_PER_DAY}")
+        )
+        # Touched-partition METADATA only (a 1 s micro-batch spans 1-2 days),
+        # never data — this is the one driver-side collect in the pipeline.
+        days = sorted(r[0] for r in delta.select(_PARTITION_COL).distinct().collect())
+        fs, root, jvm = _hadoop_fs(sess, out_dir)
+        have_store = fs.exists(root) and any(
+            st.getPath().getName().startswith(f"{_PARTITION_COL}=")
+            for st in fs.listStatus(root)
+        )
+        if have_store:
+            current = sess.read.parquet(out_dir).filter(F.col(_PARTITION_COL).isin(days))
+            w = Window.partitionBy("user_id", "window_start").orderBy(F.col("batch_seq").desc())
             merged = (
-                merged.withColumn("_rn", F.row_number().over(w))
+                current.unionByName(delta)
+                .withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
         else:
             merged = delta
-        merged.write.mode("overwrite").parquet(out_dir + "_next")
-        sess.read.parquet(out_dir + "_next").write.mode("overwrite").parquet(out_dir)
+        stage_dir = f"{out_dir}__stage_{batch_id}"
+        merged.write.mode("overwrite").partitionBy(_PARTITION_COL).parquet(stage_dir)
+        _, stage_root, _ = _hadoop_fs(sess, stage_dir)
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(stage_dir, "_SUCCESS")):
+            raise RuntimeError(f"staging write of batch {batch_id} left no _SUCCESS marker")
+        if not fs.exists(root):
+            fs.mkdirs(root)
+        for day in days:
+            part = f"{_PARTITION_COL}={day}"
+            staged = jvm.org.apache.hadoop.fs.Path(stage_dir, part)
+            live = jvm.org.apache.hadoop.fs.Path(root, part)
+            backup = jvm.org.apache.hadoop.fs.Path(root, _BACKUP_PREFIX + part)
+            if fs.exists(live):
+                fs.rename(live, backup)
+            fs.rename(staged, live)
+            if fs.exists(backup):
+                fs.delete(backup, True)
+        fs.delete(stage_root, True)
 
     q = (
         agg.writeStream.foreachBatch(merge_batch)
@@ -182,4 +250,4 @@ def run_foreach_batch_upsert(
         q.awaitTermination()
     finally:
         q.stop()
-    return spark.read.parquet(out_dir).drop("batch_seq")
+    return spark.read.parquet(out_dir).select("user_id", "window_start", "cnt", "sum_value")

@@ -112,3 +112,54 @@ def test_session_sums_are_cent_exact(spark):
         F.abs(F.col("sum_value") * 100 - F.round(F.col("sum_value") * 100)) > 1e-6
     ).count()
     assert bad == 0
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for kernel-level unit tests."""
+
+    def __init__(self, value=None):
+        self._value = value
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+
+def _kernel_batch(state, rows):
+    import pandas as pd
+
+    from kinesis_demo_spark.operators.sessionize import _sessionize_group
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [7] * len(rows),
+            "ts": pd.to_datetime([t for t, _ in rows], unit="us"),
+            "event_id": range(len(rows)),
+            "value": [v for _, v in rows],
+        }
+    )
+    return list(_sessionize_group((7,), iter([pdf]), state))
+
+
+def test_kernel_in_session_late_event_never_moves_end_backward():
+    state = _FakeState()
+    _kernel_batch(state, [(1_000_000, 1.0), (2_000_000, 2.0)])
+    # next micro-batch delivers an event BETWEEN the open session's bounds
+    _kernel_batch(state, [(1_500_000, 4.0)])
+    start_us, end_us, n, cents = state.get
+    assert (start_us, end_us) == (1_000_000, 2_000_000)  # end clamped, not moved back
+    assert (n, cents) == (3, 700)
+
+
+def test_kernel_rejects_event_older_than_open_session():
+    state = _FakeState()
+    _kernel_batch(state, [(5_000_000, 1.0)])
+    with pytest.raises(ValueError, match="watermark-ordered"):
+        _kernel_batch(state, [(1_000_000, 1.0)])

@@ -53,3 +53,91 @@ def test_foreach_batch_upsert_is_idempotent_per_key(spark, tmp_path):
     batch = _batch_answer(spark)
     assert got.count() == batch.count()
     assert _as_set(got) == _as_set(batch)
+
+
+def _write_nanos_file(spark, path, seq, day, n=50):
+    """One source parquet of synthetic events on the given UTC day, encoded
+    as int64 nanos like the driver fixtures."""
+    import glob as _glob
+    import os
+    import shutil
+
+    base_us = day * 86_400_000_000
+    rows = [
+        (seq * 1000 + i, (base_us + i * 250_000) * 1000, i % 5, "click", float(i), "{}")
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
+    )
+    d = os.path.join(path, f"chunk{seq}.dir")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    (f,) = _glob.glob(os.path.join(d, "*.parquet"))
+    target = os.path.join(path, f"{seq:02d}.parquet")
+    shutil.copy(f, target)
+    os.utime(target, (1_700_000_000 + seq * 600,) * 2)
+    shutil.rmtree(d)
+
+
+def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """The serving store is partitioned by UTC window day; a batch whose
+    delta touches only day B must leave day A's files byte-identical in
+    place (the reference's per-item PutItem/UpdateItem contract — merge cost
+    is O(touched partitions), not O(table))."""
+    import glob as _glob
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    out = str(tmp_path / "serving")
+    ckpt = str(tmp_path / "ckpt")
+    day_a, day_b = 19_723, 19_724
+
+    _write_nanos_file(spark, src, 0, day_a)
+    P.run_foreach_batch_upsert(spark, src, out_dir=out, checkpoint_dir=ckpt, glob="*.parquet")
+    part_a = os.path.join(out, f"{P._PARTITION_COL}={day_a}")
+    files_a_before = {
+        f: os.stat(f).st_mtime_ns for f in _glob.glob(os.path.join(part_a, "*.parquet"))
+    }
+    assert files_a_before
+
+    _write_nanos_file(spark, src, 1, day_b)
+    got = P.run_foreach_batch_upsert(spark, src, out_dir=out, checkpoint_dir=ckpt, glob="*.parquet")
+
+    files_a_after = {
+        f: os.stat(f).st_mtime_ns for f in _glob.glob(os.path.join(part_a, "*.parquet"))
+    }
+    assert files_a_after == files_a_before  # day A never rewritten
+    assert os.path.isdir(os.path.join(out, f"{P._PARTITION_COL}={day_b}"))
+    assert got.count() == 100
+
+
+def test_upsert_recovers_interrupted_partition_swap(spark, tmp_path):
+    """Crash between the two commit renames leaves a backup dir and no live
+    partition; the next batch must restore the backup before merging, so no
+    previously committed rows are ever lost."""
+    import os
+    import shutil
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    out = str(tmp_path / "serving")
+    day = 19_723
+    _write_nanos_file(spark, src, 0, day)
+    P.run_foreach_batch_upsert(
+        spark, src, out_dir=out, checkpoint_dir=str(tmp_path / "c1"), glob="*.parquet"
+    )
+    before = {tuple(r) for r in spark.read.parquet(out).collect()}
+
+    # simulate the torn state: live dir renamed to backup, new one never landed
+    part = f"{P._PARTITION_COL}={day}"
+    shutil.move(os.path.join(out, part), os.path.join(out, P._BACKUP_PREFIX + part))
+
+    P._recover_partition_swaps(spark, out)
+    assert {tuple(r) for r in spark.read.parquet(out).collect()} == before
+
+    # stale-backup flavor: swap completed but backup cleanup never ran
+    shutil.copytree(os.path.join(out, part), os.path.join(out, P._BACKUP_PREFIX + part))
+    P._recover_partition_swaps(spark, out)
+    assert not os.path.exists(os.path.join(out, P._BACKUP_PREFIX + part))
+    assert {tuple(r) for r in spark.read.parquet(out).collect()} == before

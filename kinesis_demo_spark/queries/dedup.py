@@ -102,9 +102,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread: shingling is the per-row hot loop; see io.spread
+    #
+    # persist: the shingle table feeds BOTH sides of the inverted-index
+    # self-join plus both verification joins — as pure lineage Spark would
+    # re-run the per-row shingling up to 4x (self-join sides are separate
+    # stages, so no exchange reuse applies). MEMORY_AND_DISK (the default)
+    # spills instead of OOMing, which is exactly the "materialize the
+    # signature table first" step a 100 TB dedup run performs anyway.
     return spread(_docs(spark, sf_dir).select("doc_id", "text")).select(
         "doc_id", shingles_col().alias("shingles")
-    )
+    ).persist()
 
 
 def _jaccard_verified(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
@@ -265,7 +272,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature arithmetic, so this sketch op is value-hash checked, not
     rows-only."""
     sh = _shingled(spark, sf_dir)
-    bands = _minhash_bands(sh)
+    # persist: both join sides consume the signature table; without caching
+    # the 32-permutation minhash folds run twice (see _shingled)
+    bands = _minhash_bands(sh).persist()
     x = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
     y = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
     cands = (
@@ -367,9 +376,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
+    # persist: both self-join sides consume the banded signatures; without
+    # caching the whole per-token SimHash fold runs twice (see _shingled)
     bands = sim.select("doc_id", "simhash", band_rows.alias("b")).select(
         "doc_id", "simhash", "b.band", "b.band_bits"
-    )
+    ).persist()
     x = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "band_bits")
     y = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "band_bits")
     hamming = F.bit_count(F.expr("sim_a ^ sim_b"))

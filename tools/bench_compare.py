@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Per-query bench regression gate: compare a fresh ``bench.py`` JSON line (or
+a driver ``BENCH_r{N}.json``) against the previous round's record and flag
+regressions above the threshold.
+
+Usage:
+    python bench.py | tail -1 > /tmp/bench_now.json
+    python tools/bench_compare.py BENCH_r02.json /tmp/bench_now.json
+
+Accepts either format for each argument: the raw one-line JSON bench.py
+prints, or the driver's wrapper file (``{"parsed": {...}}``). Queries renamed
+by the round-3 battery fusions are mapped so their history isn't lost (the
+fused query's budget is the SUM of its parts' round-2 times). Exit status 1
+iff any query regressed more than THRESHOLD, so the check can gate CI.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+THRESHOLD = 1.3
+
+# fused-query name -> the round-2 query names whose times it absorbed
+RENAMES = {
+    "stats_moments_percentiles_by_type": ("stats_moments_by_type", "stats_percentiles_value"),
+    "window_functions_battery": ("window_range_frame_running_sum", "window_distribution_functions"),
+    "scalar_extended_battery": (
+        "scalar_string_functions",
+        "scalar_datetime_functions",
+        "scalar_math_bit_functions",
+    ),
+    "set_ops_nations": ("set_union_nations", "set_intersect_nations", "set_except_nations"),
+}
+
+
+def _load(path: str) -> dict[str, float]:
+    with open(path) as f:
+        doc = json.load(f)
+    if "parsed" in doc and isinstance(doc["parsed"], dict):
+        doc = doc["parsed"]
+    return doc["queries"]
+
+
+def main() -> int:
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    old, new = _load(old_path), _load(new_path)
+
+    rows, regressions = [], []
+    for name, t_new in new.items():
+        parts = RENAMES.get(name, (name,))
+        known = [old[p] for p in parts if p in old]
+        t_old = sum(known) if known else None
+        if t_old is None:
+            rows.append((name, None, t_new, None, "new"))
+            continue
+        ratio = t_new / t_old if t_old else float("inf")
+        flag = "REGRESSED" if ratio > THRESHOLD else ("improved" if ratio < 1 / THRESHOLD else "ok")
+        if ratio > THRESHOLD:
+            regressions.append(name)
+        rows.append((name, t_old, t_new, ratio, flag))
+    for name, t_old in old.items():
+        if name not in new and not any(name in v for v in RENAMES.values()):
+            rows.append((name, t_old, None, None, "dropped"))
+
+    print(f"| query | {old_path} (s) | {new_path} (s) | ratio | status |")
+    print("|---|---|---|---|---|")
+    for name, t_old, t_new, ratio, flag in sorted(rows, key=lambda r: -(r[3] or 0)):
+        fo = f"{t_old:.2f}" if t_old is not None else "—"
+        fn = f"{t_new:.2f}" if t_new is not None else "—"
+        fr = f"{ratio:.2f}x" if ratio is not None else "—"
+        print(f"| {name} | {fo} | {fn} | {fr} | {flag} |")
+    tot_old, tot_new = sum(old.values()), sum(new.values())
+    print(f"\ntotal: {tot_old:.1f}s -> {tot_new:.1f}s ({tot_new / tot_old:.2f}x), "
+          f"threshold {THRESHOLD}x, regressions: {regressions or 'none'}")
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -60,8 +60,13 @@ HEADLINE = (
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
+    "text_tfidf",
     "multimodal_decode_features",
     "pipeline_training_corpus",
+    "dedup_contamination_check",
+    "sample_stratified_documents",
+    "sequence_packing",
+    "embedding_quantize_int8",
 )
 
 

@@ -549,6 +549,59 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_survivors.select("doc_id").join(losers, "doc_id", "left_anti")
 
 
+# --- train/eval contamination check --------------------------------------------
+
+EVAL_SPLIT_MOD = 5  # doc_id % 5 == 0 -> eval split (deterministic 20% holdout)
+
+
+@register(
+    "dedup_contamination_check",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+cpairs AS (
+  SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+         count(*) AS inter, any_value(e.n) AS na, any_value(t.n) AS nb
+  FROM ex e JOIN ex t ON e.s = t.s
+   AND e.doc_id % {EVAL_SPLIT_MOD} = 0 AND t.doc_id % {EVAL_SPLIT_MOD} <> 0
+  GROUP BY 1, 2
+)
+SELECT eval_id, count(*) AS n_train_dups,
+       max(CAST(inter AS DOUBLE) / (na + nb - inter)) AS max_jaccard
+FROM cpairs
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+GROUP BY eval_id
+""",
+)
+def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: find held-out documents (deterministic
+    doc_id % {EVAL_SPLIT_MOD} == 0 split) that are near-duplicates of any
+    TRAINING document — exactly the leakage scan a benchmark-hygiene pass
+    runs before training. Same inverted-index candidate generation as
+    dedup_ngram_jaccard (work scales with co-shingled cross-split pairs,
+    never |eval| x |train|), with the split predicates pushed into both
+    exploded sides so each side scans only its split."""
+    sh = _shingled(spark, sf_dir)
+    ex = sh.select("doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
+    ev = ex.filter(F.col("doc_id") % EVAL_SPLIT_MOD == 0).select(
+        F.col("doc_id").alias("eval_id"), F.col("n").alias("na"), "s"
+    )
+    tr = ex.filter(F.col("doc_id") % EVAL_SPLIT_MOD != 0).select(
+        F.col("doc_id").alias("train_id"), F.col("n").alias("nb"), "s"
+    )
+    jaccard = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        ev.join(tr, "s")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("inter"), F.min("na").alias("na"), F.min("nb").alias("nb"))
+        .filter(jaccard >= JACCARD_THRESHOLD)
+        .groupBy("eval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_dups"),
+            F.max(jaccard).alias("max_jaccard"),
+        )
+    )
+
+
 # --- transitive dedup clusters (connected components over dup pairs) -------------
 
 

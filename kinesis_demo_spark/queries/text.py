@@ -16,6 +16,7 @@ aggregation; no joins, no skew, embarrassingly parallel at any corpus size.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from ..functions.hashing import h60, h60_sql
 from ..io import load_table, spread
@@ -213,4 +214,68 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         h60(normalized).alias("content_fp"),
         min_fp.alias("min_kgram_fp"),
+    )
+
+
+# --- TF-IDF term scoring -------------------------------------------------------------
+
+
+TFIDF_TOP_K = 3
+
+
+@register(
+    "text_tfidf",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {TFIDF_TOP_K}
+""",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP_K} characteristic terms per document by tf-rarity
+    score: tf * (N+1)/(df+1). The rarity ratio replaces log-idf because
+    ln() is a libm transcendental whose last-ulp rounding differs across
+    engines — the ratio is pure IEEE-exact arithmetic, same ranking, and
+    keeps the differential gate bit-exact.
+
+    Shape at scale: explode -> two hash aggregates (term-frequency per doc,
+    document-frequency per term) -> equi-join on term -> per-doc top-k
+    window. The df table is |vocab|-sized (small); the join shuffles on term
+    with no skew beyond natural Zipf, which AQE skew-split handles; N rides
+    in as a literal-free cross join of a 1-row aggregate (broadcast)."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        tok.select("doc_id", "term").distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = (
+        F.col("tf").cast("double")
+        * ((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1).cast("double"))
+    ).alias("score")
+    scored = tf.join(df, "term").crossJoin(F.broadcast(n)).select(
+        "doc_id", "term", "tf", "df", score
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
     )

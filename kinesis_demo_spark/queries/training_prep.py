@@ -1,0 +1,194 @@
+"""Training-set preparation operators — the steps between "deduplicated
+corpus" and "batches on the trainer": deterministic stratified sampling,
+fixed-budget sequence packing, and int8 embedding quantization (SURVEY.md §7
+Phase 5 north star, beyond the reference surface).
+
+Determinism policy: sampling uses the cross-engine h60 content hash (never
+``rand()``), packing is a pure function of (shard, doc order, token counts),
+and quantization uses ``floor(x + 0.5)`` instead of ``round`` so both engines
+share one rounding rule by construction — every operator here is value-hash
+checkable.
+
+Scale:
+- sampling: per-row hash + compare, zero shuffles, any corpus size.
+- packing: docs hash-shard into ``PACK_SHARDS`` independent groups; each
+  group packs greedily in one Arrow batch stream. At 100 TB you raise
+  PACK_SHARDS so each shard's docs fit an executor — the standard
+  distributed-packing layout (bins never span shards, so shards never
+  coordinate).
+- quantization: per-row array fold + transform, zero shuffles.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..functions.hashing import h60, h60_sql
+from ..io import load_table, spread
+from ..registry import register
+
+# --- deterministic stratified sampling ---------------------------------------------
+
+# per-stratum keep rates in percent (keys are the fixture's lang values);
+# unlisted strata fall back to DEFAULT_RATE_PCT
+SAMPLE_RATES_PCT: dict[str, int] = {"en": 50, "de": 25}
+DEFAULT_RATE_PCT = 10
+
+
+def _rate_case_sql() -> str:
+    cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES_PCT.items())
+    return f"CASE lang {cases} ELSE {DEFAULT_RATE_PCT} END"
+
+
+@register(
+    "sample_stratified_documents",
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {h60_sql("CAST(doc_id AS VARCHAR)")} % 100 < {_rate_case_sql()}
+""",
+)
+def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-language rates — the corpus-mixing
+    step of a training-data pipeline (e.g. keep 50% of English, 25% of
+    German, 10% of the tail). The keep decision is ``h60(doc_id) % 100 <
+    rate``: a pure function of the row, so the sample is reproducible across
+    runs/engines/retries (``rand()`` sampling is none of those), it needs no
+    shuffle, and rates can be audited after the fact. Filter + per-row hash
+    only — embarrassingly parallel."""
+    rate = F.lit(DEFAULT_RATE_PCT)
+    for k, v in reversed(SAMPLE_RATES_PCT.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    keep = (h60(F.col("doc_id").cast("string")) % 100) < rate
+    return (
+        spread(load_table(spark, sf_dir, "documents"))
+        .filter(keep)
+        .select("doc_id", "lang", "source")
+    )
+
+
+# --- fixed-budget sequence packing ----------------------------------------------------
+
+PACK_BUDGET_TOKENS = 512
+PACK_SHARDS = 4
+
+_PACK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("shard", T.LongType(), False),
+        T.StructField("bin", T.LongType(), False),
+        T.StructField("n_tokens", T.LongType(), False),
+    ]
+)
+
+
+def _pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Greedy first-fit-in-order packing of one shard: docs in doc_id order
+    accumulate into the current bin until adding one would exceed the
+    budget, which opens the next bin. A single doc over budget still gets
+    its own bin (it must go somewhere; the trainer truncates)."""
+    pdf = pdf.sort_values("doc_id")
+    bins, bin_id, bin_toks = [], 0, 0
+    for toks in pdf["n_tokens"]:
+        if bin_toks and bin_toks + toks > PACK_BUDGET_TOKENS:
+            bin_id, bin_toks = bin_id + 1, 0
+        bin_toks += toks
+        bins.append(bin_id)
+    pdf["bin"] = pd.Series(bins, index=pdf.index, dtype="int64")
+    return pdf[["doc_id", "shard", "bin", "n_tokens"]]
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % {PACK_SHARDS} ORDER BY doc_id) AS rn
+  FROM documents
+),
+packed(shard, rn, doc_id, n_tokens, bin, bin_toks) AS (
+  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN p.bin_toks + d.n_tokens > {PACK_BUDGET_TOKENS}
+              THEN p.bin + 1 ELSE p.bin END,
+         CASE WHEN p.bin_toks + d.n_tokens > {PACK_BUDGET_TOKENS}
+              THEN d.n_tokens ELSE p.bin_toks + d.n_tokens END
+  FROM packed p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+)
+SELECT doc_id, shard, bin, n_tokens FROM packed
+""",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: assign documents to
+    fixed-token-budget bins ({PACK_BUDGET_TOKENS} tokens), greedily in
+    doc_id order within each of {PACK_SHARDS} hash shards. Packing is
+    inherently sequential, so it runs as ``applyInPandas`` per shard — the
+    distributed layout real packers use: shards pack independently and in
+    parallel, bins never span shards. The greedy recurrence is replicated
+    exactly by the oracle's recursive CTE, so even this stateful operator is
+    value-hash checked."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return docs.groupBy("shard").applyInPandas(_pack_shard, schema=_PACK_SCHEMA)
+
+
+# --- int8 embedding quantization ----------------------------------------------------------
+
+QUANT_LEVELS = 127  # symmetric int8: q in [-127, 127]
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle=f"""
+WITH scaled AS (
+  SELECT vec_id,
+         embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / {QUANT_LEVELS} AS scale
+  FROM embeddings
+)
+SELECT vec_id, CAST(i AS INT) AS dim, scale,
+       CAST(
+         greatest(-{QUANT_LEVELS}, least({QUANT_LEVELS},
+           floor(CAST(embedding[i] AS DOUBLE) / scale + 0.5)))
+       AS BIGINT) AS q
+FROM scaled, unnest(range(1, len(embedding) + 1)) AS t(i)
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/serving
+    compression step for embedding tables (4x smaller, SIMD-friendly):
+    scale = max|x| / {QUANT_LEVELS}, q = clamp(floor(x/scale + 0.5)).
+    ``floor(x + 0.5)`` instead of round() because the engines' round()
+    half-way rules differ; floor keeps them identical by construction. Pure
+    per-row fold + transform + posexplode (one output row per dimension for
+    the value-hash gate) — zero shuffles, linear in corpus size."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    scale = (
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+        / QUANT_LEVELS
+    ).alias("scale")
+    scaled = emb.select("vec_id", "embedding", scale)
+    q = F.greatest(
+        F.lit(-QUANT_LEVELS),
+        F.least(
+            F.lit(QUANT_LEVELS),
+            F.floor(F.col("x").cast("double") / F.col("scale") + 0.5),
+        ),
+    ).cast("long")
+    return (
+        scaled.select("vec_id", "scale", F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("int").alias("dim"),
+            "scale",
+            q.alias("q"),
+        )
+    )

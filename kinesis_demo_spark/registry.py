@@ -31,6 +31,7 @@ _QUERY_MODULES = (
     "kinesis_demo_spark.queries.wire",
     "kinesis_demo_spark.queries.udfs",
     "kinesis_demo_spark.queries.reshape",
+    "kinesis_demo_spark.queries.training_prep",
 )
 
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries only
@@ -48,19 +49,15 @@ PRIORITY_ORDER = (
     # reshape
     "text_lang_id",
     "text_quality_score",
-    "text_token_count",
     "text_fingerprint",
     "multimodal_metadata",
     "multimodal_decode_features",
-    "multimodal_frame_sample",
     "streaming_window_counts",
     "sessionize_events",
     "sessionize_stateful_streaming",
     "stats_moments_percentiles_by_type",
     "stats_corr_value_props",
     "approx_percentiles_value",
-    "stats_argminmax_value",
-    "stats_mode_event_type_per_user",
     "window_functions_battery",
     "scalar_extended_battery",
     "scalar_array_functions",
@@ -69,12 +66,20 @@ PRIORITY_ORDER = (
     "pandas_udf_text_normalize",
     "grouped_pandas_user_stats",
     "agg_collect_set_event_types",
-    "posexplode_document_tokens",
     "pivot_value_by_type_per_user",
     "unpivot_order_amounts",
-    # new in round 3
+    # new in round 3 (text_token_count / stats_argminmax_value /
+    # stats_mode_event_type_per_user / posexplode_document_tokens /
+    # multimodal_frame_sample moved below the cap to make room — their
+    # families keep other in-cap representatives and they stay covered by
+    # tests/test_oracle_parity.py)
     "dedup_embedding_cosine_lsh",
     "uuid_generate",
+    "text_tfidf",
+    "sample_stratified_documents",
+    "sequence_packing",
+    "embedding_quantize_int8",
+    "dedup_contamination_check",
     # SURVEY §2 reference-parity core (S/Q/A/W/F rows)
     "agg_window_count",
     "agg_window_movs_stats",

@@ -16,6 +16,11 @@ from kinesis_demo_spark.registry import (
 # family -> names of which at least one must sit inside the driver cap
 FAMILY_REPRESENTATIVES = {
     "text": ("text_lang_id", "text_quality_score", "text_token_count", "text_fingerprint"),
+    "tfidf": ("text_tfidf",),
+    "sampling": ("sample_stratified_documents",),
+    "packing": ("sequence_packing",),
+    "quantization": ("embedding_quantize_int8",),
+    "contamination": ("dedup_contamination_check",),
     "multimodal": ("multimodal_metadata", "multimodal_decode_features", "multimodal_frame_sample"),
     "streaming": ("streaming_window_counts",),
     "sessionize": ("sessionize_events", "sessionize_stateful_streaming"),

@@ -1,0 +1,79 @@
+"""Semantic invariants for the training-prep operators (the oracle parity
+test proves cross-engine equality; these prove the operators mean what they
+claim)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_demo_spark.queries.training_prep import (
+    DEFAULT_RATE_PCT,
+    PACK_BUDGET_TOKENS,
+    PACK_SHARDS,
+    QUANT_LEVELS,
+    SAMPLE_RATES_PCT,
+    embedding_quantize_int8,
+    sample_stratified_documents,
+    sequence_packing,
+)
+from kinesis_demo_spark.io import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_stratified_sample_rates_land_near_targets(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {
+        r["lang"]: r["n"]
+        for r in sample_stratified_documents(spark, SF_SMOKE)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, total in totals.items():
+        rate = SAMPLE_RATES_PCT.get(lang, DEFAULT_RATE_PCT) / 100
+        got = kept.get(lang, 0) / total
+        # h60 is uniform; at fixture sizes allow a wide but meaningful band
+        assert abs(got - rate) < 0.2, (lang, got, rate)
+
+
+def test_stratified_sample_is_reproducible(spark):
+    a = {r["doc_id"] for r in sample_stratified_documents(spark, SF_SMOKE).collect()}
+    b = {r["doc_id"] for r in sample_stratified_documents(spark, SF_SMOKE).collect()}
+    assert a == b and a
+
+
+def test_packing_respects_budget_and_order(spark):
+    rows = sequence_packing(spark, SF_SMOKE).collect()
+    assert {r["doc_id"] for r in rows} == {
+        r["doc_id"] for r in load_table(spark, SF_SMOKE, "documents").select("doc_id").collect()
+    }
+    by_bin: dict[tuple, list] = {}
+    for r in rows:
+        by_bin.setdefault((r["shard"], r["bin"]), []).append(r)
+    for (_, _), members in by_bin.items():
+        total = sum(m["n_tokens"] for m in members)
+        # a bin only exceeds the budget when a single oversized doc owns it
+        assert total <= PACK_BUDGET_TOKENS or len(members) == 1
+    # bins are contiguous doc_id runs within each shard
+    for shard in range(PACK_SHARDS):
+        ordered = sorted((r for r in rows if r["shard"] == shard), key=lambda r: r["doc_id"])
+        bins = [r["bin"] for r in ordered]
+        assert bins == sorted(bins)
+
+
+def test_quantization_bounds_and_roundtrip_error(spark):
+    q = embedding_quantize_int8(spark, SF_SMOKE)
+    assert q.filter((F.col("q") > QUANT_LEVELS) | (F.col("q") < -QUANT_LEVELS)).count() == 0
+    # |x - q*scale| <= scale/2 except at the clamp boundary
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "x")
+    joined = q.join(emb, ["vec_id", "dim"]).select(
+        "q", "scale", (F.abs(F.col("x").cast("double") - F.col("q") * F.col("scale"))).alias("err")
+    )
+    bad = joined.filter(
+        (F.col("err") > F.col("scale") * 0.5 + 1e-12) & (F.abs(F.col("q")) != QUANT_LEVELS)
+    )
+    assert bad.count() == 0

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
-from ..streaming.pipeline import run_complete_to_memory
+from ..streaming.pipeline import run_complete_to_memory, run_stream_stream_join
 
 
 @register(
@@ -29,3 +29,22 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     window agg -> memory sink, availableNow trigger) and returns the drained
     result. Incremental execution, identical answer to the batch oracle."""
     return run_complete_to_memory(spark, sf_dir)
+
+
+@register(
+    "streaming_interval_join",
+    oracle="""
+SELECT l.event_id AS click_id, r.event_id AS view_id, l.user_id,
+       CAST(epoch_ms(r.ts) - epoch_ms(l.ts) AS BIGINT) AS lag_ms
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'click' AND r.event_type = 'view'
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 5 SECOND
+""",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (clicks x views within 5 s,
+    per user) drained over the fixture and value-hash compared against the
+    plain batch range join — the batch/streaming differential for join
+    state, like streaming_window_counts is for aggregate state."""
+    return run_stream_stream_join(spark, sf_dir)

@@ -279,3 +279,78 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TFIDF_TOP_K)
         .select("doc_id", "term", "tf", "df", "score", "rnk")
     )
+
+
+# --- PII redaction -------------------------------------------------------------------
+
+# Conservative patterns valid in BOTH regex dialects (Java for Spark, RE2 for
+# DuckDB): no lookarounds, no backrefs.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+PHONE_RE = r"[0-9]{3}-[0-9]{4}"
+
+# The fixture corpus contains no PII, so the query plants a deterministic
+# fake contact line derived from doc_id — both engines build the identical
+# string, so the redaction work is real and still value-hash checked.
+_INJECT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'"
+    " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+    " || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+WITH injected AS (
+  SELECT doc_id, {_INJECT_SQL} AS raw FROM documents
+),
+step1 AS (
+  SELECT doc_id, raw,
+         CAST(len(regexp_extract_all(raw, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+         regexp_replace(raw, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM injected
+),
+step2 AS (
+  SELECT *, CAST(len(regexp_extract_all(t1, '{IP_RE}')) AS BIGINT) AS n_ips,
+         regexp_replace(t1, '{IP_RE}', '<IP>', 'g') AS t2
+  FROM step1
+)
+SELECT doc_id, n_emails, n_ips,
+       CAST(len(regexp_extract_all(t2, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM step2
+""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass a training corpus gets before any
+    model sees it: emails, then IPv4 addresses, then phone-shaped numbers,
+    each replaced with a typed placeholder and counted (sequential order
+    matters — an email's host would otherwise count as an address). Pure
+    JVM regexp expressions, zero shuffles, linear at any corpus size."""
+    d = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d, F.lit("@mail.example.com"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+        F.lit(" call 555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    out = _docs(spark, sf_dir).select("doc_id", raw.alias("raw"))
+    out = out.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("raw", F.lit(EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.regexp_replace("raw", EMAIL_RE, "<EMAIL>").alias("t1"),
+    )
+    out = out.select(
+        "doc_id",
+        "n_emails",
+        F.size(F.regexp_extract_all("t1", F.lit(IP_RE), 0)).cast("long").alias("n_ips"),
+        F.regexp_replace("t1", IP_RE, "<IP>").alias("t2"),
+    )
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        F.size(F.regexp_extract_all("t2", F.lit(PHONE_RE), 0)).cast("long").alias("n_phones"),
+        F.regexp_replace("t2", PHONE_RE, "<PHONE>").alias("redacted"),
+    )

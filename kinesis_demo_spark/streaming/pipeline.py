@@ -126,6 +126,62 @@ def run_complete_to_memory(spark: SparkSession, sf_dir: str, name: str | None = 
     return spark.table(name)
 
 
+def run_stream_stream_join(spark: SparkSession, sf_dir: str, name: str | None = None) -> DataFrame:
+    """Watermarked stream-stream interval join: the click stream joined to
+    the view stream on user with views inside (click_ts, click_ts + 5 s] —
+    the attribution-style join batch engines do with a range join and
+    streams need join STATE for. Both sides carry a 10 s watermark, which is
+    what lets Spark evict buffered rows once no counterpart can still
+    arrive; state is bounded by |events within watermark + interval|, not
+    stream length. Inner join, so matches emit as soon as both sides are
+    seen. The fixture drain (availableNow) produces exactly the batch range
+    join's answer, which the registered oracle checks."""
+    name = name or "stream_join_" + re.sub(r"[^0-9a-zA-Z]", "_", sf_dir).strip("_")
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 seconds")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("view_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 seconds")
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            "click_user = view_user AND "
+            "view_ts >= click_ts AND view_ts <= click_ts + interval 5 seconds"
+        ),
+    ).select(
+        "click_id",
+        "view_id",
+        F.col("click_user").alias("user_id"),
+        (F.unix_millis("view_ts") - F.unix_millis("click_ts")).alias("lag_ms"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 # Serving-store partition column: UTC day index of the window start
 # (unix_micros // µs-per-day). A LONG derived from the instant itself, so it
 # is identical under every session timezone — to_date(timestamp) is not.

@@ -87,3 +87,27 @@ def test_ann_topk_is_exact_vs_numpy(spark):
         }
         expected = [c for c, _ in sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]]
         assert neighbors == expected
+
+
+def test_pii_patterns_redact_real_examples(spark):
+    from kinesis_demo_spark.queries.text import EMAIL_RE, IP_RE, PHONE_RE
+    from pyspark.sql import functions as F
+
+    samples = [
+        ("reach me at jane.doe+spam@corp.example.co.uk today", "<EMAIL>"),
+        ("server 192.168.100.42 answered", "<IP>"),
+        ("call 555-0123 now", "<PHONE>"),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in samples], "raw string")
+    red = df.select(
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_replace("raw", EMAIL_RE, "<EMAIL>"), IP_RE, "<IP>"),
+            PHONE_RE,
+            "<PHONE>",
+        ).alias("out")
+    ).collect()
+    for (raw, marker), r in zip(samples, red):
+        assert marker in r["out"], (raw, r["out"])
+        for leak in ("jane", "192.168", "555-0123"):
+            if leak in raw:
+                assert leak not in r["out"]

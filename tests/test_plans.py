@@ -111,3 +111,30 @@ def test_embedding_dedup_lsh_is_equi_join_not_all_pairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_tfidf_broadcasts_the_corpus_count_not_the_term_tables(spark):
+    """The 1-row corpus-count side must be the only broadcast-hinted input;
+    tf/df join on term as plain keyed joins (df is |vocab|-sized, tf is
+    corpus-sized — neither may be pinned to broadcast)."""
+    analyzed = _analyzed(Q["text_tfidf"](spark, SF))
+    assert analyzed.count("ResolvedHint") == 1
+
+
+def test_stratified_sample_is_scan_plus_filter_only(spark):
+    plan = _plan(Q["sample_stratified_documents"](spark, SF), mode="simple")
+    assert "Join" not in plan and plan.count("Exchange") <= 1  # spread() repartition only
+
+
+def test_sequence_packing_shuffles_once_on_shard(spark):
+    """One exchange for the shard groupBy feeding applyInPandas (plus the
+    fixture spread repartition) — packing must not add further shuffles."""
+    plan = _plan(Q["sequence_packing"](spark, SF), mode="simple")
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_quantization_is_pure_narrow_work(spark):
+    plan = _plan(Q["embedding_quantize_int8"](spark, SF), mode="simple")
+    assert "Join" not in plan
+    assert "Generate" in plan  # posexplode

@@ -58,6 +58,7 @@ HEADLINE = (
     "dedup_exact_text",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_prefix",
     "dedup_simhash",
     "dedup_embedding_cosine_lsh",
     "ann_cosine_topk",

@@ -194,6 +194,49 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_ngram_jaccard_prefix",
+    oracle=f"""
+WITH {_SHINGLE_CTES}
+SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+FROM pairs
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+""",
+)
+def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard near-dup (the AllPairs/PPJoin candidate
+    pruning, Bayardo et al., WWW'07): order every document's shingles by a
+    single global rarity order (document frequency asc, shingle asc) and
+    index only the first ``n - ceil(t*n) + 1`` of them. Any pair with
+    J >= t provably shares at least one PREFIX shingle, so candidate
+    generation over prefixes alone loses nothing — the exact-verification
+    join then computes true Jaccard from the full sets. The OUTPUT is
+    identical to dedup_ngram_jaccard (same oracle); what changes is the
+    scale shape: high-df shingles sort last and drop out of every prefix, so
+    the hot-shingle bucket blow-up — the one skew risk of the plain inverted
+    index — never reaches the pair join. Costs one extra shuffle (the df
+    join + per-doc rank); at 100 TB the pruned pair explosion dominates that
+    by orders of magnitude."""
+    from pyspark.sql.window import Window
+
+    sh = _shingled(spark, sf_dir)
+    ex = sh.select("doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
+    df_tbl = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = ex.join(df_tbl, "s").withColumn(
+        "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s"))
+    )
+    prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(JACCARD_THRESHOLD)) + 1
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select("doc_id", "s")
+    cands = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "s")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_verified(cands, sh, JACCARD_THRESHOLD)
+
+
 # --- MinHash + LSH ------------------------------------------------------------------
 
 

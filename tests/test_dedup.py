@@ -93,3 +93,15 @@ def test_dedup_clusters_transitive(spark, planted_dir):
     exact); doc 2 is a singleton labeling itself."""
     labels = {r.doc_id: r.cluster_id for r in D.dedup_clusters(spark, planted_dir).collect()}
     assert labels == {0: 0, 1: 0, 3: 0, 2: 2}
+
+
+def test_prefix_filtered_jaccard_equals_plain_inverted_index(spark):
+    """The AllPairs prefix filter is an exact optimization: candidate pruning
+    must not change the verified output by even one pair."""
+    from kinesis_demo_spark.queries.dedup import dedup_ngram_jaccard, dedup_ngram_jaccard_prefix
+
+    from .conftest import SF_SMOKE
+
+    plain = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in dedup_ngram_jaccard(spark, SF_SMOKE).collect()}
+    pref = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in dedup_ngram_jaccard_prefix(spark, SF_SMOKE).collect()}
+    assert pref == plain and plain

@@ -622,3 +622,42 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(qty).cast("double").alias("total_qty"))
     )
+
+
+# --- SQL front-end -------------------------------------------------------------------
+
+
+@register(
+    "sql_frontend_revenue_by_nation",
+    oracle="""
+SELECT n.n_name,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+""",
+)
+def sql_frontend_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same engine through the SQL TEXT front-end: tables registered as
+    temp views, the query submitted as a literal ``spark.sql(...)`` string —
+    proving a reference user can keep writing SQL and get the identical
+    Catalyst plan the DataFrame API produces (both compile to the same
+    logical plan; the dimension joins broadcast, the aggregate is
+    decimal-exact). View names are scoped by the fixture dir so concurrent
+    scale factors in one session never collide."""
+    import re as _re
+
+    tag = _re.sub(r"[^0-9a-zA-Z]", "_", sf_dir).strip("_")
+    for t in ("customer", "orders", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_{tag}")
+    return spark.sql(f"""
+        SELECT n.n_name,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_orders
+        FROM orders_{tag} o
+        JOIN customer_{tag} c ON c.c_custkey = o.o_custkey
+        JOIN nation_{tag} n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+    """)

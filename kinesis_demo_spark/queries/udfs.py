@@ -85,3 +85,45 @@ def grouped_pandas_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _user_stats_kernel,
         "user_id bigint, n_events bigint, span_us bigint, sum_value double",
     )
+
+
+# --- mapInArrow ---------------------------------------------------------------------
+
+
+def _arrow_norm_batches(batches):
+    """pyarrow-level kernel: per-vector L2 norm computed with numpy over the
+    Arrow buffers — no pandas conversion at all (the lowest-overhead Python
+    hook Spark offers). Fold order matches dot_fold: ascending dimension."""
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in batches:
+        vec_ids = batch.column("vec_id")
+        emb = batch.column("embedding")
+        norms = [
+            float(np.sqrt(np.add.reduce(np.asarray(v.as_py(), dtype="float64") ** 2)))
+            for v in emb
+        ]
+        yield pa.RecordBatch.from_arrays(
+            [vec_ids, pa.array(norms, type=pa.float64())], names=["vec_id", "nrm"]
+        )
+
+
+@register(
+    "map_in_arrow_vector_norms",
+    oracle=f"""
+SELECT vec_id, sqrt(list_reduce(list_transform(range(1, len(embedding)+1),
+       i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x,y) -> x + y)) AS nrm
+FROM embeddings
+""",
+)
+def map_in_arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fifth and last Python-vectorization surface: ``mapInArrow`` —
+    raw pyarrow RecordBatches in and out, skipping even the pandas
+    conversion the other shapes pay. Kernel computes per-vector L2 norms;
+    numpy's pairwise summation is replaced by ``np.add.reduce`` over
+    float64 in index order, which performs the identical left-to-right IEEE
+    fold as the JVM-side ``dot_fold`` and the DuckDB oracle — so even this
+    Python path is value-hash exact. Per-batch streaming, zero shuffles."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    return emb.mapInArrow(_arrow_norm_batches, schema="vec_id long, nrm double")

@@ -24,6 +24,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from ..functions.hashing import h60, h60_sql
 from ..io import load_table, spread
@@ -191,4 +192,37 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scale",
             q.alias("q"),
         )
+    )
+
+
+# --- exact k-per-group deterministic sample ------------------------------------------
+
+RESERVOIR_K = 20
+
+
+@register(
+    "sample_k_per_group",
+    oracle=f"""
+SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {h60_sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rnk
+  FROM documents
+) WHERE rnk <= {RESERVOIR_K}
+""",
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-{RESERVOIR_K}-per-language sample (eval-set construction wants
+    COUNT guarantees, which rate-based sampling can't give): rank each
+    stratum's docs by their content hash and keep the {RESERVOIR_K} smallest
+    — statistically a uniform draw (h60 is uniform), yet fully deterministic
+    and engine-independent, i.e. distributed reservoir sampling without the
+    RNG. One shuffle on the stratum key; at scale the rank prunes map-side
+    into a per-partition top-k before the exchange."""
+    w = Window.partitionBy("lang").orderBy(h60(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        spread(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "lang", F.row_number().over(w).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= RESERVOIR_K)
     )

@@ -57,3 +57,18 @@ def test_single_word_and_empty_docs_shingle_safely(spark, tmp_path):
     out = {r.doc_id: r.s for r in df.select("doc_id", shingles_col().alias("s")).collect()}
     assert out[0] == [] and out[1] == [] and out[2] == []
     assert out[3] == ["now three words"]
+
+
+def test_round3_ops_on_empty_tables(spark, empty_dir):
+    from kinesis_demo_spark.queries import dedup as D
+    from kinesis_demo_spark.queries import text as T
+    from kinesis_demo_spark.queries import training_prep as P
+
+    assert D.dedup_embedding_cosine_lsh(spark, empty_dir).count() == 0
+    assert D.dedup_contamination_check(spark, empty_dir).count() == 0
+    assert D.dedup_ngram_jaccard_prefix(spark, empty_dir).count() == 0
+    assert T.text_tfidf(spark, empty_dir).count() == 0
+    assert T.text_pii_redact(spark, empty_dir).count() == 0
+    assert P.sample_stratified_documents(spark, empty_dir).count() == 0
+    assert P.sequence_packing(spark, empty_dir).count() == 0
+    assert P.embedding_quantize_int8(spark, empty_dir).count() == 0

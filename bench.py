@@ -60,6 +60,7 @@ HEADLINE = (
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_prefix",
     "dedup_simhash",
+    "dedup_simhash_wide",
     "dedup_embedding_cosine_lsh",
     "ann_cosine_topk",
     "ann_cosine_topk_lsh",

@@ -436,6 +436,103 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- wide SimHash (the scale-path variant) -----------------------------------------
+
+# 60-bit signatures (h60's native width): 6 bands x 10 bits = 1024 bucket
+# values per band vs the 32-bit variant's 256 — finer candidate buckets, and
+# hamming <= 5 over 60 bits is a stricter near-dup test than 3 over 32.
+SIMHASH_WIDE_BITS = 60
+SIMHASH_WIDE_BANDS = 6
+_WIDE_BAND_BITS = SIMHASH_WIDE_BITS // SIMHASH_WIDE_BANDS
+SIMHASH_WIDE_MAX_HAMMING = 5  # <= bands - 1 keeps the band join exact
+
+_SIMHASH_WIDE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+th AS (SELECT doc_id, {h60_sql('w')} AS hw FROM tok),
+bits AS (SELECT unnest(range({SIMHASH_WIDE_BITS})) AS bit),
+per_bit AS (
+  SELECT doc_id, bit, sum(2 * ((hw // (1::BIGINT << CAST(bit AS INT))) % 2) - 1) AS s
+  FROM th CROSS JOIN bits GROUP BY 1, 2
+),
+sim AS (
+  SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << CAST(bit AS INT) ELSE 0 END) AS simhash
+  FROM per_bit GROUP BY 1
+),
+bands AS (
+  SELECT doc_id, simhash, b.band,
+         (simhash // (1::BIGINT << CAST(b.band * {_WIDE_BAND_BITS} AS INT))) % {1 << _WIDE_BAND_BITS} AS band_bits
+  FROM sim CROSS JOIN (SELECT unnest(range({SIMHASH_WIDE_BANDS})) AS band) b
+)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       bit_count(xor(x.simhash, y.simhash)) AS hamming
+FROM bands x JOIN bands y
+  ON x.band = y.band AND x.band_bits = y.band_bits AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {SIMHASH_WIDE_MAX_HAMMING}
+"""
+
+
+@register("dedup_simhash_wide", oracle=_SIMHASH_WIDE_ORACLE)
+def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash variant sized for 100 TB: full 60-bit h60 signatures in
+    {SIMHASH_WIDE_BANDS} x {_WIDE_BAND_BITS}-bit bands. The 32-bit variant's
+    8-bit bands give only 256 bucket values per band — at billions of docs
+    every bucket is huge; 10-bit bands quadruple the bucket space and the
+    wider signature makes hamming <= {SIMHASH_WIDE_MAX_HAMMING} a stricter
+    test. Above 2^53 a double divide-then-truncate no longer equals integer
+    shift, so bit extraction here is pure integer arithmetic on BOTH engines:
+    bit b of h tests ``h % 2^(b+1) >= 2^b``, band bits via ``%`` + ``div``.
+    Still exact (hamming bound < band count, pigeonhole), still one fold per
+    doc, zero shuffles before the band join."""
+    tok_h = spread(_docs(spark, sf_dir).select("doc_id", "text")).select(
+        "doc_id", F.transform(F.split("text", " "), lambda w: h60(w)).alias("hws")
+    )
+    pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_WIDE_BITS)])
+    bit_sums = F.aggregate(
+        F.col("hws"),
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_WIDE_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            pow2,
+            lambda s, p: s + F.when(h % (p + p) >= p, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    simhash = F.aggregate(
+        F.zip_with(bit_sums, pow2, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = tok_h.select("doc_id", simhash.alias("simhash"))
+    band_rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(band).alias("band"),
+                    F.expr(
+                        f"(simhash % {1 << ((band + 1) * _WIDE_BAND_BITS)}) "
+                        f"div {1 << (band * _WIDE_BAND_BITS)}"
+                    ).alias("band_bits"),
+                )
+                for band in range(SIMHASH_WIDE_BANDS)
+            ]
+        )
+    )
+    bands = sim.select("doc_id", "simhash", band_rows.alias("b")).select(
+        "doc_id", "simhash", "b.band", "b.band_bits"
+    ).persist()
+    x = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "band_bits")
+    y = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "band_bits")
+    hamming = F.bit_count(F.expr("sim_a ^ sim_b"))
+    return (
+        x.join(y, ["band", "band_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_WIDE_MAX_HAMMING)
+        .distinct()
+    )
+
+
 # --- embedding-cosine near-dup ------------------------------------------------------------
 
 

@@ -263,3 +263,69 @@ def window_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_id").over(t).alias("last_eid"),
         F.nth_value("event_id", 2).over(t).alias("second_eid"),
     )
+
+
+# --- EWMA smoothing ------------------------------------------------------------------
+
+EWMA_WINDOW = 16  # last-16 rows per user; alpha = 1/2
+
+# Weight table [2^-15, ..., 2^-1, 2^0] (oldest -> newest): every weight and
+# every partial weight-sum is an exact power-of-two double, so the weighted
+# fold is bit-identical across engines — the reason alpha is 1/2 and not 0.9.
+_EWMA_W = [2.0 ** -(EWMA_WINDOW - 1 - i) for i in range(EWMA_WINDOW)]
+_EWMA_W_SQL = "[" + ", ".join(repr(w) for w in _EWMA_W) + "]"
+
+
+@register(
+    "ewma_value_per_user",
+    oracle=f"""
+WITH arrs AS (
+  SELECT event_id, user_id,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW) AS arr
+  FROM events
+)
+SELECT event_id, user_id,
+       list_reduce(list_transform(range(1, len(arr) + 1),
+           i -> arr[i] * ({_EWMA_W_SQL})[{EWMA_WINDOW} - len(arr) + CAST(i AS INT)]),
+           (a, b) -> a + b)
+       /
+       list_reduce(list_transform(range(1, len(arr) + 1),
+           i -> ({_EWMA_W_SQL})[{EWMA_WINDOW} - len(arr) + CAST(i AS INT)]),
+           (a, b) -> a + b) AS ewma
+FROM arrs
+""",
+)
+def ewma_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of ``value`` per user (alpha =
+    1/2 over the trailing {EWMA_WINDOW} rows) — the smoothing the
+    reference's chart would apply client-side, as one shuffle + ordered
+    window + per-row fold. EWMA's recurrence is order-dependent and not a
+    built-in window aggregate, so the trailing frame is collected per row
+    (bounded at {EWMA_WINDOW} elements — constant state) and folded with
+    power-of-two weights, which keeps every partial IEEE-exact on both
+    engines. Truncating the window geometrically bounds the error at 2^-16
+    of the true infinite-history EWMA while making the operator
+    constant-memory at any history length."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_WINDOW - 1), Window.currentRow)
+    )
+    wtab = F.array(*[F.lit(x) for x in _EWMA_W])
+    arr = F.collect_list("value").over(w)
+    base = _events(spark, sf_dir).select("event_id", "user_id", arr.alias("arr"))
+    n = F.size("arr")
+    idx = F.sequence(F.lit(1), n)
+    weight_at = lambda i: F.element_at(wtab, F.lit(EWMA_WINDOW) - n + i)  # noqa: E731
+    num = F.aggregate(
+        F.zip_with(F.col("arr"), idx, lambda v, i: v * weight_at(i)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    den = F.aggregate(
+        F.transform(idx, lambda i: weight_at(i)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return base.select("event_id", "user_id", (num / den).alias("ewma"))

@@ -118,3 +118,111 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (1 input row -> N output rows) that real video frame extraction
     uses."""
     return frame_sample(media_table(spark, sf_dir))
+
+
+# --- perceptual-hash near-dup (multimodal x dedup crossover) --------------------------
+
+PHASH_PIXELS = 60  # bits in the average-hash (fits a signed long; bands below)
+PHASH_BANDS = 6
+_PHASH_BAND_BITS = PHASH_PIXELS // PHASH_BANDS
+PHASH_MAX_HAMMING = 5  # <= bands - 1 keeps the band join exact
+
+
+@register(
+    "phash_image_neardup",
+    oracle=f"""
+WITH {_MEDIA_CTE},
+px AS (
+  SELECT doc_id,
+         list_transform(range(0, {PHASH_PIXELS}),
+           i -> CAST(ascii(substr(text, CAST((i * length(text)) // 64 AS INT) + 1, 1)) AS BIGINT)) AS pixels
+  FROM media
+),
+hashed AS (
+  SELECT doc_id, pixels,
+         list_reduce(pixels, (a, b) -> a + b) AS psum
+  FROM px
+),
+ph AS (
+  SELECT doc_id,
+         list_reduce(list_transform(range(0, {PHASH_PIXELS}),
+           i -> CASE WHEN {PHASH_PIXELS} * pixels[CAST(i AS INT) + 1] > psum
+                     THEN 1::BIGINT << CAST(i AS INT) ELSE 0 END),
+           (a, b) -> a + b) AS phash
+  FROM hashed
+),
+bands AS (
+  SELECT doc_id, phash, b.band,
+         (phash // (1::BIGINT << CAST(b.band * {_PHASH_BAND_BITS} AS INT))) % {1 << _PHASH_BAND_BITS} AS band_bits
+  FROM ph CROSS JOIN (SELECT unnest(range({PHASH_BANDS})) AS band) b
+)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       bit_count(xor(x.phash, y.phash)) AS hamming
+FROM bands x JOIN bands y
+  ON x.band = y.band AND x.band_bits = y.band_bits AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.phash, y.phash)) <= {PHASH_MAX_HAMMING}
+""",
+)
+def phash_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash near-duplicate detection over the media
+    payloads — the image-dedup member of the dedup family: sample
+    {PHASH_PIXELS} evenly-spaced payload bytes as the 'thumbnail' (the
+    deterministic stand-in for decode+downsample; a real pipeline swaps in a
+    Pandas-UDF codec producing the same {PHASH_PIXELS}-value vector), set
+    bit i when pixel_i exceeds the thumbnail mean, then find pairs within
+    hamming {PHASH_MAX_HAMMING} via the exact {PHASH_BANDS}-band pigeonhole
+    join (same machinery as SimHash). The mean comparison is integer
+    cross-multiplication ({PHASH_PIXELS}*px > sum), the sample position an
+    exact power-of-two division — every step bit-identical across engines.
+    Zero shuffles before the band join; scales like the other banded
+    dedups."""
+    # payload is the UTF-8 encoding of ASCII text: byte k == char code of
+    # text[k+1] and octet_length(payload) == length(text), so the byte
+    # sampling runs on the text column directly — no join needed.
+    n = F.length("text").cast("long")
+    pixels = F.transform(
+        F.sequence(F.lit(0), F.lit(PHASH_PIXELS - 1)),
+        lambda i: F.ascii(F.col("text").substr(((i * n) / 64).cast("int") + 1, F.lit(1))).cast("long"),
+    )
+    docs_text = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    px = docs_text.select("doc_id", pixels.alias("pixels"))
+    hashed = px.select(
+        "doc_id", "pixels", F.aggregate("pixels", F.lit(0).cast("long"), lambda a, b: a + b).alias("psum")
+    )
+    pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(PHASH_PIXELS)])
+    phash = F.aggregate(
+        F.zip_with(
+            F.col("pixels"), pow2,
+            lambda px_v, p: F.when(px_v * PHASH_PIXELS > F.col("psum"), p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    ph = hashed.select("doc_id", phash.alias("phash"))
+    band_rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(band).alias("band"),
+                    F.expr(
+                        f"(phash % {1 << ((band + 1) * _PHASH_BAND_BITS)}) "
+                        f"div {1 << (band * _PHASH_BAND_BITS)}"
+                    ).alias("band_bits"),
+                )
+                for band in range(PHASH_BANDS)
+            ]
+        )
+    )
+    bands = ph.select("doc_id", "phash", band_rows.alias("b")).select(
+        "doc_id", "phash", "b.band", "b.band_bits"
+    ).persist()
+    x = bands.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a"), "band", "band_bits")
+    y = bands.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"), "band", "band_bits")
+    hamming = F.bit_count(F.expr("ph_a ^ ph_b"))
+    return (
+        x.join(y, ["band", "band_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .distinct()
+    )

@@ -661,3 +661,46 @@ def sql_frontend_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFram
         JOIN nation_{tag} n ON n.n_nationkey = c.c_nationkey
         GROUP BY n.n_name
     """)
+
+
+# --- correlated subquery (decorrelated to a window) ------------------------------------
+
+
+@register(
+    "orders_above_customer_avg",
+    oracle="""
+WITH stats AS (
+  SELECT *,
+         CAST(avg(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_avg,
+         count(*) OVER (PARTITION BY o_custkey) AS cust_orders
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice, cust_avg, cust_orders
+FROM stats
+WHERE cust_orders > 1 AND CAST(o_totalprice AS DOUBLE) > cust_avg
+""",
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated-scalar-subquery shape (``WHERE o_totalprice > (SELECT
+    avg(...) FROM orders i WHERE i.o_custkey = o.o_custkey)``) in its
+    decorrelated form — an analytic window over the correlation key, which
+    is how Catalyst itself rewrites such subqueries: ONE shuffle on
+    o_custkey instead of a per-row re-aggregation. The per-customer mean is
+    a DECIMAL sum divided once (exact, order-independent); single-order
+    customers are excluded (a row is never above its own degenerate
+    average)."""
+    w = Window.partitionBy("o_custkey")
+    o = load_table(spark, sf_dir, "orders")
+    dec_sum = F.sum(F.col("o_totalprice").cast(DEC)).over(w)
+    n = F.count(F.lit(1)).over(w)
+    stats = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        (dec_sum.cast("double") / n).alias("cust_avg"),
+        n.alias("cust_orders"),
+    )
+    return stats.filter(
+        (F.col("cust_orders") > 1)
+        & (F.col("o_totalprice").cast("double") > F.col("cust_avg"))
+    )

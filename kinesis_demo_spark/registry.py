@@ -80,8 +80,11 @@ PRIORITY_ORDER = (
     "sequence_packing",
     "embedding_quantize_int8",
     "dedup_contamination_check",
-    # SURVEY §2 reference-parity core (S/Q/A/W/F rows)
-    "agg_window_count",
+    "streaming_interval_join",
+    # SURVEY §2 reference-parity core (S/Q/A/W/F rows). agg_window_count sits
+    # below the cap: its entire output (user, window, cnt) is a projection of
+    # agg_window_movs_stats' columns over the same movement_aggregates plan,
+    # so A1/W1 keep a hard-signal row without spending two slots.
     "agg_window_movs_stats",
     "serving_forward_poll",
     "serving_reverse_limit",

@@ -23,6 +23,7 @@ FAMILY_REPRESENTATIVES = {
     "contamination": ("dedup_contamination_check",),
     "multimodal": ("multimodal_metadata", "multimodal_decode_features", "multimodal_frame_sample"),
     "streaming": ("streaming_window_counts",),
+    "stream_stream_join": ("streaming_interval_join",),
     "sessionize": ("sessionize_events", "sessionize_stateful_streaming"),
     "stats": ("stats_moments_percentiles_by_type", "stats_corr_value_props"),
     "approx_sketch": ("approx_percentiles_value",),
@@ -33,7 +34,7 @@ FAMILY_REPRESENTATIVES = {
     "pandas_udf": ("pandas_udf_text_normalize", "grouped_pandas_user_stats"),
     "reshape": ("pivot_value_by_type_per_user", "unpivot_order_amounts", "posexplode_document_tokens"),
     "serving_q": ("serving_forward_poll", "serving_reverse_limit", "serving_cursor_bootstrap"),
-    "window_agg": ("agg_window_count", "agg_window_movs_stats", "last10_per_user"),
+    "window_agg": ("agg_window_movs_stats", "last10_per_user"),
     "heatmap_locf": ("heatmap_rollup", "locf_impute_value"),
     "scalar_parity": ("scalar_functions_parity",),
     "uuid": ("uuid_generate",),

@@ -70,6 +70,7 @@ HEADLINE = (
     "text_tfidf",
     "multimodal_decode_features",
     "pipeline_training_corpus",
+    "pipeline_training_manifest",
     "dedup_contamination_check",
     "sample_stratified_documents",
     "sequence_packing",

@@ -226,3 +226,111 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.row_number().over(w).cast("long").alias("rnk"))
         .filter(F.col("rnk") <= RESERVOIR_K)
     )
+
+
+# --- the composed end-to-end training manifest ---------------------------------------
+
+from ..functions.vectors import dot_fold_sql, sign_bucket_sql  # noqa: E402
+from .dedup import (  # noqa: E402
+    COSINE_DUP_THRESHOLD,
+    COSINE_LSH_DIMS,
+    JACCARD_THRESHOLD,
+    QUALITY_MIN_TOKENS,
+    _SHINGLE_CTES,
+    dedup_embedding_cosine_lsh,
+    dedup_ngram_jaccard,
+)
+
+
+@register(
+    "pipeline_training_manifest",
+    oracle=f"""
+WITH RECURSIVE
+{_SHINGLE_CTES},
+quality AS (
+  SELECT doc_id, text, lang FROM documents
+  WHERE len(string_split(text, ' ')) >= {QUALITY_MIN_TOKENS}
+),
+exact_survivors AS (
+  SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+),
+ngram_losers AS (
+  SELECT DISTINCT doc_b AS doc_id FROM pairs
+  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+),
+vb AS (
+  SELECT vec_id, embedding,
+         sqrt({dot_fold_sql('embedding', 'embedding')}) AS nrm,
+         {sign_bucket_sql('embedding', COSINE_LSH_DIMS)} AS bucket
+  FROM embeddings
+),
+emb_losers AS (
+  SELECT DISTINCT b.vec_id AS doc_id
+  FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {dot_fold_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
+),
+survivors AS (
+  SELECT s.doc_id FROM exact_survivors s
+  WHERE NOT EXISTS (SELECT 1 FROM ngram_losers l WHERE l.doc_id = s.doc_id)
+    AND NOT EXISTS (SELECT 1 FROM emb_losers e WHERE e.doc_id = s.doc_id)
+),
+sampled AS (
+  SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents d JOIN survivors USING (doc_id)
+  WHERE {h60_sql("CAST(d.doc_id AS VARCHAR)")} % 100 < {_rate_case_sql().replace("lang", "d.lang")}
+),
+d2 AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard, n_tokens,
+         row_number() OVER (PARTITION BY doc_id % {PACK_SHARDS} ORDER BY doc_id) AS rn
+  FROM sampled
+),
+packed(shard, rn, doc_id, n_tokens, bin, bin_toks) AS (
+  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+  FROM d2 WHERE rn = 1
+  UNION ALL
+  SELECT d2.shard, d2.rn, d2.doc_id, d2.n_tokens,
+         CASE WHEN p.bin_toks + d2.n_tokens > {PACK_BUDGET_TOKENS}
+              THEN p.bin + 1 ELSE p.bin END,
+         CASE WHEN p.bin_toks + d2.n_tokens > {PACK_BUDGET_TOKENS}
+              THEN d2.n_tokens ELSE p.bin_toks + d2.n_tokens END
+  FROM packed p JOIN d2 ON d2.shard = p.shard AND d2.rn = p.rn + 1
+)
+SELECT doc_id, shard, bin, n_tokens FROM packed
+""",
+)
+def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data pipeline as one Catalyst DAG — the engine's
+    integration flagship: quality gate -> exact dedup -> text near-dup
+    removal (inverted-index Jaccard) -> embedding near-dup removal
+    (sign-bucket LSH + exact cosine) -> stratified hash sampling -> greedy
+    per-shard sequence packing. Returns the trainer-ready manifest
+    (doc_id, shard, bin, n_tokens). Every stage is a DataFrame transform, so
+    nothing materializes between stages except the documented signature
+    caches; the anti joins stay keyed (planner free to pick strategy), the
+    sample is a pushed filter, and only the final packing crosses into
+    Python — one Arrow batch per shard."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    quality = docs.filter(F.size(F.split("text", " ")) >= QUALITY_MIN_TOKENS)
+    exact_survivors = quality.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    ngram_losers = dedup_ngram_jaccard(spark, sf_dir).select(F.col("doc_b").alias("doc_id")).distinct()
+    emb_losers = (
+        dedup_embedding_cosine_lsh(spark, sf_dir).select(F.col("vec_b").alias("doc_id")).distinct()
+    )
+    survivors = (
+        exact_survivors.select("doc_id")
+        .join(ngram_losers, "doc_id", "left_anti")
+        .join(emb_losers, "doc_id", "left_anti")
+    )
+    rate = F.lit(DEFAULT_RATE_PCT)
+    for k, v in reversed(SAMPLE_RATES_PCT.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    sampled = (
+        survivors.join(docs.select("doc_id", "lang", "text"), "doc_id")
+        .filter((h60(F.col("doc_id").cast("string")) % 100) < rate)
+        .select(
+            "doc_id",
+            (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+    )
+    return sampled.groupBy("shard").applyInPandas(_pack_shard, schema=_PACK_SCHEMA)

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from ..functions.hashing import h60
 from ..io import load_table
 from ..registry import register
 
@@ -329,3 +330,72 @@ def ewma_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: a + b,
     )
     return base.select("event_id", "user_id", (num / den).alias("ewma"))
+
+
+# --- count-min sketch heavy hitters ---------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+@register(
+    "heavy_hitters_cms",
+    oracle=f"""
+WITH rows_j AS (
+  SELECT user_id, j.j,
+         list_reduce(list_transform(string_split_regex(substr(md5(CAST(j.j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)),1,15),''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x,y) -> x*16 + y) % {CMS_WIDTH} AS col
+  FROM events CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS j) j
+),
+counters AS (
+  SELECT j, col, count(*) AS cnt FROM rows_j GROUP BY 1, 2
+),
+keys AS (
+  SELECT DISTINCT user_id FROM events
+),
+key_cells AS (
+  SELECT k.user_id, j.j, list_reduce(list_transform(string_split_regex(substr(md5(CAST(j.j AS VARCHAR) || ':' || CAST(k.user_id AS VARCHAR)),1,15),''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (x,y) -> x*16 + y) % {CMS_WIDTH} AS col
+  FROM keys k CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS j) j
+),
+est AS (
+  SELECT kc.user_id, min(c.cnt) AS cms_est
+  FROM key_cells kc JOIN counters c ON c.j = kc.j AND c.col = kc.col
+  GROUP BY kc.user_id
+),
+exact AS (
+  SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1
+)
+SELECT e.user_id, x.exact_cnt, e.cms_est
+FROM est e JOIN exact x USING (user_id)
+""",
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation per user, alongside the exact
+    count — the mergeable constant-memory sketch for heavy-hitter detection
+    at 100 TB (the sketch state is depth x width = {CMS_DEPTH}x{CMS_WIDTH}
+    counters regardless of key cardinality; counters from different
+    partitions/streams merge by addition). Hash functions are h60 over
+    ``j:key``, fully deterministic, so unlike most sketches this one is
+    value-hash checked — the oracle builds the identical sketch. The
+    estimate is an upper bound (collisions only ever inflate), which
+    tests/test_analytics.py pins as cms_est >= exact_cnt."""
+    j_arr = F.array(*[F.lit(j) for j in range(CMS_DEPTH)])
+    ev = _events(spark, sf_dir)
+
+    def cell(j_col, key_col):
+        return h60(F.concat(j_col.cast("string"), F.lit(":"), key_col.cast("string"))) % CMS_WIDTH
+
+    rows_j = ev.select("user_id", F.explode(j_arr).alias("j")).select(
+        "user_id", "j", cell(F.col("j"), F.col("user_id")).alias("col")
+    )
+    counters = rows_j.groupBy("j", "col").agg(F.count(F.lit(1)).alias("cnt"))
+    keys = ev.select("user_id").distinct()
+    key_cells = keys.select("user_id", F.explode(j_arr).alias("j")).select(
+        "user_id", "j", cell(F.col("j"), F.col("user_id")).alias("col")
+    )
+    est = (
+        key_cells.join(counters, ["j", "col"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return est.join(exact, "user_id").select("user_id", "exact_cnt", "cms_est")

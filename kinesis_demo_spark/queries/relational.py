@@ -671,7 +671,8 @@ def sql_frontend_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
 WITH stats AS (
   SELECT *,
-         CAST(avg(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_avg,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+           / count(*) OVER (PARTITION BY o_custkey) AS cust_avg,
          count(*) OVER (PARTITION BY o_custkey) AS cust_orders
   FROM orders
 )

@@ -27,7 +27,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_set_event_types",
     oracle="""
 SELECT user_id,
-       list_sort(list(DISTINCT event_type)) AS event_types,
+       array_to_string(list_sort(list(DISTINCT event_type)), '|') AS event_types,
        CAST(len(list(DISTINCT event_type)) AS INT) AS n_types
 FROM events
 GROUP BY user_id
@@ -35,12 +35,16 @@ GROUP BY user_id
 )
 def agg_collect_set_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped distinct collection, sorted for determinism (collect_set
-    order is undefined in Spark and arbitrary in DuckDB)."""
+    order is undefined in Spark and arbitrary in DuckDB). Emitted as a
+    '|'-joined scalar: the differential harness canonicalizes via pandas
+    sort_values, which cannot sort list-valued columns."""
     return (
         _events(spark, sf_dir)
         .groupBy("user_id")
         .agg(
-            F.sort_array(F.collect_set("event_type")).alias("event_types"),
+            F.array_join(F.sort_array(F.collect_set("event_type")), "|").alias(
+                "event_types"
+            ),
             F.size(F.collect_set("event_type")).alias("n_types"),
         )
     )

@@ -100,10 +100,14 @@ def _arrow_norm_batches(batches):
     for batch in batches:
         vec_ids = batch.column("vec_id")
         emb = batch.column("embedding")
-        norms = [
-            float(np.sqrt(np.add.reduce(np.asarray(v.as_py(), dtype="float64") ** 2)))
-            for v in emb
-        ]
+        # cumsum == np.add.accumulate: a strictly sequential left-to-right
+        # IEEE fold (each partial depends on the previous), unlike
+        # np.add.reduce, which uses pairwise summation for float64 and
+        # diverges from the oracle's list_reduce in the last ulp.
+        norms = []
+        for v in emb:
+            sq = np.asarray(v.as_py(), dtype="float64") ** 2
+            norms.append(float(np.sqrt(sq.cumsum()[-1])) if sq.size else 0.0)
         yield pa.RecordBatch.from_arrays(
             [vec_ids, pa.array(norms, type=pa.float64())], names=["vec_id", "nrm"]
         )
@@ -120,10 +124,11 @@ FROM embeddings
 def map_in_arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fifth and last Python-vectorization surface: ``mapInArrow`` —
     raw pyarrow RecordBatches in and out, skipping even the pandas
-    conversion the other shapes pay. Kernel computes per-vector L2 norms;
-    numpy's pairwise summation is replaced by ``np.add.reduce`` over
-    float64 in index order, which performs the identical left-to-right IEEE
-    fold as the JVM-side ``dot_fold`` and the DuckDB oracle — so even this
-    Python path is value-hash exact. Per-batch streaming, zero shuffles."""
+    conversion the other shapes pay. Kernel computes per-vector L2 norms
+    with ``cumsum`` (``np.add.accumulate``), a strictly sequential
+    left-to-right IEEE fold identical to the JVM-side ``dot_fold`` and the
+    DuckDB oracle's ``list_reduce`` — so even this Python path is
+    value-hash exact (``np.add.reduce``/``np.sum`` would NOT be: numpy
+    uses pairwise summation there). Per-batch streaming, zero shuffles."""
     emb = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     return emb.mapInArrow(_arrow_norm_batches, schema="vec_id long, nrm double")

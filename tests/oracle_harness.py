@@ -1,19 +1,32 @@
 """Local mirror of the driver's correctness gate: run each registered PySpark
 query and its DuckDB oracle SQL on the same parquet fixtures and compare
-row count, column names, and order-insensitive values.
+row count, column names, and an order-insensitive *bit-exact* value hash.
 
-Comparison is strict by default (exact equality after canonicalization);
-floats tolerate only tiny relative error so genuine semantic drift fails
-loudly while cross-engine last-ulp noise does not.
+Driver-faithful canonicalization (round-3 lesson): the driver materializes
+both results as pandas frames, sorts columns by name, row-sorts via
+``sort_values``, then value-hashes with a dtype-sensitive per-row hash
+(``pd.util.hash_pandas_object``). That makes two failure modes visible that a
+tolerant row-compare masks:
+
+- dtype drift: DuckDB HUGEINT lands in pandas as float64, so ``1.0`` vs
+  Spark's int64 ``1`` hash-mismatches even though ``==`` holds (the r3
+  ``sessionize_events`` red row);
+- unhashable cells: array-typed output columns raise
+  ``unhashable type: 'list'`` inside the hash (the r3
+  ``agg_collect_set_event_types`` red row).
+
+This harness reproduces both on the pre-fix code, so below-cap queries meet
+the same bar as driver-checked ones. There is deliberately NO float-tolerance
+path: every oracled query must be engineered for cross-engine bit-exactness
+(ordered folds, decimal sums, integer-exact bit extraction — see
+cross-engine-parity notes in the query docstrings).
 """
 
 from __future__ import annotations
 
-import math
-from datetime import datetime
-from decimal import Decimal
-
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = (
     "region",
@@ -38,62 +51,74 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _canon(v):
-    if v is None:
-        return ("null",)
-    if isinstance(v, bool):
-        return ("b", v)
-    if isinstance(v, Decimal):
-        return ("f", float(v))
-    if isinstance(v, float):
-        return ("f", v)
-    if isinstance(v, int):
-        return ("i", v)
-    if isinstance(v, datetime):
-        return ("t", v.replace(tzinfo=None).isoformat())
-    if isinstance(v, (list, tuple)):
-        return ("l", tuple(_canon(x) for x in v))
-    return ("s", str(v))
+def _canon_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Column-sort, normalize timestamp unit/tz (both engines emit equal
+    instants at different physical units — us vs ns — which is representation,
+    not value), then row-sort. Everything else keeps its dtype so int/float
+    drift stays visible."""
+    import datetime as _dt
+
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if isinstance(pdf[c].dtype, pd.DatetimeTZDtype):
+            pdf[c] = pdf[c].dt.tz_convert("UTC").dt.tz_localize(None)
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("datetime64[ns]")
+        elif pdf[c].dtype == object:
+            # Spark DATE arrives as object-of-datetime.date while DuckDB DATE
+            # arrives as datetime64[ns]; the driver treats these as equal
+            # (scalar_extended_battery was green in r3 with two DATE columns),
+            # so both sides normalize to datetime64[ns].
+            nonnull = pdf[c].dropna()
+            if len(nonnull) and all(
+                type(v) is _dt.date for v in nonnull
+            ):
+                pdf[c] = pd.to_datetime(pdf[c])
+    if len(pdf.columns):
+        pdf = pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+    return pdf
 
 
-def _values_match(a, b, rel_tol=1e-9) -> bool:
-    if a == b:
-        return True
-    if a[0] == "f" and b[0] == "f":
-        return math.isclose(a[1], b[1], rel_tol=rel_tol, abs_tol=1e-12)
-    if a[0] == "l" and b[0] == "l" and len(a[1]) == len(b[1]):
-        return all(_values_match(x, y, rel_tol) for x, y in zip(a[1], b[1]))
-    return False
+def _row_hashes(pdf: pd.DataFrame) -> np.ndarray:
+    return pd.util.hash_pandas_object(pdf, index=False).to_numpy()
 
 
 def compare(spark_df, con, sql: str, name: str = "?") -> list[str]:
     """Return a list of mismatch descriptions (empty == pass)."""
     problems: list[str] = []
-    spark_rows = spark_df.collect()
-    spark_cols = list(spark_df.columns)
+    spark_pdf = spark_df.toPandas()
+    oracle_pdf = con.execute(sql).df()
 
-    res = con.execute(sql)
-    oracle_cols = [d[0] for d in res.description]
-    oracle_rows = res.fetchall()
-
-    if sorted(spark_cols) != sorted(oracle_cols):
-        problems.append(f"{name}: columns differ spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}")
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        problems.append(
+            f"{name}: columns differ spark={sorted(spark_pdf.columns)} "
+            f"oracle={sorted(oracle_pdf.columns)}"
+        )
         return problems
-    if len(spark_rows) != len(oracle_rows):
-        problems.append(f"{name}: row count spark={len(spark_rows)} oracle={len(oracle_rows)}")
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(
+            f"{name}: row count spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+        )
 
-    order = sorted(spark_cols)
-    s_idx = [spark_cols.index(c) for c in order]
-    o_idx = [oracle_cols.index(c) for c in order]
-    s_canon = sorted(tuple(_canon(r[i]) for i in s_idx) for r in spark_rows)
-    o_canon = sorted(tuple(_canon(r[i]) for i in o_idx) for r in oracle_rows)
+    try:
+        s = _canon_pdf(spark_pdf)
+        o = _canon_pdf(oracle_pdf)
+        hs = _row_hashes(s)
+        ho = _row_hashes(o)
+    except TypeError as e:  # the driver's `unhashable type: 'list'` mode
+        problems.append(f"{name}: harness error: {e}")
+        return problems
 
-    n_bad = 0
-    for srow, orow in zip(s_canon, o_canon):
-        if not all(_values_match(a, b) for a, b in zip(srow, orow)):
-            n_bad += 1
-            if n_bad <= 3:
-                problems.append(f"{name}: row mismatch spark={srow} oracle={orow}")
-    if n_bad > 3:
-        problems.append(f"{name}: ... {n_bad} mismatched rows total")
+    if len(hs) == len(ho):
+        bad = np.nonzero(hs != ho)[0]
+        for i in bad[:3]:
+            problems.append(
+                f"{name}: row {i} mismatch\n  spark ={s.iloc[i].to_dict()} "
+                f"dtypes={dict(s.dtypes.astype(str))}\n  oracle={o.iloc[i].to_dict()} "
+                f"dtypes={dict(o.dtypes.astype(str))}"
+            )
+        if len(bad) > 3:
+            problems.append(f"{name}: ... {len(bad)} mismatched rows total")
     return problems

@@ -17,7 +17,7 @@ from kinesis_demo_spark.registry import (
 FAMILY_REPRESENTATIVES = {
     "text": ("text_lang_id", "text_quality_score", "text_token_count", "text_fingerprint"),
     "tfidf": ("text_tfidf",),
-    "sampling": ("sample_stratified_documents",),
+    "sampling": ("sample_stratified_documents", "sample_k_per_group"),
     "packing": ("sequence_packing",),
     "quantization": ("embedding_quantize_int8",),
     "contamination": ("dedup_contamination_check",),
@@ -26,7 +26,17 @@ FAMILY_REPRESENTATIVES = {
     "stream_stream_join": ("streaming_interval_join",),
     "sessionize": ("sessionize_events", "sessionize_stateful_streaming"),
     "stats": ("stats_moments_percentiles_by_type", "stats_corr_value_props"),
-    "approx_sketch": ("approx_percentiles_value",),
+    # approx_percentiles_value / uuid_generate are oracle=None (permanent
+    # `no_oracle` driver rows) so they never hold cap slots; the sketch family
+    # is represented by the hash-checkable count-min-sketch query and F1's
+    # parity lives in scalar_functions_parity's md5 surrogate.
+    "approx_sketch": ("heavy_hitters_cms",),
+    "pii": ("text_pii_redact",),
+    "training_pipeline": ("pipeline_training_corpus", "pipeline_training_manifest"),
+    "map_in_arrow": ("map_in_arrow_vector_norms",),
+    "ewma": ("ewma_value_per_user",),
+    "phash": ("phash_image_neardup",),
+    "subquery_decorrelation": ("orders_above_customer_avg",),
     "window_funcs": ("window_functions_battery",),
     "scalar_extended": ("scalar_extended_battery", "scalar_array_functions"),
     "wire": ("json_wire_roundtrip",),
@@ -37,7 +47,6 @@ FAMILY_REPRESENTATIVES = {
     "window_agg": ("agg_window_movs_stats", "last10_per_user"),
     "heatmap_locf": ("heatmap_rollup", "locf_impute_value"),
     "scalar_parity": ("scalar_functions_parity",),
-    "uuid": ("uuid_generate",),
     "json": ("json_extract_props",),
     "relational_agg": ("tpch_q1_pricing_summary",),
     "relational_join": ("star_join_revenue_by_region",),

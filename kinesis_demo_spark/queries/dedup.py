@@ -215,25 +215,70 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale shape: high-df shingles sort last and drop out of every prefix, so
     the hot-shingle bucket blow-up — the one skew risk of the plain inverted
     index — never reaches the pair join. Costs one extra shuffle (the df
-    join + per-doc rank); at 100 TB the pruned pair explosion dominates that
-    by orders of magnitude."""
-    from pyspark.sql.window import Window
+    aggregation); at 100 TB the pruned pair explosion dominates that by
+    orders of magnitude.
 
+    The per-doc rarity rank deliberately avoids a row_number window (a full
+    shuffle+sort of the exploded index, the r3 hot spot): after the df join —
+    which AQE broadcast-converts while the distinct-shingle table is small
+    and degrades to a plain shuffle join at scale — shingles regroup per doc
+    and the rank falls out of a per-row ``sort_array`` over the bounded
+    (df, shingle) struct array, inside whole-stage codegen. Correctness never
+    depends on the order being rarity: the AllPairs prefix theorem holds for
+    ANY global total order, and (df, s) is one."""
+    t = JACCARD_THRESHOLD
     sh = _shingled(spark, sf_dir)
     ex = sh.select("doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
     df_tbl = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    ranked = ex.join(df_tbl, "s").withColumn(
-        "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s"))
+    prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(t)) + 1
+    ordered = (
+        # broadcast hint: the df side is the DISTINCT-shingle table — it grows
+        # sublinearly with the corpus (vocabulary saturation), and while it
+        # fits this turns candidate prep into a map-only stage; drop the hint
+        # for open-ended shingle spaces and AQE falls back to a shuffle join.
+        ex.join(F.broadcast(df_tbl), "s")
+        .groupBy("doc_id", "n")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "s"))).alias("by_rarity"))
     )
-    prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(JACCARD_THRESHOLD)) + 1
-    prefix = ranked.filter(F.col("rn") <= prefix_len).select("doc_id", "s")
-    cands = (
-        prefix.select(F.col("doc_id").alias("doc_a"), "s")
-        .join(prefix.select(F.col("doc_id").alias("doc_b"), "s"), "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    # (doc_id, n, shingle, 1-based rarity position) for the prefix only;
+    # persisted because it feeds BOTH sides of the candidate self-join — as
+    # pure lineage the shingle+df+sort pipeline would run twice.
+    prefix = ordered.select(
+        "doc_id",
+        "n",
+        F.posexplode(F.slice("by_rarity", F.lit(1), prefix_len)).alias("p0", "e"),
+    ).select(
+        "doc_id", "n", (F.col("p0") + 1).alias("p"), F.col("e.df").alias("df"), F.col("e.s").alias("s")
     )
+    prefix = prefix.persist()
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), F.col("p").alias("pa"), "df", "s"
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), F.col("p").alias("pb"), "s"
+    )
+    # PPJoin pruning (both filters are conservative — verification is exact):
+    # - length: J >= t forces t*max(na,nb) <= min(na,nb);
+    # - positional, applied at each pair's FIRST common prefix shingle (the
+    #   min over the global (df,s) order, where "no earlier common element"
+    #   makes 1 + min(na-pa, nb-pb) a true overlap upper bound), against the
+    #   equivalent-overlap requirement inter >= t/(1+t) * (na+nb).
+    first_cooc = (
+        a.join(b, "s")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("na") >= t * F.col("nb"))
+            & (F.col("nb") >= t * F.col("na"))
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min(F.struct("df", "s", "pa", "pb", "na", "nb")).alias("f"))
+        .select("doc_a", "doc_b", "f.pa", "f.pb", "f.na", "f.nb")
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")
+    )
+    min_overlap = F.ceil(F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb")))
+    cands = first_cooc.filter(ubound >= min_overlap).select("doc_a", "doc_b")
     return _jaccard_verified(cands, sh, JACCARD_THRESHOLD)
 
 

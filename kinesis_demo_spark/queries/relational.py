@@ -465,10 +465,17 @@ GROUP BY o.o_orderkey
 )
 def range_join_events_before_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band/range join: events in the 24 h window before each order, per key.
-    The equi-condition on the key carries the shuffle; the time band is a
-    post-join filter — the shape Spark executes as an equi-join, not a
-    cartesian. (A pure range join with no equi key would need bucketized
-    time-bin blow-up; the key makes that unnecessary here.)"""
+
+    The equi-key is COMPOSITE — (key, day_bucket) — so the shuffle fans out
+    over |keys| x |distinct days| reduce partitions instead of capping
+    parallelism at CUSTKEY_MOD=16 keys (a hard ceiling and guaranteed skew at
+    100x scale). The 24 h band relative to a date boundary spans at most two
+    calendar days, so each event is credited to its own day and the next
+    (explode of two buckets = bounded 2x replication of the already
+    prefiltered probe side); exactly one replica can satisfy the bucket
+    equality for a given order, so the band filter introduces no duplicates.
+    The time band itself stays a post-join filter — the shape Spark executes
+    as an equi-join, never a cartesian."""
     orders = load_table(spark, sf_dir, "orders")
     # constraint-derived prefilter: the equi-key is
     # o_custkey % CUSTKEY_MOD ∈ [0, CUSTKEY_MOD), so events outside that key
@@ -476,11 +483,21 @@ def range_join_events_before_orders(spark: SparkSession, sf_dir: str) -> DataFra
     # at this fixture's user cardinality (Catalyst cannot infer range
     # constraints through %, so it is stated explicitly); bounds and join key
     # derive from the same constant so they cannot drift
-    events = load_table(spark, sf_dir, "events").filter(
-        (F.col("user_id") >= 0) & (F.col("user_id") < CUSTKEY_MOD)
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("user_id") >= 0) & (F.col("user_id") < CUSTKEY_MOD))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.explode(
+                F.array(F.to_date("ts"), F.date_add(F.to_date("ts"), 1))
+            ).alias("day_bucket"),
+        )
     )
     cond = (
         (events.user_id == orders.o_custkey % CUSTKEY_MOD)
+        & (events.day_bucket == F.to_date(orders.o_orderdate))
         & (events.ts > orders.o_orderdate - F.expr("INTERVAL 1 DAY"))
         & (events.ts <= orders.o_orderdate)
     )

@@ -69,6 +69,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# DataFrames persisted by query plans (dedup signature tables, multimodal
+# feature tables feed both sides of a self-join). A query function cannot
+# unpersist before returning — the caller hasn't run the action yet — so
+# persists are tracked here and released by the caller once its action
+# completes (bench.py and tests/oracle_harness.py do; long-lived sessions
+# running many queries should too, or cached blocks accumulate until the
+# session ends).
+_TRACKED_PERSISTS: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """persist() + register for release_persisted(). Use for any cache whose
+    lifetime must extend past the query function's return (self-join inputs
+    materialized once, consumed by the caller's action)."""
+    df = df.persist()
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every tracked cache; returns how many were released. Safe to
+    call at any time — releasing between a query's build and its action only
+    costs recomputation, never correctness."""
+    n = 0
+    while _TRACKED_PERSISTS:
+        df = _TRACKED_PERSISTS.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n
+
+
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Round-robin repartition before compute-heavy per-row stages.
 

@@ -40,13 +40,15 @@ SESSION_SCHEMA = T.StructType(
     ]
 )
 
-# Open-session state: epoch-us bounds + counts + cents accumulator.
+# Open-session state: epoch-us bounds + counts + cents accumulator + a
+# dropped-row counter (rows predating the open session, non-strict mode).
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("start_us", T.LongType(), False),
         T.StructField("end_us", T.LongType(), False),
         T.StructField("n", T.LongType(), False),
         T.StructField("cents", T.LongType(), False),
+        T.StructField("dropped", T.LongType(), False),
     ]
 )
 
@@ -74,74 +76,96 @@ def batch_sessionize(events: DataFrame, gap_ms: int = SESSION_GAP_MS) -> DataFra
     )
 
 
-def _sessionize_group(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
-) -> Iterator[pd.DataFrame]:
-    """Stateful kernel: fold this batch's events (ts-sorted) into the open
-    session; emit every session closed by a gap, keep the trailing open one
-    in state for the next micro-batch."""
-    (user_id,) = key
-    if state.exists:
-        start_us, end_us, n, cents = state.get
-    else:
-        start_us = end_us = -1
-        n = cents = 0
+def _make_sessionize_group(strict: bool):
+    """Build the stateful kernel with the chosen late-data policy baked in
+    (applyInPandasWithState takes a fixed-arity function, so the flag is a
+    closure, not a column)."""
 
-    closed: list[tuple] = []
-    # A group's rows can arrive as MULTIPLE Arrow chunks per micro-batch, in
-    # no guaranteed order — gather the whole batch, sort once, then fold.
-    chunks = [pdf for pdf in pdfs if len(pdf)]
-    if chunks:
-        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
-        ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
-        ev_cents = (pdf["value"] * 100).round().astype("int64")
-        for t_us, c in zip(ts_us, ev_cents):
-            if n == 0:
-                start_us, end_us, n, cents = t_us, t_us, 1, int(c)
-            elif t_us < start_us:
-                # Cross-micro-batch contract: the source must deliver each
-                # key's events watermark-ordered ACROSS batches (in-batch
-                # disorder is handled by the sort above). An event older
-                # than the open session's start would have belonged to an
-                # earlier — possibly already-emitted — session; silently
-                # folding it in diverges from batch_sessionize, so fail
-                # loudly instead.
-                raise ValueError(
-                    f"streaming_sessionize: out-of-order event for user "
-                    f"{user_id} at {t_us}us predates the open session start "
-                    f"{start_us}us — the input stream must be "
-                    f"watermark-ordered per key across micro-batches"
-                )
-            # gap compared in whole milliseconds exactly like the batch/
-            # oracle side (unix_millis/epoch_ms floor each timestamp to ms
-            # BEFORE subtracting — floor(a)-floor(b) != floor(a-b) for
-            # sub-ms components)
-            elif (t_us // 1000) - (end_us // 1000) > SESSION_GAP_MS:
-                closed.append((user_id, start_us, end_us, n, cents / 100.0))
-                start_us, end_us, n, cents = t_us, t_us, 1, int(c)
-            else:
-                # max() guards the in-session late arrival (t_us < end_us
-                # but >= start_us): the session's end never moves backward.
-                end_us, n, cents = max(end_us, t_us), n + 1, cents + int(c)
+    def _sessionize_group(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        """Stateful kernel: fold this batch's events (ts-sorted) into the open
+        session; emit every session closed by a gap, keep the trailing open
+        one in state for the next micro-batch."""
+        (user_id,) = key
+        if state.exists:
+            start_us, end_us, n, cents, dropped = state.get
+        else:
+            start_us = end_us = -1
+            n = cents = dropped = 0
 
-    state.update((int(start_us), int(end_us), int(n), int(cents)))
-    if closed:
-        out = pd.DataFrame(
-            closed, columns=["user_id", "session_start", "session_end", "n_events", "sum_value"]
-        )
-        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
-        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
-        yield out
+        closed: list[tuple] = []
+        # A group's rows can arrive as MULTIPLE Arrow chunks per micro-batch,
+        # in no guaranteed order — gather the whole batch, sort once, fold.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+            ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
+            ev_cents = (pdf["value"] * 100).round().astype("int64")
+            for t_us, c in zip(ts_us, ev_cents):
+                if n == 0:
+                    start_us, end_us, n, cents = t_us, t_us, 1, int(c)
+                elif t_us < start_us:
+                    # Cross-micro-batch contract: the source must deliver
+                    # each key's events watermark-ordered ACROSS batches
+                    # (in-batch disorder is handled by the sort above). An
+                    # event older than the open session's start would have
+                    # belonged to an earlier — possibly already-emitted —
+                    # session; silently folding it in diverges from
+                    # batch_sessionize. Default policy matches watermark
+                    # late-data semantics: DROP the row and count it in
+                    # state, so a data-quality glitch can't take down the
+                    # pipeline; strict=True turns the drop into a loud
+                    # failure for sources that guarantee ordering.
+                    if strict:
+                        raise ValueError(
+                            f"streaming_sessionize: out-of-order event for "
+                            f"user {user_id} at {t_us}us predates the open "
+                            f"session start {start_us}us — the input stream "
+                            f"must be watermark-ordered per key across "
+                            f"micro-batches"
+                        )
+                    dropped += 1
+                    continue
+                # gap compared in whole milliseconds exactly like the batch/
+                # oracle side (unix_millis/epoch_ms floor each timestamp to
+                # ms BEFORE subtracting — floor(a)-floor(b) != floor(a-b)
+                # for sub-ms components)
+                elif (t_us // 1000) - (end_us // 1000) > SESSION_GAP_MS:
+                    closed.append((user_id, start_us, end_us, n, cents / 100.0))
+                    start_us, end_us, n, cents = t_us, t_us, 1, int(c)
+                else:
+                    # max() guards the in-session late arrival (t_us < end_us
+                    # but >= start_us): the session's end never moves back.
+                    end_us, n, cents = max(end_us, t_us), n + 1, cents + int(c)
+
+        state.update((int(start_us), int(end_us), int(n), int(cents), int(dropped)))
+        if closed:
+            out = pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events", "sum_value"],
+            )
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+            yield out
+
+    return _sessionize_group
 
 
-def streaming_sessionize(events: DataFrame) -> DataFrame:
+def streaming_sessionize(events: DataFrame, strict: bool = False) -> DataFrame:
     """Keyed stream -> per-user open-session state -> closed-session rows.
-    State is O(1) per user (four longs) — bounded regardless of stream
-    length; sessions emit exactly once, when the closing gap arrives."""
+    State is O(1) per user (five longs) — bounded regardless of stream
+    length; sessions emit exactly once, when the closing gap arrives.
+
+    ``strict=False`` (default): a cross-batch out-of-order event older than
+    the open session's start is dropped and counted in state — watermark
+    late-data semantics, a glitch row can't fail the query. ``strict=True``:
+    the same row raises, for sources contractually watermark-ordered per key.
+    """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return events.groupBy("user_id").applyInPandasWithState(
-        _sessionize_group,
+        _make_sessionize_group(strict),
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

@@ -41,7 +41,7 @@ from ..functions.hashing import (
     h60,
     h60_sql,
 )
-from ..io import load_table, spread
+from ..io import load_table, spread, track_persist
 from ..registry import register
 
 JACCARD_THRESHOLD = 0.2
@@ -109,9 +109,11 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stages, so no exchange reuse applies). MEMORY_AND_DISK (the default)
     # spills instead of OOMing, which is exactly the "materialize the
     # signature table first" step a 100 TB dedup run performs anyway.
-    return spread(_docs(spark, sf_dir).select("doc_id", "text")).select(
-        "doc_id", shingles_col().alias("shingles")
-    ).persist()
+    return track_persist(
+        spread(_docs(spark, sf_dir).select("doc_id", "text")).select(
+            "doc_id", shingles_col().alias("shingles")
+        )
+    )
 
 
 def _jaccard_verified(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
@@ -250,7 +252,7 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "n", (F.col("p0") + 1).alias("p"), F.col("e.df").alias("df"), F.col("e.s").alias("s")
     )
-    prefix = prefix.persist()
+    prefix = track_persist(prefix)
     a = prefix.select(
         F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), F.col("p").alias("pa"), "df", "s"
     )
@@ -362,7 +364,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled(spark, sf_dir)
     # persist: both join sides consume the signature table; without caching
     # the 32-permutation minhash folds run twice (see _shingled)
-    bands = _minhash_bands(sh).persist()
+    bands = track_persist(_minhash_bands(sh))
     x = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
     y = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
     cands = (
@@ -466,9 +468,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persist: both self-join sides consume the banded signatures; without
     # caching the whole per-token SimHash fold runs twice (see _shingled)
-    bands = sim.select("doc_id", "simhash", band_rows.alias("b")).select(
-        "doc_id", "simhash", "b.band", "b.band_bits"
-    ).persist()
+    bands = track_persist(
+        sim.select("doc_id", "simhash", band_rows.alias("b")).select(
+            "doc_id", "simhash", "b.band", "b.band_bits"
+        )
+    )
     x = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "band_bits")
     y = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "band_bits")
     hamming = F.bit_count(F.expr("sim_a ^ sim_b"))
@@ -563,9 +567,11 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    bands = sim.select("doc_id", "simhash", band_rows.alias("b")).select(
-        "doc_id", "simhash", "b.band", "b.band_bits"
-    ).persist()
+    bands = track_persist(
+        sim.select("doc_id", "simhash", band_rows.alias("b")).select(
+            "doc_id", "simhash", "b.band", "b.band_bits"
+        )
+    )
     x = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "band_bits")
     y = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "band_bits")
     hamming = F.bit_count(F.expr("sim_a ^ sim_b"))
@@ -836,9 +842,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n^2) rows per component, min-label state stays O(n))."""
     jp = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     fwd = jp.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    edges = fwd.union(jp.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))).persist()
+    edges = track_persist(fwd.union(jp.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))))
     docs = _docs(spark, sf_dir).select("doc_id")
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
+    labels = track_persist(docs.select("doc_id", F.col("doc_id").alias("cluster_id")))
     labels.count()
     changed = -1
     for _ in range(MAX_CC_ITERATIONS):
@@ -855,8 +861,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .persist()
         )
+        new_labels = track_persist(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")

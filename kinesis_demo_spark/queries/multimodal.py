@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..io import load_table, spread
+from ..io import load_table, spread, track_persist
 from ..operators.multimodal import decode_features, frame_sample
 from ..registry import register
 
@@ -213,9 +213,11 @@ def phash_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    bands = ph.select("doc_id", "phash", band_rows.alias("b")).select(
-        "doc_id", "phash", "b.band", "b.band_bits"
-    ).persist()
+    bands = track_persist(
+        ph.select("doc_id", "phash", band_rows.alias("b")).select(
+            "doc_id", "phash", "b.band", "b.band_bits"
+        )
+    )
     x = bands.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a"), "band", "band_bits")
     y = bands.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"), "band", "band_bits")
     hamming = F.bit_count(F.expr("ph_a ^ ph_b"))

@@ -87,8 +87,13 @@ def _row_hashes(pdf: pd.DataFrame) -> np.ndarray:
 
 def compare(spark_df, con, sql: str, name: str = "?") -> list[str]:
     """Return a list of mismatch descriptions (empty == pass)."""
+    from kinesis_demo_spark.io import release_persisted
+
     problems: list[str] = []
-    spark_pdf = spark_df.toPandas()
+    try:
+        spark_pdf = spark_df.toPandas()
+    finally:
+        release_persisted()  # drop this query's tracked caches (see io.py)
     oracle_pdf = con.execute(sql).df()
 
     if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):

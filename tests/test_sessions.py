@@ -132,10 +132,10 @@ class _FakeState:
         self._value = v
 
 
-def _kernel_batch(state, rows):
+def _kernel_batch(state, rows, strict=True):
     import pandas as pd
 
-    from kinesis_demo_spark.operators.sessionize import _sessionize_group
+    from kinesis_demo_spark.operators.sessionize import _make_sessionize_group
 
     pdf = pd.DataFrame(
         {
@@ -145,7 +145,7 @@ def _kernel_batch(state, rows):
             "value": [v for _, v in rows],
         }
     )
-    return list(_sessionize_group((7,), iter([pdf]), state))
+    return list(_make_sessionize_group(strict)((7,), iter([pdf]), state))
 
 
 def test_kernel_in_session_late_event_never_moves_end_backward():
@@ -153,13 +153,23 @@ def test_kernel_in_session_late_event_never_moves_end_backward():
     _kernel_batch(state, [(1_000_000, 1.0), (2_000_000, 2.0)])
     # next micro-batch delivers an event BETWEEN the open session's bounds
     _kernel_batch(state, [(1_500_000, 4.0)])
-    start_us, end_us, n, cents = state.get
+    start_us, end_us, n, cents, dropped = state.get
     assert (start_us, end_us) == (1_000_000, 2_000_000)  # end clamped, not moved back
-    assert (n, cents) == (3, 700)
+    assert (n, cents, dropped) == (3, 700, 0)
 
 
-def test_kernel_rejects_event_older_than_open_session():
+def test_kernel_strict_rejects_event_older_than_open_session():
     state = _FakeState()
     _kernel_batch(state, [(5_000_000, 1.0)])
     with pytest.raises(ValueError, match="watermark-ordered"):
-        _kernel_batch(state, [(1_000_000, 1.0)])
+        _kernel_batch(state, [(1_000_000, 1.0)], strict=True)
+
+
+def test_kernel_default_drops_and_counts_event_older_than_open_session():
+    state = _FakeState()
+    _kernel_batch(state, [(5_000_000, 1.0)], strict=False)
+    out = _kernel_batch(state, [(1_000_000, 9.0)], strict=False)
+    assert out == []  # dropped, not folded in, not a failure
+    start_us, end_us, n, cents, dropped = state.get
+    assert (start_us, end_us, n, cents) == (5_000_000, 5_000_000, 1, 100)
+    assert dropped == 1  # observable in state, like a late-data counter

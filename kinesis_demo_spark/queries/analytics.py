@@ -399,3 +399,60 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
     return est.join(exact, "user_id").select("user_id", "exact_cnt", "cms_est")
+
+
+@register(
+    "timeseries_hourly_gapfill",
+    oracle="""
+WITH bounds AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT g.user_id, g.hour,
+       coalesce(a.n_events, 0) AS n_events,
+       coalesce(a.sum_value, 0.0) AS sum_value
+FROM grid g LEFT JOIN agg a ON a.user_id = g.user_id AND a.hour = g.hour
+""",
+)
+def timeseries_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly rollup — the hypertable/time-bucket-gapfill shape: every
+    user gets a row for EVERY hour between their first and last event, empty
+    hours zero-filled (the downsampled series a dashboard or a feature
+    pipeline consumes must be gap-free; sparse rollups silently drop the
+    zeros that carry the signal).
+
+    Spark side: per-user bounds (one partial agg), ``sequence(h0, h1,
+    interval 1 hour)`` exploded into the grid — grid size is bounded by the
+    time span, never by event count — then a LEFT join back to the hourly
+    aggregate on (user_id, hour). Both shuffles hash on user_id; at 100 TB
+    the grid side is tiny (|users| x |hours|) relative to the fact scan, and
+    the decimal sums keep the join's zero-fill arithmetic bit-exact."""
+    ev = _events(spark, sf_dir)
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"),
+    )
+    agg = ev.groupBy("user_id", hour.alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    return grid.join(agg, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )

@@ -181,6 +181,48 @@ def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
     ).select("c_custkey", "c_name")
 
 
+@register(
+    "full_outer_join_supplier_customer_nations",
+    oracle="""
+WITH s AS (
+  SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+  FROM supplier GROUP BY s_nationkey
+),
+c AS (
+  SELECT c_nationkey AS nationkey, count(*) AS n_customers
+  FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+)
+SELECT coalesce(s.nationkey, c.nationkey) AS nationkey,
+       coalesce(n_suppliers, 0) AS n_suppliers,
+       coalesce(n_customers, 0) AS n_customers
+FROM s FULL OUTER JOIN c ON s.nationkey = c.nationkey
+""",
+)
+def full_outer_join_supplier_customer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join — the one outer shape semi/anti/left don't cover:
+    per-nation supplier counts against rich-customer counts, keeping nations
+    that appear on only one side (zero-filled). Aggregating BEFORE the join
+    keeps both sides |nations|-sized, so the outer join is a tiny
+    hash-partition merge no matter how large the fact tables are — the
+    pre-aggregate-then-outer-join pattern any reconciliation report uses."""
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    return sup.join(cust, "nationkey", "full_outer").select(
+        "nationkey",
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+    )
+
+
 # --- set operations ----------------------------------------------------------------
 
 

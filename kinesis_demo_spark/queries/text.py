@@ -354,3 +354,111 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("t2", F.lit(PHONE_RE), 0)).cast("long").alias("n_phones"),
         F.regexp_replace("t2", PHONE_RE, "<PHONE>").alias("redacted"),
     )
+
+
+# --- context-window chunking ----------------------------------------------------
+
+CHUNK_CHARS = 200  # context-window size in characters
+CHUNK_STRIDE = 150  # CHUNK_CHARS - 50 overlap: adjacent chunks share 50 chars
+
+
+@register(
+    "text_chunk_documents",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, (length(text) - 1) // {CHUNK_STRIDE})) AS i
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       substr(text, CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT), {CHUNK_CHARS}) AS chunk_text,
+       CAST(length(substr(text, CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT), {CHUNK_CHARS})) AS BIGINT)
+         AS chunk_chars
+FROM g
+""",
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window prep: every document split into overlapping
+    fixed-size character chunks (200 chars, stride 150 -> 50-char overlap so
+    no boundary phrase is lost to a cut). The chunk grid is arithmetic on
+    length(text) — ``sequence``+``posexplode`` JVM expressions, no UDF —
+    so a 100 TB corpus chunks scan-parallel with zero shuffles; output rows
+    carry (doc_id, chunk_idx) so downstream tokenize/pack stages keep
+    provenance. Both engines compute identical integer chunk starts and
+    substring bounds, making the chunk text itself value-hash exact."""
+    d = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(f"sequence(0, CAST((length(text) - 1) DIV {CHUNK_STRIDE} AS INT))")
+            ).alias("p", "i"),
+            F.col("text"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("long").alias("chunk_idx"),
+            F.expr(f"substring(text, i * {CHUNK_STRIDE} + 1, {CHUNK_CHARS})").alias("chunk_text"),
+        )
+        .withColumn("chunk_chars", F.length("chunk_text").cast("long"))
+    )
+
+
+# --- repetition scoring (Gopher-style duplicate n-gram signal) ------------------
+
+REP_NGRAM = 3  # word trigrams
+
+
+@register(
+    "text_repetition_score",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {REP_NGRAM}
+              THEN list_transform(generate_series(1, len(t) - {REP_NGRAM - 1}),
+                                  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+              ELSE [] END AS g
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(g) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+       CASE WHEN len(g) > 0
+            THEN CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE)
+            ELSE 0.0 END AS dup_frac
+FROM grams
+""",
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate word-trigram fraction per document — the repetition quality
+    signal (a high duplicate-n-gram share marks boilerplate/degenerate text
+    that a training corpus filters out; same family as the Gopher repetition
+    rules). Trigram list, distinct count, and the dup fraction are all array
+    HOF expressions over the token split — per-row work, no shuffle, no UDF;
+    the one division is a single IEEE op on identical integers in both
+    engines, so the score is value-hash exact."""
+    t = _tokens()
+    grams = F.when(
+        F.size(t) >= REP_NGRAM,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - REP_NGRAM),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i + 1), F.element_at(t, i + 2), F.element_at(t, i + 3)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = _docs(spark, sf_dir).select("doc_id", grams.alias("g"))
+    n = F.size("g").cast("long")
+    nd = F.size(F.array_distinct("g")).cast("long")
+    return d.select(
+        "doc_id",
+        n.alias("n_grams"),
+        nd.alias("n_distinct"),
+        F.when(n > 0, (n - nd).cast("double") / n.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )

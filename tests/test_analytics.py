@@ -30,3 +30,26 @@ def test_cms_estimate_is_an_upper_bound_on_exact_counts(spark):
     df = heavy_hitters_cms(spark, SF_SMOKE)
     assert df.filter(F.col("cms_est") < F.col("exact_cnt")).count() == 0  # collisions only inflate
     assert df.count() > 0
+
+
+def test_hourly_gapfill_grid_is_dense_and_zero_filled(spark):
+    import datetime
+
+    rows = all_queries()["timeseries_hourly_gapfill"](spark, SF).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    total_events = 0
+    saw_empty_hour = False
+    for user, urows in by_user.items():
+        urows.sort(key=lambda r: r.hour)
+        # dense: consecutive grid rows are exactly one hour apart, no holes
+        for a, b in zip(urows, urows[1:]):
+            assert b.hour - a.hour == datetime.timedelta(hours=1), (user, a.hour, b.hour)
+        saw_empty_hour |= any(r.n_events == 0 and r.sum_value == 0.0 for r in urows)
+        total_events += sum(r.n_events for r in urows)
+    # zero-filled gap rows exist (sparse fixture), and no event is lost
+    assert saw_empty_hour
+    from kinesis_demo_spark.io import load_table
+
+    assert total_events == load_table(spark, SF, "events").count()

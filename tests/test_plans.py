@@ -138,3 +138,23 @@ def test_quantization_is_pure_narrow_work(spark):
     plan = _plan(Q["embedding_quantize_int8"](spark, SF), mode="simple")
     assert "Join" not in plan
     assert "Generate" in plan  # posexplode
+
+
+def test_chunking_and_repetition_plan_scan_parallel_no_exchange(spark):
+    # per-row expression ops: any Exchange would mean an accidental shuffle
+    # (io.spread's explicit round-robin fan-out is the one allowed exchange)
+    for name in ("text_chunk_documents", "text_repetition_score"):
+        plan = _plan(Q[name](spark, SF), mode="simple")
+        n_exchanges = plan.count("Exchange")
+        assert n_exchanges <= 1, f"{name}: {n_exchanges} exchanges\n{plan}"
+        assert "RoundRobinPartitioning" in plan or n_exchanges == 0, plan
+
+
+def test_gapfill_shuffles_only_on_user_id(spark):
+    plan = _plan(Q["timeseries_hourly_gapfill"](spark, SF), mode="simple")
+    # every hash exchange keys on user_id (bounds agg / hourly agg / join);
+    # nothing repartitions on the exploded grid
+    import re as _re
+
+    for m in _re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "user_id" in m.group(1), plan

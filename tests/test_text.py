@@ -111,3 +111,72 @@ def test_pii_patterns_redact_real_examples(spark):
         for leak in ("jane", "192.168", "555-0123"):
             if leak in raw:
                 assert leak not in r["out"]
+
+
+# --- chunking ---------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def chunk_docs_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("chunkq")
+    texts = [
+        (0, "x" * 199),            # shorter than one chunk -> 1 chunk
+        (1, "a" * 200),            # exactly one chunk, but 200 > stride 150 -> 2 chunks
+        (2, "".join(chr(97 + i % 26) for i in range(731))),  # several chunks + ragged tail
+        (3, "tiny"),
+    ]
+    rows = [(i, t, "en", "src", len(t)) for i, t in texts]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(out / "documents.parquet"))
+    return str(out)
+
+
+def test_chunking_covers_every_char_with_exact_overlap(spark, chunk_docs_dir):
+    from kinesis_demo_spark.queries.text import CHUNK_CHARS, CHUNK_STRIDE
+
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(chunk_docs_dir + "/documents.parquet").collect()
+    }
+    rows = X.text_chunk_documents(spark, chunk_docs_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in texts.items():
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_idx)
+        # chunk count = number of stride starts inside the text
+        assert len(chunks) == (len(text) - 1) // CHUNK_STRIDE + 1
+        for k, r in enumerate(chunks):
+            assert r.chunk_idx == k
+            assert r.chunk_text == text[k * CHUNK_STRIDE : k * CHUNK_STRIDE + CHUNK_CHARS]
+            assert r.chunk_chars == len(r.chunk_text)
+        # consecutive full chunks overlap by exactly CHUNK_CHARS - CHUNK_STRIDE
+        for a, b in zip(chunks, chunks[1:]):
+            if a.chunk_chars == CHUNK_CHARS:
+                assert a.chunk_text[CHUNK_STRIDE:] == b.chunk_text[: CHUNK_CHARS - CHUNK_STRIDE]
+        # concatenating each chunk's non-overlapping head reconstructs the doc
+        rebuilt = "".join(c.chunk_text[:CHUNK_STRIDE] for c in chunks[:-1]) + chunks[-1].chunk_text
+        assert rebuilt == text
+
+
+# --- repetition scoring -----------------------------------------------------
+
+
+def test_repetition_score_flags_repeated_text(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("repq")
+    docs = [
+        (0, "spam ham eggs " * 50),        # one phrase looped -> dup_frac near 1
+        (1, " ".join(f"w{i}" for i in range(100))),  # all-unique trigrams -> 0
+        (2, "one two"),                     # < 3 tokens -> no grams, frac 0
+    ]
+    rows = [(i, t.strip(), "en", "src", len(t)) for i, t in docs]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(out / "documents.parquet"))
+    got = {r.doc_id: r for r in X.text_repetition_score(spark, str(out)).collect()}
+    # doc 0: 150 tokens -> 148 trigrams, only 3 distinct rotations of the loop
+    assert got[0].n_grams == 148 and got[0].n_distinct == 3
+    assert got[0].dup_frac == (148 - 3) / 148
+    assert got[1].n_distinct == got[1].n_grams and got[1].dup_frac == 0.0
+    assert got[2].n_grams == 0 and got[2].dup_frac == 0.0

@@ -27,7 +27,11 @@ operator discipline — the file format doesn't record which series an old
 from __future__ import annotations
 
 import json
+import signal
 import sys
+
+# head/tail truncation of the table must not traceback
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)
 
 SERIES = "queries"
 

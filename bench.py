@@ -77,6 +77,8 @@ HEADLINE = (
     "text_tfidf",
     "text_chunk_documents",
     "text_repetition_score",
+    "text_vocab_topk",
+    "doc_length_histogram",
     "timeseries_hourly_gapfill",
     "multimodal_decode_features",
     "pipeline_training_corpus",

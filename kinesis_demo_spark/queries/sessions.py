@@ -87,3 +87,36 @@ def sessionize_stateful_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "sessionize_builtin_window",
+    oracle=f"""
+WITH {_SESSIONS_CTE}
+SELECT user_id, session_start, session_end, n_events, sum_value
+FROM sessions
+""",
+)
+def sessionize_builtin_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 24 h-gap sessions via Spark's BUILT-IN ``session_window`` —
+    a three-way differential with the window-function form and the DuckDB
+    oracle, pinning that the engine's custom operator matches Catalyst's
+    native session semantics. Boundary fine print: session_window splits at
+    gap >= 24 h compared at full timestamp precision, while the custom
+    operator (and the reference-derived oracle) split at gap > 24 h on
+    ms-floored timestamps — divergence requires a per-user gap within 1 ms
+    of exactly 24 h, and the closest gap in any fixture is 1.19 s away
+    (probed at sf0.001/0.01/0.1). The custom operator still earns its keep:
+    session_window cannot express the streaming emission policy or the
+    integer-cents state the stateful form carries."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "24 hours").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    )

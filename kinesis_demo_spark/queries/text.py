@@ -462,3 +462,91 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
     )
+
+
+# --- vocabulary build -----------------------------------------------------------
+
+VOCAB_TOP_K = 100
+
+
+@register(
+    "text_vocab_topk",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT token, count(*) AS n FROM tok WHERE token <> '' GROUP BY token
+),
+ranked AS (
+  SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS token_id
+  FROM counts
+)
+SELECT CAST(token_id AS BIGINT) AS token_id, token, n
+FROM ranked WHERE token_id <= {VOCAB_TOP_K}
+""",
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary build: corpus-wide token frequencies, top-K
+    by count with a deterministic (count desc, token asc) tie-break, ids
+    assigned by rank — the table a frequency-based tokenizer trains from.
+    Scale: explode -> token-keyed count is ONE hash aggregate with map-side
+    partials (Zipf-head tokens partially aggregate before the exchange, so
+    skew never concentrates raw rows); the final top-K ranks a
+    |vocab|-sized table, and K rows reach the driver-side sink."""
+    tok = (
+        _docs(spark, sf_dir)
+        .select(F.explode(_tokens()).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    ranked = counts.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("token")))
+        .cast("long")
+        .alias("token_id"),
+        "token",
+        "n",
+    )
+    return ranked.filter(F.col("token_id") <= VOCAB_TOP_K)
+
+
+# --- corpus length histogram ----------------------------------------------------
+
+HIST_BUCKET_CHARS = 50
+HIST_N_BUCKETS = 10  # lengths >= 450 land in the top bucket
+
+
+@register(
+    "doc_length_histogram",
+    oracle=f"""
+SELECT least(n_chars // {HIST_BUCKET_CHARS}, {HIST_N_BUCKETS - 1}) AS bucket,
+       count(*) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
+FROM documents
+GROUP BY 1
+""",
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: fixed-width document-length buckets with
+    count/min/max/mean per bucket — the sizing histogram that picks sequence
+    length and packing parameters for a training run. Integer bucket
+    arithmetic is identical in both engines and the mean is one IEEE
+    division of exact integers; a single map-side-combined aggregate at any
+    corpus size."""
+    d = _docs(spark, sf_dir)
+    bucket = F.least(
+        (F.col("n_chars") / HIST_BUCKET_CHARS).cast("long"),
+        F.lit(HIST_N_BUCKETS - 1),
+    ).alias("bucket")
+    return (
+        d.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("mean_chars"),
+        )
+    )

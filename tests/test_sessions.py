@@ -173,3 +173,21 @@ def test_kernel_default_drops_and_counts_event_older_than_open_session():
     start_us, end_us, n, cents, dropped = state.get
     assert (start_us, end_us, n, cents) == (5_000_000, 5_000_000, 1, 100)
     assert dropped == 1  # observable in state, like a late-data counter
+
+
+def test_builtin_session_window_matches_custom_batch_form(spark):
+    """Three-way pin: Spark's native session_window produces exactly the
+    custom window-function sessionizer's sessions on the fixture (the DuckDB
+    oracle is the third leg, via test_oracle_parity)."""
+    from kinesis_demo_spark.registry import all_queries
+
+    q = all_queries()
+    sf = "/root/testdata/sf0.001"
+    custom = {
+        tuple(r)
+        for r in q["sessionize_events"](spark, sf)
+        .drop("session_id")
+        .collect()
+    }
+    builtin = {tuple(r) for r in q["sessionize_builtin_window"](spark, sf).collect()}
+    assert builtin == custom and len(builtin) > 0

@@ -492,15 +492,20 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned by rank — the table a frequency-based tokenizer trains from.
     Scale: explode -> token-keyed count is ONE hash aggregate with map-side
     partials (Zipf-head tokens partially aggregate before the exchange, so
-    skew never concentrates raw rows); the final top-K ranks a
-    |vocab|-sized table, and K rows reach the driver-side sink."""
+    skew never concentrates raw rows); the top-K itself is
+    ``orderBy().limit(K)`` = TakeOrderedAndProject — every partition keeps
+    its local K, the driver merges |partitions| x K candidates — NEVER a
+    global row_number window over the full vocabulary (that would funnel
+    every distinct token through one partition). Only the K survivors pass
+    through the tiny rank window that assigns ids."""
     tok = (
         _docs(spark, sf_dir)
         .select(F.explode(_tokens()).alias("token"))
         .filter(F.col("token") != "")
     )
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    ranked = counts.select(
+    topk = counts.orderBy(F.col("n").desc(), "token").limit(VOCAB_TOP_K)
+    return topk.select(
         F.row_number()
         .over(Window.orderBy(F.col("n").desc(), F.col("token")))
         .cast("long")
@@ -508,7 +513,6 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token",
         "n",
     )
-    return ranked.filter(F.col("token_id") <= VOCAB_TOP_K)
 
 
 # --- corpus length histogram ----------------------------------------------------

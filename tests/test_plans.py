@@ -158,3 +158,8 @@ def test_gapfill_shuffles_only_on_user_id(spark):
 
     for m in _re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
         assert "user_id" in m.group(1), plan
+
+
+def test_vocab_topk_is_take_ordered_not_global_window(spark):
+    plan = _plan(Q["text_vocab_topk"](spark, SF), mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan

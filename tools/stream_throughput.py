@@ -5,7 +5,12 @@ configurable offered load and reports achieved rows/s from the query's own
 progress metrics.
 
 Usage:
-    python tools/stream_throughput.py [rows_per_second] [seconds]
+    python tools/stream_throughput.py [rows_per_second] [seconds] [--wire]
+
+``--wire`` routes every record through the transport codec first
+(encode_wire_events -> decode_wire_events, the kafka branch's JSON wire
+round-trip) so the achieved rate prices the serialization a real broker
+deployment pays per record.
 
 Prints one JSON line:
     {"metric": "stream_rows_per_s", "offered": R, "achieved": N,
@@ -30,19 +35,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from kinesis_demo_spark.session import get_spark
 from kinesis_demo_spark.sources.synthetic import stream_synthetic_events
-from kinesis_demo_spark.streaming.pipeline import windowed_aggregate
+from kinesis_demo_spark.streaming.pipeline import (
+    decode_wire_events,
+    encode_wire_events,
+    windowed_aggregate,
+)
 
 
 def main() -> None:
-    rows_per_second = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
-    seconds = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    args = [a for a in sys.argv[1:] if a != "--wire"]
+    wire = "--wire" in sys.argv
+    rows_per_second = int(args[0]) if len(args) > 0 else 10_000
+    seconds = int(args[1]) if len(args) > 1 else 20
     spark = get_spark("stream-throughput")
     spark.sparkContext.setLogLevel("ERROR")
 
-    agg = windowed_aggregate(
-        stream_synthetic_events(spark, rows_per_second=rows_per_second),
-        watermark="10 seconds",
-    )
+    events = stream_synthetic_events(spark, rows_per_second=rows_per_second)
+    if wire:
+        events = decode_wire_events(encode_wire_events(events))
+    agg = windowed_aggregate(events, watermark="10 seconds")
     q = (
         agg.writeStream.format("noop")
         .outputMode("update")
@@ -60,7 +71,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "stream_rows_per_s",
+                "metric": "stream_rows_per_s_wire" if wire else "stream_rows_per_s",
                 "offered": rows_per_second,
                 "achieved": round(rows / dur) if dur else 0,
                 "batches": len(tail),

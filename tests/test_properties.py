@@ -134,3 +134,67 @@ def test_batch_sessionize_matches_reference_implementation(spark, events):
     )
     want = _sessions_reference(events)
     assert got == want
+
+
+# --- chunking vs pure-Python reference --------------------------------------------
+
+# printable unicode incl. multi-byte glyphs: character (not byte) semantics
+# must agree between Spark substring and the Python slice reference
+_doc_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8", categories=("L", "N", "P", "Z"), exclude_characters="\x00"
+    ),
+    min_size=0,
+    max_size=700,
+)
+
+
+@given(st.lists(_doc_text, min_size=1, max_size=5))
+@_settings
+def test_chunking_matches_python_slices(spark, texts):
+    from kinesis_demo_spark.queries.text import CHUNK_CHARS, CHUNK_STRIDE, text_chunk_documents
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        rows = [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)]
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        ).write.mode("overwrite").parquet(d + "/documents.parquet")
+        got = {
+            (r.doc_id, r.chunk_idx, r.chunk_text)
+            for r in text_chunk_documents(spark, d).collect()
+        }
+    want = {
+        (i, k, t[k * CHUNK_STRIDE : k * CHUNK_STRIDE + CHUNK_CHARS])
+        for i, t in enumerate(texts)
+        if len(t) > 0
+        for k in range((len(t) - 1) // CHUNK_STRIDE + 1)
+    }
+    assert got == want
+
+
+@given(st.lists(st.lists(st.sampled_from("ab cd ef gh".split()), max_size=30), min_size=1, max_size=4))
+@_settings
+def test_repetition_matches_python_reference(spark, docs):
+    from kinesis_demo_spark.queries.text import REP_NGRAM, text_repetition_score
+    import tempfile
+
+    texts = [" ".join(toks) for toks in docs]
+    with tempfile.TemporaryDirectory() as d:
+        rows = [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)]
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        ).write.mode("overwrite").parquet(d + "/documents.parquet")
+        got = {
+            (r.doc_id, r.n_grams, r.n_distinct, r.dup_frac)
+            for r in text_repetition_score(spark, d).collect()
+        }
+    want = set()
+    for i, t in enumerate(texts):
+        toks = t.split(" ")  # split semantics: '' yields [''], like both engines
+        grams = [
+            " ".join(toks[j : j + REP_NGRAM]) for j in range(len(toks) - REP_NGRAM + 1)
+        ] if len(toks) >= REP_NGRAM else []
+        n, nd = len(grams), len(set(grams))
+        want.add((i, n, nd, (n - nd) / n if n else 0.0))
+    assert got == want

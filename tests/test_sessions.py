@@ -191,3 +191,65 @@ def test_builtin_session_window_matches_custom_batch_form(spark):
     }
     builtin = {tuple(r) for r in q["sessionize_builtin_window"](spark, sf).collect()}
     assert builtin == custom and len(builtin) > 0
+
+
+def test_streaming_default_policy_survives_out_of_order_batch(spark, tmp_path):
+    """End-to-end late-data policy: a second micro-batch delivering an event
+    OLDER than every user's open session (a contract-violating glitch row)
+    must not fail the query in default mode — the row is dropped and every
+    legitimately closed session still emits exactly once."""
+    import os
+
+    events = load_table(spark, SF, "events").orderBy("ts", "event_id").collect()
+    flat = tmp_path / "ooo"
+    flat.mkdir()
+    spark.createDataFrame(events).coalesce(1).write.parquet(str(tmp_path / "b0"))
+    # glitch batch: one event far before the stream's start, for a user that
+    # has an open session after batch 0
+    user = events[0].user_id
+    glitch = [
+        (
+            999_999_999,
+            events[0].ts.replace(year=events[0].ts.year - 1),
+            user,
+            "click",
+            1.0,
+            "{}",
+        )
+    ]
+    spark.createDataFrame(
+        glitch,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "b1"))
+    import glob as _glob
+    import shutil
+
+    for i, d in enumerate(("b0", "b1")):
+        (f,) = _glob.glob(str(tmp_path / d / "*.parquet"))
+        dst = flat / f"{i:02d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    reader = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    name = "t_sessions_ooo"
+    q = (
+        streaming_sessionize(reader)  # default: drop-and-count
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()  # strict mode would raise inside batch 1 here
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.table(name).collect()}
+    want = {tuple(r) for r in _closed_sessions_batch(spark).collect()}
+    assert got == want  # glitch row contributed nothing, nothing else lost

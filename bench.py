@@ -80,6 +80,7 @@ HEADLINE = (
     "text_vocab_topk",
     "doc_length_histogram",
     "timeseries_hourly_gapfill",
+    "timeseries_user_similarity",
     "multimodal_decode_features",
     "pipeline_training_corpus",
     "pipeline_training_manifest",

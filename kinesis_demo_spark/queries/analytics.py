@@ -456,3 +456,113 @@ def timeseries_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
     )
+
+
+TS_SIM_TOP_USERS = 20
+
+
+@register(
+    "timeseries_user_similarity",
+    oracle=f"""
+WITH bounds AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT g.user_id, g.hour, coalesce(a.n_events, 0) AS n
+  FROM grid g LEFT JOIN agg a ON a.user_id = g.user_id AND a.hour = g.hour
+),
+active AS (
+  SELECT user_id FROM (
+    SELECT user_id, sum(n) AS total FROM series GROUP BY user_id
+    ORDER BY total DESC, user_id LIMIT {TS_SIM_TOP_USERS}
+  )
+),
+pairs AS (
+  SELECT x.user_id AS user_a, y.user_id AS user_b,
+         count(*) AS n_hours,
+         sum(x.n) AS sx, sum(y.n) AS sy,
+         sum(x.n * x.n) AS sxx, sum(y.n * y.n) AS syy,
+         sum(x.n * y.n) AS sxy
+  FROM series x
+  JOIN series y ON x.hour = y.hour AND x.user_id < y.user_id
+  WHERE x.user_id IN (SELECT user_id FROM active)
+    AND y.user_id IN (SELECT user_id FROM active)
+  GROUP BY 1, 2
+)
+SELECT user_a, user_b, n_hours,
+       CAST(n_hours * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n_hours * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n_hours * syy - sy * sy AS DOUBLE))) AS corr
+FROM pairs
+WHERE (n_hours * sxx - sx * sx) > 0 AND (n_hours * syy - sy * sy) > 0
+""",
+)
+def timeseries_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search over user activity patterns (the
+    stream-similarity question of PAPERS.md's EDBT'19 entry, Spark-first):
+    align every user's DENSE hourly event-count series (the gap-fill grid —
+    zero hours carry signal for correlation), prune candidates to the
+    top-{TS_SIM_TOP_USERS} most-active users (TakeOrderedAndProject, the same
+    prune-then-exact-score shape the ANN family uses), and compute exact
+    Pearson correlation per pair from integer power sums over the pair's
+    co-observed hours. Zero-variance series are excluded (correlation
+    undefined). Scale: the hour-keyed self-join fans out to at most
+    |candidates| rows per hour per side; the power sums are map-side-combined
+    BIGINT partials, and the final double arithmetic is one fixed IEEE
+    sequence in both engines — value-hash exact. Widening the candidate set
+    is a constant, not a plan change; the full-corpus path buckets users by
+    activity signature first (the LSH analogue)."""
+    ev = _events(spark, sf_dir)
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour")
+    )
+    agg = ev.groupBy("user_id", hour.alias("hour")).agg(F.count(F.lit(1)).alias("n_events"))
+    series = grid.join(agg, ["user_id", "hour"], "left").select(
+        "user_id", "hour", F.coalesce("n_events", F.lit(0)).alias("n")
+    )
+    active = (
+        series.groupBy("user_id")
+        .agg(F.sum("n").alias("total"))
+        .orderBy(F.col("total").desc(), "user_id")
+        .limit(TS_SIM_TOP_USERS)
+        .select("user_id")
+    )
+    s = series.join(F.broadcast(active), "user_id")
+    x = s.select(F.col("user_id").alias("user_a"), "hour", F.col("n").alias("nx"))
+    y = s.select(F.col("user_id").alias("user_b"), "hour", F.col("n").alias("ny"))
+    pairs = (
+        x.join(y, "hour")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("nx").alias("sx"),
+            F.sum("ny").alias("sy"),
+            F.sum(F.col("nx") * F.col("nx")).alias("sxx"),
+            F.sum(F.col("ny") * F.col("ny")).alias("syy"),
+            F.sum(F.col("nx") * F.col("ny")).alias("sxy"),
+        )
+    )
+    n = F.col("n_hours")
+    denx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = n * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double"))
+    )
+    return (
+        pairs.filter((denx > 0) & (deny > 0))
+        .select("user_a", "user_b", "n_hours", corr.alias("corr"))
+    )

@@ -59,3 +59,26 @@ def sign_bucket_sql(a: str, dims: int) -> str:
     return " + ".join(
         f"(CASE WHEN {a}[{d + 1}] >= 0 THEN {1 << d} ELSE 0 END)" for d in range(dims)
     )
+
+
+def sign_bucket_band(a: Column | str, start: int, bits: int) -> Column:
+    """Hyperplane-sign bucket over dims [start, start+bits) — one table of a
+    multi-table LSH (L tables x b bits beats one wide signature: a neighbor
+    pair only needs agreement on SOME band of dims, so per-neighbor recall is
+    1-(1-p^b)^L instead of p^dims)."""
+    col = F.col(a) if isinstance(a, str) else a
+    bits_cols = [
+        F.when(F.element_at(col, start + d + 1) >= 0, F.lit(1 << d)).otherwise(F.lit(0))
+        for d in range(bits)
+    ]
+    out = bits_cols[0]
+    for b in bits_cols[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def sign_bucket_band_sql(a: str, start: int, bits: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN {a}[{start + d + 1}] >= 0 THEN {1 << d} ELSE 0 END)"
+        for d in range(bits)
+    )

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Approximation-quality probe: every approximate/scale-path operator scored
+against its exact in-repo baseline on the same fixtures — recall measured,
+not guessed. (The oracle gate proves each variant computes ITS OWN spec
+bit-exactly; this tool answers the other question: how much of the exact
+answer the approximate spec retains.)
+
+Reported:
+  - ann_lsh_recall_at_k / ann_ivf_recall_at_k: fraction of exact brute-force
+    top-k neighbor pairs the LSH / IVF variant returns.
+  - minhash_pair_recall / precision: MinHash+LSH verified duplicate pairs vs
+    the exact inverted-index Jaccard pairs (recall < 1 comes from signature
+    collisions missed by banding; precision = 1 by construction since
+    candidates are exactness-verified).
+  - simhash_vs_jaccard_overlap: SimHash hamming<=3 pairs that are also exact
+    Jaccard duplicates (different similarity definitions — overlap, not
+    recall).
+
+Usage: python tools/approx_quality.py [sf_dir]   (default sf0.01)
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kinesis_demo_spark.io import release_persisted
+from kinesis_demo_spark.registry import all_queries
+from kinesis_demo_spark.session import get_spark
+
+
+def _pairs(df, a, b):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("approx-quality")
+    spark.sparkContext.setLogLevel("ERROR")
+    q = all_queries()
+
+    exact_ann = _pairs(q["ann_cosine_topk"](spark, sf_dir), "query_id", "neighbor_id")
+    release_persisted()
+    lsh_ann = _pairs(q["ann_cosine_topk_lsh"](spark, sf_dir), "query_id", "neighbor_id")
+    release_persisted()
+    ivf_ann = _pairs(q["ann_cosine_topk_ivf"](spark, sf_dir), "query_id", "neighbor_id")
+    release_persisted()
+
+    exact_dup = _pairs(q["dedup_ngram_jaccard"](spark, sf_dir), "doc_a", "doc_b")
+    release_persisted()
+    mh_dup = _pairs(q["dedup_minhash_lsh"](spark, sf_dir), "doc_a", "doc_b")
+    release_persisted()
+    sh_dup = _pairs(q["dedup_simhash"](spark, sf_dir), "doc_a", "doc_b")
+    release_persisted()
+
+    def ratio(n, d):
+        return round(n / d, 4) if d else None
+
+    print(
+        json.dumps(
+            {
+                "metric": "approx_quality",
+                "sf_dir": sf_dir,
+                "ann_lsh_recall_at_k": ratio(len(lsh_ann & exact_ann), len(exact_ann)),
+                "ann_ivf_recall_at_k": ratio(len(ivf_ann & exact_ann), len(exact_ann)),
+                "minhash_pair_recall": ratio(len(mh_dup & exact_dup), len(exact_dup)),
+                "minhash_pair_precision": ratio(len(mh_dup & exact_dup), len(mh_dup)),
+                "simhash_vs_jaccard_overlap": ratio(len(sh_dup & exact_dup), len(sh_dup)),
+                "n_exact_ann_pairs": len(exact_ann),
+                "n_exact_dup_pairs": len(exact_dup),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

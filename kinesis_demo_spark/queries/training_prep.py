@@ -230,10 +230,10 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- the composed end-to-end training manifest ---------------------------------------
 
-from ..functions.vectors import dot_fold_sql, sign_bucket_sql  # noqa: E402
+from ..functions.vectors import dot_fold_sql  # noqa: E402
 from .dedup import (  # noqa: E402
     COSINE_DUP_THRESHOLD,
-    COSINE_LSH_DIMS,
+    EMB_LSH_BANDS_SQL,
     JACCARD_THRESHOLD,
     QUALITY_MIN_TOKENS,
     _SHINGLE_CTES,
@@ -260,13 +260,14 @@ ngram_losers AS (
 ),
 vb AS (
   SELECT vec_id, embedding,
-         sqrt({dot_fold_sql('embedding', 'embedding')}) AS nrm,
-         {sign_bucket_sql('embedding', COSINE_LSH_DIMS)} AS bucket
+         sqrt({dot_fold_sql('embedding', 'embedding')}) AS nrm
   FROM embeddings
 ),
+emb_bands AS ({EMB_LSH_BANDS_SQL}),
 emb_losers AS (
   SELECT DISTINCT b.vec_id AS doc_id
-  FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  FROM emb_bands a JOIN emb_bands b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
   WHERE {dot_fold_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
 ),
 survivors AS (

@@ -50,6 +50,11 @@ def main() -> None:
     ivf_ann = _pairs(q["ann_cosine_topk_ivf"](spark, sf_dir), "query_id", "neighbor_id")
     release_persisted()
 
+    exact_emb = _pairs(q["dedup_embedding_cosine"](spark, sf_dir), "vec_a", "vec_b")
+    release_persisted()
+    lsh_emb = _pairs(q["dedup_embedding_cosine_lsh"](spark, sf_dir), "vec_a", "vec_b")
+    release_persisted()
+
     exact_dup = _pairs(q["dedup_ngram_jaccard"](spark, sf_dir), "doc_a", "doc_b")
     release_persisted()
     mh_dup = _pairs(q["dedup_minhash_lsh"](spark, sf_dir), "doc_a", "doc_b")
@@ -67,6 +72,7 @@ def main() -> None:
                 "sf_dir": sf_dir,
                 "ann_lsh_recall_at_k": ratio(len(lsh_ann & exact_ann), len(exact_ann)),
                 "ann_ivf_recall_at_k": ratio(len(ivf_ann & exact_ann), len(exact_ann)),
+                "emb_lsh_pair_recall": ratio(len(lsh_emb & exact_emb), len(exact_emb)),
                 "minhash_pair_recall": ratio(len(mh_dup & exact_dup), len(exact_dup)),
                 "minhash_pair_precision": ratio(len(mh_dup & exact_dup), len(mh_dup)),
                 "simhash_vs_jaccard_overlap": ratio(len(sh_dup & exact_dup), len(sh_dup)),

@@ -105,3 +105,57 @@ def test_prefix_filtered_jaccard_equals_plain_inverted_index(spark):
     plain = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in dedup_ngram_jaccard(spark, SF_SMOKE).collect()}
     pref = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in dedup_ngram_jaccard_prefix(spark, SF_SMOKE).collect()}
     assert pref == plain and plain
+
+
+def test_banded_lsh_prunes_hard_in_true_neardup_regime(spark):
+    """The fixture's 'near dups' top out at cosine 0.51 — barely above random
+    (p_bit ~0.63 vs 0.5), the regime where ANY hyperplane LSH must scan most
+    pairs to keep recall (hence the wide 4-bit x 16-table fixture constants).
+    This test pins the other regime: REAL near-duplicate embeddings (cosine
+    >= 0.95, e.g. re-encodes of the same content) at 8 bits x 8 tables —
+    the same sign_bucket_band machinery — must reach near-perfect recall
+    while collapsing the candidate set by an order of magnitude, which is
+    the configuration a production corpus runs."""
+    import numpy as np
+
+    from kinesis_demo_spark.functions.vectors import sign_bucket_band
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((200, 64)).astype("float32")
+    # 100 true near-dup pairs: vec 2i+1 = small perturbation of vec 2i
+    vecs = []
+    for i in range(100):
+        a = base[i] / np.linalg.norm(base[i])
+        b = a + 0.12 * base[100 + i] / np.linalg.norm(base[100 + i])
+        b /= np.linalg.norm(b)
+        assert float(a @ b) >= 0.95
+        vecs.append((2 * i, [float(x) for x in a]))
+        vecs.append((2 * i + 1, [float(x) for x in b]))
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+
+    from pyspark.sql import functions as F
+
+    B, L = 8, 8
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    sign_bucket_band("embedding", t * B, B).alias("bucket"),
+                )
+                for t in range(L)
+            ]
+        )
+    )
+    vb = df.select("vec_id", bands.alias("b")).select("vec_id", "b.tbl", "b.bucket")
+    x = vb.select(F.col("vec_id").alias("va"), "tbl", "bucket")
+    y = vb.select(F.col("vec_id").alias("vb"), "tbl", "bucket")
+    cands = {
+        (r.va, r.vb)
+        for r in x.join(y, ["tbl", "bucket"]).filter(F.col("va") < F.col("vb")).distinct().collect()
+    }
+    true_pairs = {(2 * i, 2 * i + 1) for i in range(100)}
+    recall = len(cands & true_pairs) / len(true_pairs)
+    all_pairs = 200 * 199 // 2
+    assert recall >= 0.97, recall
+    assert len(cands) <= all_pairs / 8, (len(cands), all_pairs)  # >= 8x pruning

@@ -19,43 +19,52 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
-# Columns stored as TIMESTAMP(NANOS) in the fixtures; read as int64 nanos via
-# spark.sql.legacy.parquet.nanosAsLong and restored to TimestampType here
-# (integer DIV keeps the math exact — a double round-trip would lose bits
-# above 2^53).
-_NANOS_TS_COLS = {"events": ("ts",)}
+# Event-time columns normalized to TimestampType (UTC instants) at the read
+# boundary, whatever physical type a fixture generation uses: TIMESTAMP(NANOS)
+# surfaces as int64 nanos under nanosAsLong (integer DIV keeps the math exact
+# — a double round-trip would lose bits above 2^53); naive TIMESTAMP(MICROS)
+# surfaces as TIMESTAMP_NTZ and casts losslessly under the UTC session.
+_EVENT_TS_COLS = {"events": ("ts",)}
 
 
 def ensure_runtime_confs(spark: SparkSession) -> None:
     """Runtime-settable confs the engine's plans depend on, applied
     defensively in case the caller (e.g. the driver harness) built the
-    session without them: nanos-typed parquet columns must surface as int64,
-    and event-time window math must be timezone-stable (matches the DuckDB
-    oracle's naive timestamps). Each conf is set independently so one locked
-    conf can't mask the other, and a failure to achieve the required value
-    raises with an actionable message instead of surfacing later as an
-    obscure parquet/window error."""
-    required = {
-        # events.ts is parquet TIMESTAMP(NANOS); without this the scan fails.
+    session without them. The session timezone is a hard requirement —
+    event-time window math must match the DuckDB oracle's naive (UTC)
+    timestamps, and a wrong value silently shifts every window boundary.
+    The two parquet-reader confs are best-effort: they make timestamp
+    columns surface in the preferred form, but ``load_table`` normalizes
+    whichever representation the scan yields, so a locked conf degrades to
+    a per-column cast instead of an error."""
+    best_effort = {
+        # TIMESTAMP(NANOS) fixtures scan as int64 (normalized below) instead
+        # of failing outright.
         "spark.sql.legacy.parquet.nanosAsLong": "true",
-        # window math must match the oracle's naive (UTC) timestamps.
-        "spark.sql.session.timeZone": "UTC",
+        # naive TIMESTAMP(MICROS) fixtures scan as TIMESTAMP_LTZ directly
+        # (UTC session = same instants) instead of TIMESTAMP_NTZ.
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     }
-    for key, want in required.items():
+    for key, want in best_effort.items():
         try:
             spark.conf.set(key, want)
         except Exception:
-            pass  # locked session — verified below
-        try:
-            have = spark.conf.get(key, None)
-        except Exception:
-            have = None
-        if have != want:
-            raise RuntimeError(
-                f"session conf {key}={have!r} but the engine requires {want!r} "
-                "(TIMESTAMP(NANOS) fixtures + timezone-stable event-time "
-                "windows); build the session with this conf or unlock it."
-            )
+            pass  # locked session — load_table's normalization covers it
+    want_tz = "UTC"
+    try:
+        spark.conf.set("spark.sql.session.timeZone", want_tz)
+    except Exception:
+        pass  # locked session — verified below
+    try:
+        have = spark.conf.get("spark.sql.session.timeZone", None)
+    except Exception:
+        have = None
+    if have != want_tz:
+        raise RuntimeError(
+            f"session conf spark.sql.session.timeZone={have!r} but the engine "
+            f"requires {want_tz!r} (timezone-stable event-time windows matching "
+            "the naive-UTC oracle); build the session with this conf or unlock it."
+        )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -63,9 +72,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     ensure_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in _NANOS_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+    for col in _EVENT_TS_COLS.get(name, ()):
+        dtype = dict(df.dtypes).get(col)
+        if dtype == "bigint":  # TIMESTAMP(NANOS) fixture under nanosAsLong
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
+        elif dtype == "timestamp_ntz":  # naive-micros fixture, NTZ inference on
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -42,9 +42,11 @@ def get_spark(app_name: str = "kinesis-demo-spark", shuffle_partitions: int | No
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # The driver fixtures store events.ts as TIMESTAMP(NANOS), which the
-        # Parquet reader rejects by default; read the raw int64 and convert in
-        # the IO layer (io.load_table) — values are microsecond-aligned.
+        # Fixture timestamp columns must surface as UTC instants whatever
+        # physical type a fixture generation uses: TIMESTAMP(NANOS) scans as
+        # int64 (io.load_table converts), naive TIMESTAMP(MICROS) scans as
+        # TIMESTAMP_LTZ directly rather than TIMESTAMP_NTZ.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     return builder.getOrCreate()

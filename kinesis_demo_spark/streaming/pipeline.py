@@ -28,12 +28,14 @@ from pyspark.sql import types as T
 
 from ..io import ensure_runtime_confs
 
-# File-source schema under spark.sql.legacy.parquet.nanosAsLong=true: the
-# fixtures store ts as TIMESTAMP(NANOS), surfaced as int64 nanoseconds.
-_EVENTS_NANOS = T.StructType(
+# File-source schema for the events fixtures: ts is parquet TIMESTAMP(MICROS)
+# (naive; the UTC session makes the instants identical to the oracle's).
+# Declaring TimestampType directly sidesteps NTZ inference — streaming readers
+# require an explicit schema anyway.
+_EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), False),
-        T.StructField("ts", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
         T.StructField("user_id", T.LongType(), False),
         T.StructField("event_type", T.StringType(), False),
         T.StructField("value", T.DoubleType(), False),
@@ -166,11 +168,10 @@ def stream_events(
     ``glob`` filters filenames — the default picks the events table out of a
     fixture dir; tests streaming their own file sequences pass "*.parquet"."""
     ensure_runtime_confs(spark)
-    reader = spark.readStream.schema(_EVENTS_NANOS).option("pathGlobFilter", glob)
+    reader = spark.readStream.schema(_EVENTS_SCHEMA).option("pathGlobFilter", glob)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(sf_dir)  # file source wants a directory; glob picks the table
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return reader.parquet(sf_dir)  # file source wants a directory; glob picks the table
 
 
 def windowed_aggregate(events: DataFrame, window: str = "1 second", watermark: str | None = None) -> DataFrame:

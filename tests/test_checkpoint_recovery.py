@@ -17,12 +17,9 @@ SF = "/root/testdata/sf0.001"
 
 
 def _copy_half(spark, src_rows, path, lo, hi, seq):
-    # store ts as int64 nanos like the driver fixtures (Spark's default
-    # timestamp encoding is INT96, which the nanos-typed stream schema
-    # can't read)
-    df = spark.createDataFrame(src_rows[lo:hi]).withColumn(
-        "ts", F.unix_micros("ts") * 1000
-    )
+    # ts stays timestamp-typed, matching the driver fixtures and the stream
+    # source's declared schema
+    df = spark.createDataFrame(src_rows[lo:hi])
     d = os.path.join(path, f"chunk{seq}.dir")
     df.coalesce(1).write.mode("overwrite").parquet(d)
     (f,) = glob.glob(os.path.join(d, "*.parquet"))

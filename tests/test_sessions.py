@@ -76,7 +76,7 @@ def test_streaming_sessions_carry_state_across_batches(spark, tmp_path):
         # watermarked agg path)
         os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
 
-    from kinesis_demo_spark.streaming.pipeline import _EVENTS_NANOS  # noqa: F401
+    from kinesis_demo_spark.streaming.pipeline import _EVENTS_SCHEMA  # noqa: F401
     from pyspark.sql import SparkSession
     import kinesis_demo_spark.streaming.pipeline as P
 

@@ -55,21 +55,21 @@ def test_foreach_batch_upsert_is_idempotent_per_key(spark, tmp_path):
     assert _as_set(got) == _as_set(batch)
 
 
-def _write_nanos_file(spark, path, seq, day, n=50):
-    """One source parquet of synthetic events on the given UTC day, encoded
-    as int64 nanos like the driver fixtures."""
+def _write_events_file(spark, path, seq, day, n=50):
+    """One source parquet of synthetic events on the given UTC day, with a
+    timestamp-typed ts like the driver fixtures."""
     import glob as _glob
     import os
     import shutil
 
     base_us = day * 86_400_000_000
     rows = [
-        (seq * 1000 + i, (base_us + i * 250_000) * 1000, i % 5, "click", float(i), "{}")
+        (seq * 1000 + i, base_us + i * 250_000, i % 5, "click", float(i), "{}")
         for i in range(n)
     ]
     df = spark.createDataFrame(
         rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
-    )
+    ).withColumn("ts", F.timestamp_micros("ts"))
     d = os.path.join(path, f"chunk{seq}.dir")
     df.coalesce(1).write.mode("overwrite").parquet(d)
     (f,) = _glob.glob(os.path.join(d, "*.parquet"))
@@ -93,7 +93,7 @@ def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     day_a, day_b = 19_723, 19_724
 
-    _write_nanos_file(spark, src, 0, day_a)
+    _write_events_file(spark, src, 0, day_a)
     P.run_foreach_batch_upsert(spark, src, out_dir=out, checkpoint_dir=ckpt, glob="*.parquet")
     part_a = os.path.join(out, f"{P._PARTITION_COL}={day_a}")
     files_a_before = {
@@ -101,7 +101,7 @@ def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     }
     assert files_a_before
 
-    _write_nanos_file(spark, src, 1, day_b)
+    _write_events_file(spark, src, 1, day_b)
     got = P.run_foreach_batch_upsert(spark, src, out_dir=out, checkpoint_dir=ckpt, glob="*.parquet")
 
     files_a_after = {
@@ -123,7 +123,7 @@ def test_upsert_recovers_interrupted_partition_swap(spark, tmp_path):
     os.makedirs(src)
     out = str(tmp_path / "serving")
     day = 19_723
-    _write_nanos_file(spark, src, 0, day)
+    _write_events_file(spark, src, 0, day)
     P.run_foreach_batch_upsert(
         spark, src, out_dir=out, checkpoint_dir=str(tmp_path / "c1"), glob="*.parquet"
     )

@@ -1,10 +1,23 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the engine's headline queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints exactly ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]``.
 
-    {"metric": "headline_total", "value": <sum-sec>, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": 0.1}
+Output contract (round 5 — the driver tail-captures stdout and parses the
+LAST line, so the final line must stay SHORT no matter how many queries the
+headline set grows to; round 4's single mega-line overflowed the capture
+window and cost the round its externally-recorded bench number):
+
+  stdout line 1:  full detail JSON — per-query warm + cold maps + serving
+                  latency percentiles (same document as the sidecar)
+  stdout line 2:  ONE SHORT summary line, always last:
+    {"metric": "headline_total", "value": <warm-sum-sec>, "unit": "sec",
+     "cold_total": <cold-sum-sec>, "n_queries": N, "sf": 0.1,
+     "detail": "BENCH_local_detail.json"}
+
+The full detail is also written to ``BENCH_local_detail.json`` next to this
+script; ``tools/bench_compare.py`` consumes either the detail line/file or
+any pre-r5 artifact for per-query regression gating.
 
 Each query is forced end-to-end with a ``noop``-format write (full plan
 execution, nothing collected to the driver), timed with a monotonic clock.
@@ -121,16 +134,43 @@ def main() -> None:
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
 
+    # Serving SLO: record the 2 s-budget claim as measured percentiles, not a
+    # test boolean (the reference polls every 2 s, functions.js:11,134).
+    serving: dict | None = None
+    try:
+        from tools.serving_loop import run_serving_loop
+
+        serving = run_serving_loop(spark, sf_dir, requests=80, clients=4)
+    except Exception as exc:  # the bench headline must survive a serving hiccup
+        serving = {"error": f"{type(exc).__name__}: {exc}"}
+
+    sf = _sf_from_dir(sf_dir)
+    detail = {
+        "metric": "headline_detail",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_cold": cold,
+        "cold_total": round(sum(cold.values()), 3),
+        "serving": serving,
+        "sf": sf,
+    }
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_local_detail.json")
+    with open(sidecar, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail))
+    # The short, driver-parseable summary — ALWAYS the last line of stdout.
     print(
         json.dumps(
             {
                 "metric": "headline_total",
-                "value": round(sum(timings.values()), 3),
+                "value": detail["value"],
                 "unit": "sec",
-                "queries": timings,
-                "queries_cold": cold,
-                "cold_total": round(sum(cold.values()), 3),
-                "sf": _sf_from_dir(sf_dir),
+                "cold_total": detail["cold_total"],
+                "n_queries": len(timings),
+                "sf": sf,
+                "detail": "BENCH_local_detail.json",
             }
         )
     )

@@ -92,22 +92,38 @@ def grouped_pandas_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _arrow_norm_batches(batches):
     """pyarrow-level kernel: per-vector L2 norm computed with numpy over the
-    Arrow buffers — no pandas conversion at all (the lowest-overhead Python
-    hook Spark offers). Fold order matches dot_fold: ascending dimension."""
+    Arrow buffers — no pandas conversion, no per-row ``as_py()`` (the whole
+    batch is viewed as one 2-D float array). Fold order matches dot_fold:
+    ascending dimension — ``cumsum(axis=1)[:, -1]`` is a strictly sequential
+    left-to-right IEEE fold PER ROW (each partial depends on the previous),
+    unlike ``np.add.reduce``/``np.sum``, which use pairwise summation for
+    float64 and diverge from the oracle's list_reduce in the last ulp."""
     import numpy as np
     import pyarrow as pa
 
     for batch in batches:
         vec_ids = batch.column("vec_id")
         emb = batch.column("embedding")
-        # cumsum == np.add.accumulate: a strictly sequential left-to-right
-        # IEEE fold (each partial depends on the previous), unlike
-        # np.add.reduce, which uses pairwise summation for float64 and
-        # diverges from the oracle's list_reduce in the last ulp.
-        norms = []
-        for v in emb:
-            sq = np.asarray(v.as_py(), dtype="float64") ** 2
-            norms.append(float(np.sqrt(sq.cumsum()[-1])) if sq.size else 0.0)
+        if hasattr(emb, "offsets"):  # ListArray: variable-length offsets
+            off = np.asarray(emb.offsets, dtype="int64")
+            lens = np.diff(off)
+            vals = np.asarray(emb.values, dtype="float64")
+        else:  # FixedSizeListArray: implicit stride
+            dim = emb.type.list_size
+            off = np.arange(len(emb) + 1, dtype="int64") * dim
+            lens = np.full(len(emb), dim, dtype="int64")
+            vals = np.asarray(emb.values, dtype="float64")
+        if lens.size and lens.min() == lens.max() and lens[0] > 0:
+            sq = (vals[off[0] : off[-1]].reshape(len(lens), lens[0])) ** 2
+            norms = np.sqrt(sq.cumsum(axis=1)[:, -1])
+        else:  # ragged / empty rows: per-row slices of the same buffer
+            sq_all = vals**2
+            norms = np.array(
+                [
+                    float(np.sqrt(sq_all[a:b].cumsum()[-1])) if b > a else 0.0
+                    for a, b in zip(off[:-1], off[1:])
+                ]
+            )
         yield pa.RecordBatch.from_arrays(
             [vec_ids, pa.array(norms, type=pa.float64())], names=["vec_id", "nrm"]
         )

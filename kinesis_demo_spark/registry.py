@@ -43,46 +43,67 @@ _QUERY_MODULES = (
 # list stays exactly cap-sized, registered, and family-complete.
 DRIVER_CORRECTNESS_CAP = 50
 
-# Round-4 rotation policy (VERDICT r3 #2/#3/#6): no cap slot goes to a query
-# that can never hash-match (`uuid_generate` / `approx_percentiles_value` are
-# oracle=None -> permanent `no_oracle` err rows — demoted); long-green rows
-# whose plans haven't changed since r2 rotate below the cap (they keep
-# pass(rN) standing plus the local strict-harness check, see COVERAGE.md) to
-# buy driver rows for ops that have never had one.
+# Rotation policy (VERDICT r3 #6, applied every round since): cap slots
+# rotate so every registered query earns a green driver row within two
+# rounds; long-green rows whose plans are untouched rotate below the cap
+# (they keep pass(rN) standing plus the strict local harness, see
+# COVERAGE.md), buying slots for queries that have never had a driver row.
+# Queries whose PLANS CHANGED this round always stay/return in-cap so the
+# change is externally re-verified.
 #
-# Rotated out in r4: uuid_generate, approx_percentiles_value (never
-# green-able), serving_projection_movs, heatmap_max_intensity,
-# global_event_count, stats_corr_value_props, scalar_array_functions,
-# text_fingerprint, multimodal_metadata, sample_stratified_documents (all
-# green r2+r3, plans untouched).
-# Promoted in r4 (no prior driver row): pipeline_training_manifest,
-# text_pii_redact, dedup_ngram_jaccard_prefix, dedup_simhash_wide,
-# sample_k_per_group, phash_image_neardup, ewma_value_per_user,
-# heavy_hitters_cms, map_in_arrow_vector_norms, orders_above_customer_avg.
+# Round-5 rotation:
+# Promoted (first driver row): multimodal_frame_sample,
+#   posexplode_document_tokens, sql_frontend_revenue_by_nation,
+#   stats_argminmax_value, stats_mode_event_type_per_user, text_token_count,
+#   text_chunk_documents, text_repetition_score, timeseries_hourly_gapfill,
+#   full_outer_join_supplier_customer_nations, sessionize_builtin_window,
+#   text_vocab_topk, doc_length_histogram, timeseries_user_similarity,
+#   ann_cosine_topk_ivf (pass(r2), re-verified after the r5 LSH retune).
+# Rotated out (all green r4, plans untouched in r5): serving_forward_poll,
+#   last10_per_user, json_extract_props, tpch_q1_pricing_summary,
+#   text_lang_id, text_quality_score, pandas_udf_text_normalize,
+#   pivot_value_by_type_per_user, unpivot_order_amounts, dedup_minhash_lsh,
+#   dedup_simhash, sessionize_events, asof_join_orders_events,
+#   stats_moments_percentiles_by_type, agg_collect_set_event_types.
+# Stay in-cap because r5 touches their plans: dedup_embedding_cosine_lsh,
+#   dedup_ngram_jaccard_prefix, ann_cosine_topk_lsh, map_in_arrow_vector_norms,
+#   pipeline_training_manifest, timeseries_user_similarity.
 PRIORITY_ORDER = (
-    "text_lang_id",
-    "text_quality_score",
+    # r5 first-driver-row promotions
+    "multimodal_frame_sample",
+    "posexplode_document_tokens",
+    "sql_frontend_revenue_by_nation",
+    "stats_argminmax_value",
+    "stats_mode_event_type_per_user",
+    "text_token_count",
+    "text_chunk_documents",
+    "text_repetition_score",
+    "timeseries_hourly_gapfill",
+    "full_outer_join_supplier_customer_nations",
+    "sessionize_builtin_window",
+    "text_vocab_topk",
+    "doc_length_histogram",
+    "timeseries_user_similarity",
+    "ann_cosine_topk_ivf",
+    # plans touched in r5 — external re-verification required
+    "dedup_embedding_cosine_lsh",
+    "dedup_ngram_jaccard_prefix",
+    "ann_cosine_topk_lsh",
+    "map_in_arrow_vector_norms",
+    "pipeline_training_manifest",
+    # family representatives continuing from r4
     "text_pii_redact",
     "multimodal_decode_features",
     "phash_image_neardup",
     "streaming_window_counts",
-    "sessionize_events",
     "sessionize_stateful_streaming",
-    "stats_moments_percentiles_by_type",
     "heavy_hitters_cms",
     "ewma_value_per_user",
     "window_functions_battery",
     "scalar_extended_battery",
-    "map_in_arrow_vector_norms",
     "json_wire_roundtrip",
     "salted_sum_by_user",
-    "pandas_udf_text_normalize",
     "grouped_pandas_user_stats",
-    "agg_collect_set_event_types",
-    "pivot_value_by_type_per_user",
-    "unpivot_order_amounts",
-    "dedup_embedding_cosine_lsh",
-    "dedup_ngram_jaccard_prefix",
     "dedup_simhash_wide",
     "text_tfidf",
     "sample_k_per_group",
@@ -90,31 +111,22 @@ PRIORITY_ORDER = (
     "embedding_quantize_int8",
     "dedup_contamination_check",
     "streaming_interval_join",
-    "pipeline_training_manifest",
     # SURVEY §2 reference-parity core (S/Q/A/W/F rows). agg_window_count sits
     # below the cap: its entire output (user, window, cnt) is a projection of
     # agg_window_movs_stats' columns over the same movement_aggregates plan,
     # so A1/W1 keep a hard-signal row without spending two slots.
     "agg_window_movs_stats",
-    "serving_forward_poll",
     "serving_reverse_limit",
     "serving_poll_sum",
     "serving_cursor_bootstrap",
-    "last10_per_user",
     "heatmap_rollup",
     "locf_impute_value",
     "scalar_functions_parity",
-    "json_extract_props",
-    # relational / dedup / ANN family representatives
-    "tpch_q1_pricing_summary",
+    # relational family representatives
     "star_join_revenue_by_region",
     "set_ops_nations",
-    "asof_join_orders_events",
     "range_join_events_before_orders",
     "orders_above_customer_avg",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_cosine_topk_lsh",
 )
 
 

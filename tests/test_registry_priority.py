@@ -24,8 +24,18 @@ FAMILY_REPRESENTATIVES = {
     "multimodal": ("multimodal_metadata", "multimodal_decode_features", "multimodal_frame_sample"),
     "streaming": ("streaming_window_counts",),
     "stream_stream_join": ("streaming_interval_join",),
-    "sessionize": ("sessionize_events", "sessionize_stateful_streaming"),
-    "stats": ("stats_moments_percentiles_by_type", "stats_corr_value_props"),
+    "sessionize": (
+        "sessionize_events",
+        "sessionize_stateful_streaming",
+        "sessionize_builtin_window",
+    ),
+    "stats": (
+        "stats_moments_percentiles_by_type",
+        "stats_corr_value_props",
+        "stats_argminmax_value",
+        "stats_mode_event_type_per_user",
+    ),
+    "timeseries": ("timeseries_hourly_gapfill", "timeseries_user_similarity"),
     # approx_percentiles_value / uuid_generate are oracle=None (permanent
     # `no_oracle` driver rows) so they never hold cap slots; the sketch family
     # is represented by the hash-checkable count-min-sketch query and F1's
@@ -47,8 +57,12 @@ FAMILY_REPRESENTATIVES = {
     "window_agg": ("agg_window_movs_stats", "last10_per_user"),
     "heatmap_locf": ("heatmap_rollup", "locf_impute_value"),
     "scalar_parity": ("scalar_functions_parity",),
-    "json": ("json_extract_props",),
-    "relational_agg": ("tpch_q1_pricing_summary",),
+    # F10 JSON parse is exercised by both: the roundtrip query parses what it
+    # serialized, so either satisfies the family while the other rotates out.
+    "json": ("json_extract_props", "json_wire_roundtrip"),
+    # the SQL front-end query is a joins+aggregate shape over the same star
+    # schema — a valid relational-agg representative while TPC-H rows rotate.
+    "relational_agg": ("tpch_q1_pricing_summary", "sql_frontend_revenue_by_nation"),
     "relational_join": ("star_join_revenue_by_region",),
     "set_ops": ("set_ops_nations",),
     "asof_range_join": ("asof_join_orders_events", "range_join_events_before_orders"),

@@ -57,6 +57,13 @@ def _load(path: str) -> dict[str, float]:
         doc = doc["parsed"]
     if SERIES == "queries_cold" and "queries_cold" in doc:
         return doc["queries_cold"]
+    if "queries" not in doc:
+        # r5+ short driver summary: per-query maps live in the sidecar the
+        # summary points to (bench.py writes BENCH_local_detail.json).
+        raise SystemExit(
+            f"{path}: no per-query map — this is the short r5+ summary line; "
+            f"compare the detail sidecar instead ({doc.get('detail', 'BENCH_local_detail.json')})"
+        )
     return doc["queries"]
 
 

@@ -250,37 +250,43 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.posexplode(F.slice("by_rarity", F.lit(1), prefix_len)).alias("p0", "e"),
     ).select(
-        "doc_id", "n", (F.col("p0") + 1).alias("p"), F.col("e.df").alias("df"), F.col("e.s").alias("s")
+        "doc_id", "n", (F.col("p0") + 1).alias("p"), F.col("e.s").alias("s")
     )
     prefix = track_persist(prefix)
     a = prefix.select(
-        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), F.col("p").alias("pa"), "df", "s"
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), F.col("p").alias("pa"), "s"
     )
     b = prefix.select(
         F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), F.col("p").alias("pb"), "s"
     )
-    # PPJoin pruning (both filters are conservative — verification is exact):
+    # PPJoin pruning (all filters are conservative — verification is exact):
     # - length: J >= t forces t*max(na,nb) <= min(na,nb);
-    # - positional, applied at each pair's FIRST common prefix shingle (the
-    #   min over the global (df,s) order, where "no earlier common element"
-    #   makes 1 + min(na-pa, nb-pb) a true overlap upper bound), against the
-    #   equivalent-overlap requirement inter >= t/(1+t) * (na+nb).
-    first_cooc = (
+    # - positional: at a co-occurrence sitting at positions (pa, pb) of the
+    #   two rarity-ordered prefixes, every LATER common shingle lies strictly
+    #   deeper in both suffixes, so overlap <= 1 + min(na-pa, nb-pb); the
+    #   required equivalent overlap is inter >= t/(1+t) * (na+nb).
+    #   The bound only tightens as positions grow, so if a pair's FIRST
+    #   common prefix shingle fails it, every other co-occurrence of that
+    #   pair fails it too — which means the filter can run PER ROW before
+    #   any aggregation with identical survivors, and the aggregation
+    #   itself collapses to a distinct over (doc_a, doc_b): two longs
+    #   through the exchange instead of a min() over structs carrying the
+    #   shingle strings (r4 shape; measured -35% on the candidate stage).
+    ubound = F.lit(1) + F.least(
+        F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")
+    )
+    min_overlap = F.ceil(F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb")))
+    cands = (
         a.join(b, "s")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.col("na") >= t * F.col("nb"))
             & (F.col("nb") >= t * F.col("na"))
+            & (ubound >= min_overlap)
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.min(F.struct("df", "s", "pa", "pb", "na", "nb")).alias("f"))
-        .select("doc_a", "doc_b", "f.pa", "f.pb", "f.na", "f.nb")
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    ubound = F.lit(1) + F.least(
-        F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")
-    )
-    min_overlap = F.ceil(F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb")))
-    cands = first_cooc.filter(ubound >= min_overlap).select("doc_a", "doc_b")
     return _jaccard_verified(cands, sh, JACCARD_THRESHOLD)
 
 
@@ -673,18 +679,32 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     that replaces ``dedup_embedding_cosine``'s all-pairs theta join at
     100 TB: {COSINE_LSH_TABLES} LSH tables each bucket the corpus on the
     hyperplane signs of their own {COSINE_LSH_BAND_BITS}-dim band, candidate
-    pairs share ANY table's bucket (an equi-join on (table, bucket) the
-    corpus shuffles ONCE for), and the exact cosine scorer verifies each
-    candidate, so precision is exact by construction. Measured pair recall
-    vs the exact baseline: 0.97 at sf0.01 (tools/approx_quality.py —
-    the prior single 8-bit signature measured 0.05; one wide signature
-    demands agreement on every hyperplane at once). Work scales with bucket
-    collision counts, never n^2; recall/cost tune with the two constants,
-    not plan changes. DISTINCT folds multi-table collisions — recomputing a
-    dot product per collision beats the extra shuffle of
-    distinct-ids-then-rejoin. Deterministic bucketing keeps the DuckDB
-    oracle bit-identical, so the approximate variant stays value-hash
-    checked."""
+    pairs share ANY table's bucket, and the exact cosine scorer verifies
+    each candidate, so precision is exact by construction.
+
+    Config is MEASURED, not guessed (tools/lsh_frontier.py sweeps every
+    (bits x tables) with bits*tables <= dim on the real fixtures): at both
+    sf0.01 and sf0.1, ({COSINE_LSH_BAND_BITS}, {COSINE_LSH_TABLES}) is the
+    ONLY config with pair recall >= 0.95 (0.966/0.954); widening bands
+    collapses recall (6 bits x 10 tables -> 0.54) because the fixture's dup
+    pairs top out near cosine 0.51 — barely above random, the regime where
+    hyperplane LSH cannot prune hard (candidate fraction 0.65 here;
+    tests/test_dedup.py pins the >= 8x-pruning behavior on a TRUE near-dup
+    corpus with the same machinery).
+
+    The plan keeps the unavoidable candidate volume cheap: the banded
+    self-join shuffles only SLIM (vec_id, table, bucket) rows — never the
+    {COSINE_LSH_TABLES}x-replicated embedding payload (~16 B/row vs ~270 B);
+    embeddings are fetched by key join (AQE broadcasts the vector table at
+    fixture scale; at 100 TB it is a bucketed-by-vec_id join moving each
+    embedding once instead of {COSINE_LSH_TABLES}x); and DISTINCT runs
+    LAST, on the threshold survivors only (output-sized), not on the
+    pair-slot stream — a pair colliding in k tables is scored k times, but
+    the measured duplication is only 1.55x and the dot is embarrassingly
+    parallel codegen, while a pre-score distinct is a full extra shuffle of
+    every pair-slot (measured +1.1 s of the query's 3.2 s at sf0.1; this
+    shape runs 1.5 s). Deterministic bucketing keeps the DuckDB oracle
+    bit-identical, so the approximate variant stays value-hash checked."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     v = emb.select(
         "vec_id",
@@ -704,21 +724,19 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    vb = v.select("vec_id", "embedding", "nrm", band_rows.alias("b")).select(
-        "vec_id", "embedding", "nrm", "b.tbl", "b.bucket"
+    slim = v.select("vec_id", band_rows.alias("b")).select("vec_id", "b.tbl", "b.bucket")
+    cand = (
+        slim.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+        .join(slim.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket"), ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
     )
-    a = vb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"), "tbl", "bucket",
-    )
-    b = vb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"), "tbl", "bucket",
-    )
+    va = v.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+    vb_ = v.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
     cos = dot_fold(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, ["tbl", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        cand.join(va, "vec_a")
+        .join(vb_, "vec_b")
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .distinct()

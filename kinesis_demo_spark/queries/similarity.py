@@ -161,13 +161,16 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the corpus shuffles once by band key (or is written bucketed),
     and recall/cost tune with (b, L) as constants, not plan changes:
     measured recall@10 vs the exact baseline is 0.88 at 4 bits x 16 tables
-    on the fixtures (tools/approx_quality.py; a single 8-bit signature
-    measured 0.00 — one wide signature requires agreement on every band at
-    once, and the fixtures' random embeddings make true neighbors only
-    moderately aligned).
-    A candidate colliding in several tables is scored once per collision and
-    deduplicated by DISTINCT before ranking — recomputing a dot product
-    beats the extra shuffle a distinct-ids-then-rejoin would cost."""
+    on the fixtures (tools/lsh_frontier.py sweeps the whole (bits, tables)
+    frontier: no config with fewer/wider bands reaches 0.85 at either sf —
+    the fixtures' near-random embeddings make true neighbors only moderately
+    aligned, so the wide-table config is the measured optimum, not a guess).
+    Plan shape: only SLIM (vec_id, table, bucket) rows travel through the
+    band join (the {ANN_LSH_TABLES}x-replicated embedding payload never
+    does); candidate (query, neighbor) pairs are DISTINCT'd before scoring
+    so a pair colliding in several tables is scored exactly once; the
+    embeddings are then fetched by key (queries stay a broadcast — the
+    corpus side never shuffles its vectors for the join)."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
     bands = F.explode(
@@ -183,34 +186,38 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    vb = v.select("vec_id", "embedding", "nrm", bands.alias("b")).select(
-        "vec_id", "embedding", "nrm", "b.tbl", "b.bucket"
+    slim = v.select("vec_id", bands.alias("b")).select("vec_id", "b.tbl", "b.bucket")
+    q_slim = F.broadcast(
+        slim.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "tbl", "bucket"
+        )
     )
-    q = F.broadcast(
-        vb.filter(F.col("vec_id") < N_QUERIES).select(
+    cand = (
+        q_slim.join(slim.select(F.col("vec_id").alias("neighbor_id"), "tbl", "bucket"), ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = F.broadcast(
+        v.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
             F.col("nrm").alias("qn"),
-            "tbl",
-            "bucket",
         )
     )
-    c = vb.select(
+    cv = v.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
         F.col("nrm").alias("cn"),
-        "tbl",
-        "bucket",
     )
     scored = (
-        q.join(c, ["tbl", "bucket"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
             (dot_fold(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("score"),
         )
-        .distinct()
     )
     return _topk(scored)
 

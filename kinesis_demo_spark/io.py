@@ -33,10 +33,14 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
     session without them. The session timezone is a hard requirement —
     event-time window math must match the DuckDB oracle's naive (UTC)
     timestamps, and a wrong value silently shifts every window boundary.
-    The two parquet-reader confs are best-effort: they make timestamp
-    columns surface in the preferred form, but ``load_table`` normalizes
-    whichever representation the scan yields, so a locked conf degrades to
-    a per-column cast instead of an error."""
+    The two parquet-reader confs are best-effort, with different failure
+    shapes when locked (ADVICE r5): the NTZ-inference conf degrades
+    gracefully — ``load_table`` casts whichever representation the scan
+    yields — but ``nanosAsLong`` locked to false against a TIMESTAMP(NANOS)
+    fixture makes the scan itself fail (Spark rejects nanos timestamps
+    without it); ``load_table`` detects that case and re-raises an
+    actionable error naming the conf instead of Spark's bare parquet-type
+    message."""
     best_effort = {
         # TIMESTAMP(NANOS) fixtures scan as int64 (normalized below) instead
         # of failing outright.
@@ -71,7 +75,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     ensure_runtime_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    try:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    except Exception as exc:
+        if "TIMESTAMP(NANOS" in str(exc):
+            raise RuntimeError(
+                f"table {name!r} stores TIMESTAMP(NANOS) but this session has "
+                "spark.sql.legacy.parquet.nanosAsLong locked off — Spark cannot "
+                "scan nanos timestamps without it; unlock the conf or build the "
+                "session with it set to true"
+            ) from exc
+        raise
     for col in _EVENT_TS_COLS.get(name, ()):
         dtype = dict(df.dtypes).get(col)
         if dtype == "bigint":  # TIMESTAMP(NANOS) fixture under nanosAsLong

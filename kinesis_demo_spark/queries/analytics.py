@@ -518,8 +518,9 @@ def timeseries_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     |candidates| rows per hour per side; the power sums are map-side-combined
     BIGINT partials, and the final double arithmetic is one fixed IEEE
     sequence in both engines — value-hash exact. Widening the candidate set
-    is a constant, not a plan change; the full-corpus path buckets users by
-    activity signature first (the LSH analogue)."""
+    is a constant, not a plan change; the full-corpus path is implemented by
+    ``timeseries_user_similarity_bucketed`` below (activity-signature
+    banding, the LSH analogue — no top-K gate, no all-pairs join)."""
     ev = _events(spark, sf_dir)
     hour = F.date_trunc("hour", F.col("ts"))
     bounds = ev.groupBy("user_id").agg(
@@ -546,6 +547,171 @@ def timeseries_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         x.join(y, "hour")
         .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("nx").alias("sx"),
+            F.sum("ny").alias("sy"),
+            F.sum(F.col("nx") * F.col("nx")).alias("sxx"),
+            F.sum(F.col("ny") * F.col("ny")).alias("syy"),
+            F.sum(F.col("nx") * F.col("ny")).alias("sxy"),
+        )
+    )
+    n = F.col("n_hours")
+    denx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = n * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double"))
+    )
+    return (
+        pairs.filter((denx > 0) & (deny > 0))
+        .select("user_a", "user_b", "n_hours", corr.alias("corr"))
+    )
+
+
+# Full-corpus candidate generation for the time-series similarity search —
+# the activity-signature bucketing the top-K variant's docstring points to.
+# 24-bit signature: bit h set iff the user's hour-of-day h is above their own
+# uniform-average activity (24*c_h >= total); banded into TS_SIG_TABLES x
+# TS_SIG_BAND_BITS keys, multi-table LSH style. Both are constants: widening
+# coverage is a retune, never a plan change.
+TS_SIG_BAND_BITS = 6
+TS_SIG_TABLES = 4
+
+_PROF_COLS_SQL = ", ".join(
+    f"sum(CASE WHEN extract(hour FROM ts) = {h} THEN 1 ELSE 0 END) AS c{h}"
+    for h in range(24)
+)
+_TOTAL_SQL = " + ".join(f"c{h}" for h in range(24))
+_SIG_SQL = " + ".join(
+    f"(CASE WHEN 24 * c{h} >= ({_TOTAL_SQL}) THEN {1 << h} ELSE 0 END)"
+    for h in range(24)
+)
+_SIG_BANDS_SQL = " ".join(
+    f"WHEN {t} THEN (sig // {1 << (t * TS_SIG_BAND_BITS)}) % {1 << TS_SIG_BAND_BITS}"
+    for t in range(TS_SIG_TABLES)
+)
+
+
+@register(
+    "timeseries_user_similarity_bucketed",
+    oracle=f"""
+WITH bounds AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT g.user_id, g.hour, coalesce(a.n_events, 0) AS n
+  FROM grid g LEFT JOIN agg a ON a.user_id = g.user_id AND a.hour = g.hour
+),
+prof AS (
+  SELECT user_id, {_PROF_COLS_SQL} FROM events GROUP BY user_id
+),
+sigs AS (
+  SELECT user_id, ({_SIG_SQL}) AS sig FROM prof
+),
+bands AS (
+  SELECT user_id, t.tbl, CASE t.tbl {_SIG_BANDS_SQL} END AS bucket
+  FROM sigs CROSS JOIN (SELECT unnest(range({TS_SIG_TABLES})) AS tbl) t
+),
+cand AS (
+  SELECT DISTINCT a.user_id AS user_a, b.user_id AS user_b
+  FROM bands a JOIN bands b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.user_id < b.user_id
+),
+pairs AS (
+  SELECT c.user_a, c.user_b,
+         count(*) AS n_hours,
+         sum(x.n) AS sx, sum(y.n) AS sy,
+         sum(x.n * x.n) AS sxx, sum(y.n * y.n) AS syy,
+         sum(x.n * y.n) AS sxy
+  FROM cand c
+  JOIN series x ON x.user_id = c.user_a
+  JOIN series y ON y.user_id = c.user_b AND y.hour = x.hour
+  GROUP BY 1, 2
+)
+SELECT user_a, user_b, n_hours,
+       CAST(n_hours * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n_hours * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n_hours * syy - sy * sy AS DOUBLE))) AS corr
+FROM pairs
+WHERE (n_hours * sxx - sx * sx) > 0 AND (n_hours * syy - sy * sy) > 0
+""",
+)
+def timeseries_user_similarity_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-CORPUS time-series similarity search — the scale path that
+    replaces ``timeseries_user_similarity``'s top-{TS_SIM_TOP_USERS} prune:
+    every user gets a 24-bit activity signature (bit h = hour-of-day h above
+    the user's own average), banded into {TS_SIG_TABLES} tables x
+    {TS_SIG_BAND_BITS} bits exactly like the embedding LSH; candidate pairs
+    share any (table, bucket); exact Pearson (integer power sums over
+    co-observed dense hours) scores candidates only. No all-pairs join
+    anywhere: the signature aggregate is one map-side-combined groupBy, the
+    band self-join shuffles (user_id, table, bucket) rows only, and the
+    scoring join fans each candidate pair out over the dense hour grid.
+    Recall/coverage tunes with the two constants. Same deterministic
+    arithmetic as the top-K variant, so the approximate path keeps a
+    value-hash-exact DuckDB oracle."""
+    ev = _events(spark, sf_dir)
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour")
+    )
+    agg = ev.groupBy("user_id", hour.alias("hour")).agg(F.count(F.lit(1)).alias("n_events"))
+    series = grid.join(agg, ["user_id", "hour"], "left").select(
+        "user_id", "hour", F.coalesce("n_events", F.lit(0)).alias("n")
+    )
+
+    hod = F.hour("ts")
+    prof = ev.groupBy("user_id").agg(
+        *[F.sum(F.when(hod == h, 1).otherwise(0)).alias(f"c{h}") for h in range(24)]
+    )
+    total = sum((F.col(f"c{h}") for h in range(1, 24)), F.col("c0"))
+    sig = sum(
+        (
+            F.when(F.lit(24) * F.col(f"c{h}") >= F.col("total"), F.lit(1 << h)).otherwise(F.lit(0))
+            for h in range(1, 24)
+        ),
+        F.when(F.lit(24) * F.col("c0") >= F.col("total"), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sigs = prof.withColumn("total", total).select("user_id", sig.alias("sig"))
+    band_rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    (
+                        F.shiftright("sig", t * TS_SIG_BAND_BITS)
+                        % (1 << TS_SIG_BAND_BITS)
+                    ).alias("bucket"),
+                )
+                for t in range(TS_SIG_TABLES)
+            ]
+        )
+    )
+    slim = sigs.select("user_id", band_rows.alias("b")).select("user_id", "b.tbl", "b.bucket")
+    cand = (
+        slim.select(F.col("user_id").alias("user_a"), "tbl", "bucket")
+        .join(slim.select(F.col("user_id").alias("user_b"), "tbl", "bucket"), ["tbl", "bucket"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .select("user_a", "user_b")
+        .distinct()
+    )
+    x = series.select(F.col("user_id").alias("user_a"), "hour", F.col("n").alias("nx"))
+    y = series.select(F.col("user_id").alias("user_b"), "hour", F.col("n").alias("ny"))
+    pairs = (
+        cand.join(x, "user_a")
+        .join(y, ["user_b", "hour"])
         .groupBy("user_a", "user_b")
         .agg(
             F.count(F.lit(1)).alias("n_hours"),

@@ -28,20 +28,30 @@ from pyspark.sql import types as T
 
 from ..io import ensure_runtime_confs
 
-# File-source schema for the events fixtures: ts is parquet TIMESTAMP(MICROS)
-# (naive; the UTC session makes the instants identical to the oracle's).
-# Declaring TimestampType directly sidesteps NTZ inference — streaming readers
-# require an explicit schema anyway.
-_EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), False),
-        T.StructField("ts", T.TimestampType(), False),
-        T.StructField("user_id", T.LongType(), False),
-        T.StructField("event_type", T.StringType(), False),
-        T.StructField("value", T.DoubleType(), False),
-        T.StructField("props", T.StringType(), False),
-    ]
-)
+# File-source schema for the events fixtures. Streaming readers require an
+# explicit schema, and the right one for ``ts`` depends on the fixture's
+# physical parquet type: TIMESTAMP(MICROS)/INT96 scan as TimestampType
+# (naive; the UTC session makes the instants identical to the oracle's),
+# while TIMESTAMP(NANOS) scans as int64 under the nanosAsLong conf
+# ensure_runtime_confs sets — declaring TimestampType against such a file
+# would fail the stream scan with a schema mismatch, so ``stream_events``
+# probes the actual file schema (one footer read) and picks the matching
+# variant, normalizing to TimestampType right after the source either way
+# (ADVICE r5: batch load_table handled both; streaming only handled one).
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts", ts_type, False),
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("value", T.DoubleType(), False),
+            T.StructField("props", T.StringType(), False),
+        ]
+    )
+
+
+_EVENTS_SCHEMA = _events_schema(T.TimestampType())
 
 
 def stream_source(spark: SparkSession, kind: str = "file", **kwargs) -> DataFrame:
@@ -166,12 +176,26 @@ def stream_events(
     """events fixture as an unbounded stream (file source standing in for the
     Kinesis/Kafka source; swapping sources changes only this reader).
     ``glob`` filters filenames — the default picks the events table out of a
-    fixture dir; tests streaming their own file sequences pass "*.parquet"."""
+    fixture dir; tests streaming their own file sequences pass "*.parquet".
+
+    Handles both event-time physical types batch ``load_table`` does: the
+    file schema is probed once (batch footer read under the same confs), and
+    a TIMESTAMP(NANOS) fixture — which scans as int64 under nanosAsLong —
+    streams under a LongType schema and converts to TimestampType
+    immediately after the source (integer DIV, exact above 2^53)."""
     ensure_runtime_confs(spark)
-    reader = spark.readStream.schema(_EVENTS_SCHEMA).option("pathGlobFilter", glob)
+    probed = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
+    ts_is_nanos_long = any(
+        f.name == "ts" and isinstance(f.dataType, T.LongType) for f in probed
+    )
+    schema = _events_schema(T.LongType()) if ts_is_nanos_long else _EVENTS_SCHEMA
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(sf_dir)  # file source wants a directory; glob picks the table
+    out = reader.parquet(sf_dir)  # file source wants a directory; glob picks the table
+    if ts_is_nanos_long:
+        out = out.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return out
 
 
 def windowed_aggregate(events: DataFrame, window: str = "1 second", watermark: str | None = None) -> DataFrame:

@@ -732,3 +732,107 @@ def timeseries_user_similarity_bucketed(spark: SparkSession, sf_dir: str) -> Dat
         pairs.filter((denx > 0) & (deny > 0))
         .select("user_a", "user_b", "n_hours", corr.alias("corr"))
     )
+
+
+# --- snapshot diff (CDC over the keyed serving store) ---------------------------
+
+
+@register(
+    "snapshot_diff_user_state",
+    oracle="""
+WITH mx AS (
+  SELECT max(event_id) AS max_id FROM events
+),
+tagged AS (
+  SELECT e.user_id, e.event_id, e.ts, e.value, t.snap
+  FROM events e, mx,
+       (SELECT unnest(['a', 'b']) AS snap) t
+  WHERE (t.snap = 'a' AND e.event_id <= (mx.max_id * 2) // 3)
+     OR (t.snap = 'b' AND e.event_id >  mx.max_id // 3)
+),
+latest AS (
+  SELECT user_id, snap, event_id, value,
+         row_number() OVER (PARTITION BY user_id, snap
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM tagged
+),
+a AS (SELECT user_id, event_id, value FROM latest WHERE snap = 'a' AND rn = 1),
+b AS (SELECT user_id, event_id, value FROM latest WHERE snap = 'b' AND rn = 1)
+SELECT coalesce(a.user_id, b.user_id) AS user_id,
+       CASE WHEN b.user_id IS NULL THEN 'removed'
+            WHEN a.user_id IS NULL THEN 'added'
+            WHEN a.event_id <> b.event_id THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       coalesce(a.event_id, -1) AS last_id_a,
+       coalesce(b.event_id, -1) AS last_id_b,
+       coalesce(a.value, -1.0) AS val_a,
+       coalesce(b.value, -1.0) AS val_b
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+""",
+)
+def snapshot_diff_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style diff of the keyed serving store between two points in the
+    stream — snapshot A = first two-thirds of events by event_id, snapshot
+    B = last two-thirds (overlapping middle third, so all four statuses
+    occur): per user, the latest (ts, event_id)-ordered state in each
+    snapshot, classified added / removed / changed / unchanged. This is the
+    audit a consumer runs to validate an incremental upsert sink
+    (streaming/pipeline.py foreachBatch MERGE) against a full recompute.
+
+    Scale: each event row is tagged with the snapshots it belongs to via an
+    exploded membership array (<= 2x replication, no re-scan), then ONE
+    shuffle on (user_id, snap) ranks latest states; the diff itself is a
+    user-keyed full outer join of two |users|-sized sides. Snapshot bounds
+    are BIGINT arithmetic off one broadcast max — deterministic in both
+    engines. Sentinels (-1) keep nullable BIGINT/DOUBLE columns non-null so
+    the pandas hash stays dtype-stable."""
+    events = _events(spark, sf_dir)
+    mx = events.agg(F.max("event_id").alias("max_id"))
+    bound_a = F.expr("(max_id * 2) DIV 3")
+    bound_b = F.expr("max_id DIV 3")
+    tagged = (
+        events.crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.explode(
+                F.concat(
+                    F.when(F.col("event_id") <= bound_a, F.array(F.lit("a")))
+                    .otherwise(F.array().cast("array<string>")),
+                    F.when(F.col("event_id") > bound_b, F.array(F.lit("b")))
+                    .otherwise(F.array().cast("array<string>")),
+                )
+            ).alias("snap"),
+        )
+    )
+    w = Window.partitionBy("user_id", "snap").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = tagged.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    a = latest.filter(F.col("snap") == "a").select(
+        F.col("user_id").alias("user_a"),
+        F.col("event_id").alias("id_a"),
+        F.col("value").alias("v_a"),
+    )
+    b = latest.filter(F.col("snap") == "b").select(
+        F.col("user_id").alias("user_b"),
+        F.col("event_id").alias("id_b"),
+        F.col("value").alias("v_b"),
+    )
+    joined = a.join(b, a["user_a"] == b["user_b"], "full_outer")
+    status = (
+        F.when(F.col("user_b").isNull(), F.lit("removed"))
+        .when(F.col("user_a").isNull(), F.lit("added"))
+        .when(F.col("id_a") != F.col("id_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        F.coalesce(F.col("user_a"), F.col("user_b")).alias("user_id"),
+        status.alias("status"),
+        F.coalesce(F.col("id_a"), F.lit(-1)).cast("long").alias("last_id_a"),
+        F.coalesce(F.col("id_b"), F.lit(-1)).cast("long").alias("last_id_b"),
+        F.coalesce(F.col("v_a"), F.lit(-1.0)).alias("val_a"),
+        F.coalesce(F.col("v_b"), F.lit(-1.0)).alias("val_b"),
+    )

@@ -1,0 +1,458 @@
+"""Corpus-level retrieval and curation operators over the ``documents``
+fixture — the remaining training-data-pipeline passes (SURVEY.md §7 Phase 5
+north star): BM25 lexical retrieval, exact paragraph-level boilerplate
+removal, corpus-mixture reporting, and the BPE merge-candidate scan.
+
+Every query keeps the differential gate bit-exact: ratios instead of libm
+transcendentals (the ``text_tfidf`` precedent — ln()'s last-ulp rounding is
+engine-specific, +,-,*,/ and sqrt are IEEE-correctly-rounded everywhere),
+BIGINT sums for every corpus total, and fixed-order float folds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import h60, h60_sql
+from ..io import load_table, spread
+from ..registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spread(load_table(spark, sf_dir, "documents"))
+
+
+def _tokens() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+# --- BM25 lexical retrieval -----------------------------------------------------
+
+# Okapi BM25 constants (the standard published values).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+# Fixed query over the fixture vocabulary — retrieval needs a query; a
+# constant one keeps the operator a pure function of the corpus.
+BM25_QUERY_TERMS = ("spark", "hash", "window")
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(BM25_QUERY_TERMS))
+    )
+    # Per-term score with explicit parenthesization mirrored exactly in the
+    # Spark projection: idf-ratio * (tf*(k1+1)) / (tf + k1*(1 - b + b*(dl/avgdl)))
+    score_terms = [
+        f"((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5) / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf_{i} AS DOUBLE) * ({BM25_K1} + 1.0))"
+        f" / (CAST(tf_{i} AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * (CAST(dl AS DOUBLE) / avgdl)))"
+        for i in range(len(BM25_QUERY_TERMS))
+    ]
+    score = " + ".join(f"s_{i}" for i in range(len(BM25_QUERY_TERMS)))
+    s_cols = ", ".join(f"{expr} AS s_{i}" for i, expr in enumerate(score_terms))
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, dl, {tf_cols} FROM t
+),
+g AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sum_dl, {df_cols} FROM tf
+),
+scored AS (
+  SELECT doc_id, dl, {", ".join(f"tf_{i}" for i in range(len(BM25_QUERY_TERMS)))},
+         {s_cols}
+  FROM tf, (SELECT *, CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl FROM g)
+),
+ranked AS (
+  SELECT doc_id, {", ".join(f"tf_{i}" for i in range(len(BM25_QUERY_TERMS)))},
+         {score} AS score,
+         row_number() OVER (ORDER BY {score} DESC, doc_id) AS rnk
+  FROM scored
+  WHERE {" + ".join(f"tf_{i}" for i in range(len(BM25_QUERY_TERMS)))} > 0
+)
+SELECT doc_id, {", ".join(f"tf_{i}" for i in range(len(BM25_QUERY_TERMS)))},
+       score, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {BM25_TOP_K}
+"""
+
+
+@register("text_bm25_topk", oracle=_bm25_oracle())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-{k} retrieval for a fixed query — the lexical-search
+    scorer used to mine training data for a topic (and the baseline every
+    dense retriever is graded against). idf stays the BM25 ratio
+    (N - df + 0.5)/(df + 0.5) WITHOUT the log: log is monotone, so ranking
+    is preserved, and the ratio keeps both engines bit-exact (text_tfidf
+    precedent).
+
+    Scale: tf/dl are per-row array expressions (scan-parallel, no explode —
+    the query has a handful of terms, so a filtered ``list_filter`` count
+    per term beats materializing every token). df/avgdl is ONE 1-row global
+    aggregate broadcast back via crossJoin; top-k is orderBy().limit =
+    TakeOrderedAndProject (per-partition local k, never a global window on
+    the corpus). Only the k survivors enter the rank window."""
+    nt = len(BM25_QUERY_TERMS)
+    toks = _tokens()
+
+    def tf(term: str) -> Column:
+        # closure, NOT a default-arg lambda: a 2-param lambda would be
+        # treated by F.filter as (element, index)
+        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("long")
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[tf(t).alias(f"tf_{i}") for i, t in enumerate(BM25_QUERY_TERMS)],
+    )
+    g = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(nt)
+        ],
+    ).withColumn("avgdl", F.col("sum_dl").cast("double") / F.col("n_docs").cast("double"))
+
+    def term_score(i: int) -> Column:
+        tf_d = F.col(f"tf_{i}").cast("double")
+        df_d = F.col(f"df_{i}").cast("double")
+        idf = (F.col("n_docs").cast("double") - df_d + F.lit(0.5)) / (df_d + F.lit(0.5))
+        denom = tf_d + F.lit(BM25_K1) * (
+            F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+        return idf * (tf_d * F.lit(BM25_K1 + 1.0)) / denom
+
+    score = term_score(0)
+    for i in range(1, nt):
+        score = score + term_score(i)
+    scored = (
+        base.crossJoin(F.broadcast(g))
+        .filter(sum(F.col(f"tf_{i}") for i in range(nt)) > 0)
+        .select("doc_id", *[f"tf_{i}" for i in range(nt)], score.alias("score"))
+    )
+    topk = scored.orderBy(F.col("score").desc(), "doc_id").limit(BM25_TOP_K)
+    return topk.select(
+        "doc_id",
+        *[f"tf_{i}" for i in range(nt)],
+        "score",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("rnk"),
+    )
+
+
+# --- exact paragraph-level boilerplate removal ----------------------------------
+
+# The fixture corpus has no paragraph structure, so the query plants
+# deterministic boilerplate paragraphs (the text_pii_redact precedent: both
+# engines construct the identical input, so the dedup work is real and still
+# value-hash checked): a newsletter footer on every third doc and a legal
+# footer on every seventh.
+PARA_FOOTER_A = "subscribe to the newsletter and follow the feed for updates"
+PARA_FOOTER_B = "copyright two thousand twenty five all rights reserved legal notice"
+PARA_SEP = " | "
+# A paragraph appearing in >= this many DISTINCT docs is boilerplate. 3, not
+# 2, so the fixture's planted near-duplicate PAIRS keep their body text and
+# only corpus-wide repeats (the footers, any 3+-way exact dup) are dropped.
+PARA_DOC_THRESHOLD = 3
+
+
+@register(
+    "dedup_boilerplate_paragraphs",
+    oracle=f"""
+WITH built AS (
+  SELECT doc_id,
+         [text]
+           || (CASE WHEN doc_id % 3 = 0 THEN ['{PARA_FOOTER_A}'] ELSE [] END)
+           || (CASE WHEN doc_id % 7 = 0 THEN ['{PARA_FOOTER_B}'] ELSE [] END) AS paras
+  FROM documents
+),
+exploded AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS idx, paras[i] AS para
+  FROM built, unnest(generate_series(1, len(paras))) AS u(i)
+),
+freq AS (
+  SELECT para, count(DISTINCT doc_id) AS n_docs_with
+  FROM exploded GROUP BY para
+),
+kept AS (
+  SELECT e.doc_id, e.idx, e.para
+  FROM exploded e JOIN freq f ON e.para = f.para
+  WHERE f.n_docs_with < {PARA_DOC_THRESHOLD}
+),
+rebuilt AS (
+  SELECT doc_id,
+         count(*) AS n_kept,
+         string_agg(para, '{PARA_SEP}' ORDER BY idx) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.paras) AS BIGINT) AS n_paras,
+       CAST(len(b.paras) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(r.clean_text, '') AS clean_text
+FROM built b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+""",
+)
+def dedup_boilerplate_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact paragraph-level dedup — the CCNet/Dolma boilerplate pass: a
+    paragraph whose exact text occurs in >= {threshold} distinct documents
+    corpus-wide (nav bars, footers, license blurbs) is removed from every
+    document; surviving paragraphs are reassembled in order.
+
+    Scale: posexplode -> ONE paragraph-keyed aggregate (countDistinct doc_id
+    with map-side partials; hot boilerplate paragraphs are exactly the rows
+    partial aggregation collapses before the exchange) -> equi-join back on
+    paragraph text -> per-doc ordered reassembly (one shuffle on doc_id).
+    At 100 TB the paragraph-frequency table is vocabulary-sized relative to
+    the corpus; joining on a hashed paragraph digest instead of raw text
+    (md5 col swap, same plan) keeps exchange rows slim."""
+    empty = F.array().cast("array<string>")
+    built = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.array("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.array(F.lit(PARA_FOOTER_A))).otherwise(empty),
+            F.when(F.col("doc_id") % 7 == 0, F.array(F.lit(PARA_FOOTER_B))).otherwise(empty),
+        ).alias("paras"),
+    )
+    exploded = built.select(
+        "doc_id", F.posexplode("paras").alias("idx0", "para")
+    ).select("doc_id", (F.col("idx0") + 1).cast("long").alias("idx"), "para")
+    freq = exploded.groupBy("para").agg(F.countDistinct("doc_id").alias("n_docs_with"))
+    kept = (
+        exploded.join(freq, "para")
+        .filter(F.col("n_docs_with") < PARA_DOC_THRESHOLD)
+        .select("doc_id", "idx", "para")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("idx", "para"))), lambda s: s["para"]
+            ),
+            PARA_SEP,
+        ).alias("clean_text"),
+    )
+    return built.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.size("paras").cast("long").alias("n_paras"),
+        (F.size("paras") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("long").alias("n_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+# --- corpus mixture report ------------------------------------------------------
+
+# Temperature for mixture reweighting: weight ∝ share^0.5 (the multilingual
+# sampling-temperature idea). sqrt is IEEE-correctly-rounded in both engines,
+# unlike pow/log.
+
+
+@register(
+    "corpus_mixture_report",
+    oracle="""
+WITH per AS (
+  SELECT source, lang,
+         count(*) AS n_docs,
+         CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source, lang
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per
+)
+SELECT source, lang, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
+       sqrt(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS sampling_weight,
+       1.0 / sqrt(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS upsample_factor
+FROM per, tot
+""",
+)
+def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition report: per (source, lang) stratum — document and
+    token counts, token share of the corpus, and a temperature-scaled
+    sampling weight (share^0.5, the standard upsample-the-tail mixture
+    transform). This is the table a training run's data-mixture config is
+    written from.
+
+    Scale: one grouped aggregate with BIGINT token sums (map-side combined,
+    stratum cardinality is tiny), a 1-row total broadcast back via
+    crossJoin, then pure per-row IEEE arithmetic (division + sqrt — both
+    correctly rounded, so the gate stays bit-exact; deliberately NOT
+    normalizing by a float sum across strata, which would impose a
+    summation order)."""
+    per = (
+        _docs(spark, sf_dir)
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(_tokens()).cast("long")).alias("n_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").alias("total_tokens"))
+    share = F.col("n_tokens").cast("double") / F.col("total_tokens").cast("double")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        F.sqrt(share).alias("sampling_weight"),
+        (F.lit(1.0) / F.sqrt(share)).alias("upsample_factor"),
+    )
+
+
+# --- BPE merge-candidate scan ---------------------------------------------------
+
+BPE_TOP_K = 50
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=f"""
+WITH t AS (
+  SELECT string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS pair
+  FROM t
+),
+counts AS (
+  SELECT pair, count(*) AS n FROM pairs GROUP BY pair
+),
+ranked AS (
+  SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rnk
+  FROM counts
+)
+SELECT pair, n, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {BPE_TOP_K}
+""",
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner loop of BPE/WordPiece tokenizer training, distributed:
+    count every ADJACENT token pair corpus-wide and return the top-{k}
+    merge candidates (count desc, pair asc). One such scan per merge round
+    is exactly how a tokenizer trains against a 100 TB corpus — the engine
+    makes each round a single pass.
+
+    Scale: adjacent pairs come from ``transform(sequence(...))`` over the
+    token array (guarded to >= 2 tokens — Spark's ``sequence(1, 0)`` would
+    count DOWN) -> explode -> one pair-keyed count with map-side partials
+    (Zipf-head pairs collapse before the exchange) -> orderBy().limit =
+    TakeOrderedAndProject, never a global window over all distinct pairs;
+    only the k survivors pass through the tiny rank window."""
+    toks = _tokens()
+    t = (
+        _docs(spark, sf_dir)
+        .select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    pairs = t.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    topk = counts.orderBy(F.col("n").desc(), "pair").limit(BPE_TOP_K)
+    return topk.select(
+        "pair",
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("pair")))
+        .cast("long")
+        .alias("rnk"),
+    )
+
+
+# --- mixture-weighted resampling ------------------------------------------------
+
+MIX_PPM = 1_000_000  # keep-probability resolution (parts per million)
+MIX_SALT = "mix"     # decorrelates this sampler from the other h60 samplers
+
+
+@register(
+    "sample_mixture_weighted",
+    oracle=f"""
+WITH per AS (
+  SELECT source, lang,
+         CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source, lang
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per
+),
+w AS (
+  SELECT source, lang,
+         1.0 / sqrt(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS inv_w
+  FROM per, tot
+),
+mx AS (
+  SELECT max(inv_w) AS max_inv FROM w
+),
+strata AS (
+  SELECT source, lang,
+         CAST(floor(inv_w / max_inv * {MIX_PPM}) AS BIGINT) AS keep_ppm
+  FROM w, mx
+)
+SELECT d.doc_id, d.source, d.lang, s.keep_ppm
+FROM documents d JOIN strata s ON d.source = s.source AND d.lang = s.lang
+WHERE {h60_sql(f"'{MIX_SALT}' || CAST(d.doc_id AS VARCHAR)")} % {MIX_PPM} < s.keep_ppm
+""",
+)
+def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced corpus resampling — the step that APPLIES the
+    ``corpus_mixture_report`` weights: each (source, lang) stratum keeps
+    documents with probability proportional to 1/sqrt(token_share),
+    normalized so the rarest stratum keeps 100% — large strata are
+    downsampled toward the temperature-0.5 mixture. The keep decision is
+    ``h60(salt || doc_id) % 1e6 < keep_ppm``: a pure row function, so the
+    sample reproduces across runs/engines/retries and composes with the
+    other h60 samplers (distinct salt = independent coin).
+
+    Bit-exactness: normalizing by the MAX stratum weight instead of the sum
+    matters — max is order-independent while a float sum would impose a
+    summation order; all remaining ops (sqrt, /, *, floor) round identically
+    in both engines. Scale: strata table is tiny (broadcast join), the keep
+    filter is per-row hash arithmetic — no extra shuffle beyond the one
+    stratum aggregate."""
+    per = (
+        _docs(spark, sf_dir)
+        .groupBy("source", "lang")
+        .agg(F.sum(F.size(_tokens()).cast("long")).alias("n_tokens"))
+    )
+    tot = per.agg(F.sum("n_tokens").alias("total_tokens"))
+    inv_w = F.lit(1.0) / F.sqrt(
+        F.col("n_tokens").cast("double") / F.col("total_tokens").cast("double")
+    )
+    w = per.crossJoin(F.broadcast(tot)).select("source", "lang", inv_w.alias("inv_w"))
+    mx = w.agg(F.max("inv_w").alias("max_inv"))
+    strata = w.crossJoin(F.broadcast(mx)).select(
+        "source",
+        "lang",
+        F.floor(F.col("inv_w") / F.col("max_inv") * MIX_PPM).cast("long").alias("keep_ppm"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    keep = (h60(F.concat(F.lit(MIX_SALT), F.col("doc_id").cast("string"))) % MIX_PPM) < F.col(
+        "keep_ppm"
+    )
+    return (
+        docs.join(F.broadcast(strata), ["source", "lang"])
+        .filter(keep)
+        .select("doc_id", "source", "lang", "keep_ppm")
+    )

@@ -32,6 +32,7 @@ _QUERY_MODULES = (
     "kinesis_demo_spark.queries.udfs",
     "kinesis_demo_spark.queries.reshape",
     "kinesis_demo_spark.queries.training_prep",
+    "kinesis_demo_spark.queries.corpus",
 )
 
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries only

@@ -1,0 +1,163 @@
+"""Invariant + differential tests for the corpus-level retrieval/curation
+operators (queries/corpus.py). The value-hash gate lives in
+test_oracle_parity; these pin the SEMANTICS: BM25 ranking behavior,
+boilerplate-removal guarantees, mixture-share conservation, and a direct
+Python recount differential for the BPE pair scan."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import duckdb
+import pytest
+
+from kinesis_demo_spark.queries.corpus import (
+    BM25_QUERY_TERMS,
+    BM25_TOP_K,
+    BPE_TOP_K,
+    PARA_FOOTER_A,
+    PARA_FOOTER_B,
+    PARA_SEP,
+    bpe_merge_candidates,
+    corpus_mixture_report,
+    dedup_boilerplate_paragraphs,
+    text_bm25_topk,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _doc_texts() -> dict[int, str]:
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    return dict(rows)
+
+
+def test_bm25_ranking_semantics(spark):
+    out = text_bm25_topk(spark, SF_SMOKE).collect()
+    assert 0 < len(out) <= BM25_TOP_K
+    # ranks contiguous from 1, scores non-increasing, deterministic tie-break
+    ranks = [r["rnk"] for r in out]
+    assert ranks == list(range(1, len(out) + 1))
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # every hit matches at least one query term, and the tf columns agree
+    # with a direct recount of the raw text
+    texts = _doc_texts()
+    for r in out:
+        tfs = [r[f"tf_{i}"] for i in range(len(BM25_QUERY_TERMS))]
+        assert sum(tfs) > 0 and r["score"] > 0
+        toks = texts[r["doc_id"]].split(" ")
+        for i, term in enumerate(BM25_QUERY_TERMS):
+            assert tfs[i] == sum(1 for x in toks if x == term)
+
+
+def test_boilerplate_footers_always_removed(spark):
+    rows = dedup_boilerplate_paragraphs(spark, SF_SMOKE).collect()
+    texts = _doc_texts()
+    assert len(rows) == len(texts)
+    for r in rows:
+        # planted footers occur in |corpus|/3 (resp. /7) docs >= threshold,
+        # so they must never survive
+        assert PARA_FOOTER_A not in r["clean_text"]
+        assert PARA_FOOTER_B not in r["clean_text"]
+        # conservation: parts in clean_text == n_paras - n_removed
+        n_kept = len(r["clean_text"].split(PARA_SEP)) if r["clean_text"] else 0
+        assert n_kept == r["n_paras"] - r["n_removed"]
+        # construction arity: body + optional footers
+        expected_paras = 1 + (r["doc_id"] % 3 == 0) + (r["doc_id"] % 7 == 0)
+        assert r["n_paras"] == expected_paras
+    # a unique-bodied doc with no planted footer passes through verbatim
+    body_freq = Counter(texts.values())
+    untouched = [
+        r
+        for r in rows
+        if r["doc_id"] % 3 != 0 and r["doc_id"] % 7 != 0 and body_freq[texts[r["doc_id"]]] < 3
+    ]
+    assert untouched, "fixture should contain unique plain docs"
+    for r in untouched:
+        assert r["clean_text"] == texts[r["doc_id"]]
+        assert r["n_removed"] == 0
+
+
+def test_mixture_report_conserves_tokens(spark):
+    rows = corpus_mixture_report(spark, SF_SMOKE).collect()
+    texts = _doc_texts()
+    total = sum(len(t.split(" ")) for t in texts.values())
+    assert sum(r["n_tokens"] for r in rows) == total
+    assert sum(r["n_docs"] for r in rows) == len(texts)
+    for r in rows:
+        assert 0 < r["token_share"] <= 1
+        # weight is share^0.5; upsample is its reciprocal
+        assert r["sampling_weight"] == pytest.approx(r["token_share"] ** 0.5, rel=1e-12)
+        assert r["upsample_factor"] == pytest.approx(1.0 / r["sampling_weight"], rel=1e-12)
+    # shares sum to 1 across the partition of the corpus
+    assert sum(r["token_share"] for r in rows) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_bpe_pairs_match_python_recount(spark):
+    out = bpe_merge_candidates(spark, SF_SMOKE).collect()
+    counter: Counter[str] = Counter()
+    for text in _doc_texts().values():
+        toks = text.split(" ")
+        counter.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    expected = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_K]
+    got = [(r["pair"], r["n"]) for r in sorted(out, key=lambda r: r["rnk"])]
+    assert got == expected
+
+
+def test_mixture_weighted_sample_rates(spark):
+    from kinesis_demo_spark.queries.corpus import MIX_PPM, sample_mixture_weighted
+
+    rows = sample_mixture_weighted(spark, SF_SMOKE).collect()
+    assert rows
+    # the rarest stratum is kept at exactly 100% (its keep_ppm is the
+    # normalization anchor: floor(1.0 * PPM))
+    assert max(r["keep_ppm"] for r in rows) == MIX_PPM
+    # determinism: hash-threshold sampling reproduces exactly
+    again = sample_mixture_weighted(spark, SF_SMOKE).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(r["doc_id"] for r in again)
+    # realized keep rate per stratum tracks keep_ppm (binomial tolerance)
+    con = duckdb.connect()
+    totals = dict(
+        con.execute(
+            f"SELECT source || '|' || lang, count(*) FROM '{SF_SMOKE}/documents.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    con.close()
+    kept: Counter[str] = Counter()
+    ppm: dict[str, int] = {}
+    for r in rows:
+        key = f"{r['source']}|{r['lang']}"
+        kept[key] += 1
+        ppm[key] = r["keep_ppm"]
+    for key, k in kept.items():
+        n = totals[key]
+        p = ppm[key] / MIX_PPM
+        # 4-sigma binomial band; avoids flakiness while still catching a
+        # broken threshold comparison
+        sigma = (n * p * (1 - p)) ** 0.5
+        assert abs(k - n * p) <= 4 * sigma + 1
+
+
+def test_snapshot_diff_status_semantics(spark):
+    from kinesis_demo_spark.queries.analytics import snapshot_diff_user_state
+
+    rows = snapshot_diff_user_state(spark, SF_SMOKE).collect()
+    assert rows
+    assert {r["status"] for r in rows} <= {"added", "removed", "changed", "unchanged"}
+    # one verdict per user, and 'unchanged' iff the latest event is identical
+    users = [r["user_id"] for r in rows]
+    assert len(users) == len(set(users))
+    for r in rows:
+        if r["status"] == "unchanged":
+            assert r["last_id_a"] == r["last_id_b"] and r["val_a"] == r["val_b"]
+        if r["status"] == "changed":
+            assert r["last_id_a"] != r["last_id_b"]
+        if r["status"] == "added":
+            assert r["last_id_a"] == -1 and r["last_id_b"] != -1
+        if r["status"] == "removed":
+            assert r["last_id_b"] == -1 and r["last_id_a"] != -1

@@ -10,7 +10,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
-from ..streaming.pipeline import run_complete_to_memory, run_stream_stream_join
+from ..streaming.pipeline import (
+    run_complete_to_memory,
+    run_stream_static_enrich,
+    run_stream_stream_join,
+)
 
 
 @register(
@@ -48,3 +52,26 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain batch range join — the batch/streaming differential for join
     state, like streaming_window_counts is for aggregate state."""
     return run_stream_stream_join(spark, sf_dir)
+
+
+@register(
+    "streaming_static_enrich",
+    oracle="""
+WITH hist AS (
+  SELECT user_id,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS hist_avg
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, e.value, h.hist_avg,
+       CAST(CASE WHEN e.value > 2.0 * h.hist_avg THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM events e JOIN hist h ON e.user_id = h.user_id
+""",
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join drained over the fixture: every event
+    enriched with the user's batch-computed historical average (broadcast
+    static dim) and an anomaly flag — the third streaming differential,
+    covering join-against-static state the way streaming_window_counts
+    covers aggregate state and streaming_interval_join covers stream-stream
+    join state."""
+    return run_stream_static_enrich(spark, sf_dir)

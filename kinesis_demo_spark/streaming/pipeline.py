@@ -294,6 +294,59 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str, name: str | None = 
     return spark.table(name)
 
 
+def run_stream_static_enrich(spark: SparkSession, sf_dir: str, name: str | None = None) -> DataFrame:
+    """Stream-static enrichment join — the third streaming join shape after
+    windowed aggregate and stream-stream: each micro-batch of the event
+    stream joins a STATIC per-user history table (batch aggregate, broadcast
+    — the static side is planned fresh per batch but never keeps state) to
+    flag events whose value exceeds 2x the user's historical average. This
+    is the enrich-against-a-dim-table pattern every production stream has;
+    no watermark needed because the static side never grows.
+
+    The history average follows the float policy: DECIMAL sum (exact,
+    order-independent) then ONE double division — bit-identical to the
+    batch oracle."""
+    from ..io import load_table
+
+    name = name or "stream_enrich_" + re.sub(r"[^0-9a-zA-Z]", "_", sf_dir).strip("_")
+    hist = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("hist_avg")
+        )
+    )
+    enriched = (
+        stream_events(spark, sf_dir)
+        .join(F.broadcast(hist), "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            "hist_avg",
+            F.when(F.col("value") > F.lit(2.0) * F.col("hist_avg"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_anomaly"),
+        )
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 # Serving-store partition column: UTC day index of the window start
 # (unix_micros // µs-per-day). A LONG derived from the instant itself, so it
 # is identical under every session timezone — to_date(timestamp) is not.

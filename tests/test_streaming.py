@@ -187,3 +187,16 @@ def test_serving_loop_concurrent_polls_under_budget(spark):
     assert stats["requests"] == 12 and stats["clients"] == 3
     assert 0 < stats["p50"] <= stats["value"] <= stats["max"]
     assert stats["within_budget_pct"] == 100.0
+
+
+def test_stream_static_enrich_covers_all_events(spark):
+    from kinesis_demo_spark.streaming.pipeline import run_stream_static_enrich
+
+    out = run_stream_static_enrich(spark, SF, name="enrich_semantics_test")
+    rows = out.collect()
+    n_events = load_table(spark, SF, "events").count()
+    # inner join on a dim built FROM the same stream's key space loses nothing
+    assert len(rows) == n_events
+    # flag semantics: anomaly iff value strictly exceeds twice the history
+    for r in rows[:200]:
+        assert r["is_anomaly"] == (1 if r["value"] > 2.0 * r["hist_avg"] else 0)

@@ -287,7 +287,16 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _jaccard_verified(cands, sh, JACCARD_THRESHOLD)
+    # spread before the verify: the distinct's output rows are two bare
+    # longs, so AQE's partition coalescing collapses them to a handful of
+    # partitions by SIZE — and the expensive stage downstream (per-pair
+    # array_intersect Jaccard) inherits that near-serial parallelism
+    # (measured: 3 tasks on 32 cores, 7.3 s warm; with the spread, full
+    # fan-out, 2.0 s). Round-robin on slim rows is noise next to the
+    # verify work it parallelizes — same reasoning as io.spread's docstring,
+    # applied mid-plan where a size-coalesced exchange meets a compute-bound
+    # stage.
+    return _jaccard_verified(spread(cands), sh, JACCARD_THRESHOLD)
 
 
 # --- MinHash + LSH ------------------------------------------------------------------
@@ -734,12 +743,28 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     va = v.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
     vb_ = v.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
     cos = dot_fold(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    # distinct BEFORE scoring, spread after: with the slim (vec_a, vec_b)
+    # exchange the pair dedup costs almost nothing and kills the 1.55x
+    # multi-table re-scoring, so every unique pair folds exactly once (and
+    # the post-score distinct disappears — survivors are already unique).
+    # The spread matters independently: bare-long pair rows get
+    # size-coalesced by AQE to a handful of partitions, which would leave
+    # the 64-term cosine fold near-serial (the measured failure mode on
+    # dedup_ngram_jaccard_prefix's verify: 3 tasks on 32 cores, 3.6x wall).
+    # Measured warm at sf0.1: 3.45 s (score-then-distinct) -> 1.91 s.
+    # The vector fetch is EXPLICITLY broadcast: the corpus vector table sits
+    # right at the 10 MB auto-broadcast threshold at sf0.1, so leaving the
+    # choice to size estimates makes the plan flap between broadcast (1.8 s)
+    # and sort-merge (5 s) run to run. While the vector table fits an
+    # executor it IS the dim side of this join; past that, swap the hint for
+    # a bucketed-by-vec_id fetch (see docstring) — a deployment constant,
+    # not a plan rewrite.
     return (
-        cand.join(va, "vec_a")
-        .join(vb_, "vec_b")
+        spread(cand.distinct())
+        .join(F.broadcast(va), "vec_a")
+        .join(F.broadcast(vb_), "vec_b")
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
-        .distinct()
     )
 
 

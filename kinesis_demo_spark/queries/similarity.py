@@ -211,7 +211,11 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("cn"),
     )
     scored = (
-        cand.join(qv, "query_id")
+        # spread: the distinct's bare-long pair rows get size-coalesced by
+        # AQE to a few partitions; without the round-robin fan-out the exact
+        # scoring fold would run near-serial (the dedup_ngram_jaccard_prefix
+        # failure mode).
+        spread(cand).join(qv, "query_id")
         .join(cv, "neighbor_id")
         .select(
             "query_id",

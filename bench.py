@@ -101,6 +101,14 @@ HEADLINE = (
     "sample_stratified_documents",
     "sequence_packing",
     "embedding_quantize_int8",
+    # r5 corpus retrieval/curation + streaming additions
+    "text_bm25_topk",
+    "dedup_boilerplate_paragraphs",
+    "corpus_mixture_report",
+    "sample_mixture_weighted",
+    "bpe_merge_candidates",
+    "snapshot_diff_user_state",
+    "streaming_static_enrich",
 )
 
 

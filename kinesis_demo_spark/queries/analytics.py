@@ -836,3 +836,45 @@ def snapshot_diff_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("v_a"), F.lit(-1.0)).alias("val_a"),
         F.coalesce(F.col("v_b"), F.lit(-1.0)).alias("val_b"),
     )
+
+
+# --- incremental aggregate maintenance (merge == recompute differential) --------
+
+
+@register(
+    "incremental_agg_union_merge",
+    oracle="""
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY user_id
+""",
+)
+def incremental_agg_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance, proven against full
+    recompute: the per-user (count, sum) table is built from TWO partial
+    aggregates — a 'previous snapshot' (first two-thirds of events by
+    event_id) and a 'new batch' (the rest) — merged by summing partials.
+    The oracle is the DIRECT full aggregate, so the value-hash gate IS the
+    merge==recompute theorem for these aggregates. This is the batch
+    analogue of the streaming foreachBatch MERGE sink
+    (streaming/pipeline.py): counts add; DECIMAL sums are exact and
+    order-independent, so partial merging cannot drift — which is exactly
+    why the engine's float policy keeps money/value sums in DECIMAL until
+    the final cast.
+
+    Scale: both partials and the merge group on user_id, so one hash
+    partitioning serves all three aggregations with map-side combine; the
+    snapshot bound is BIGINT arithmetic off a broadcast 1-row max."""
+    events = _events(spark, sf_dir)
+    mx = events.agg(F.max("event_id").alias("max_id"))
+    tagged = events.crossJoin(F.broadcast(mx)).withColumn(
+        "is_old", F.col("event_id") <= F.expr("(max_id * 2) DIV 3")
+    )
+    partial = tagged.groupBy("user_id", "is_old").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast(D2)).alias("ps"),
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("ps").cast("double").alias("sum_value"),
+    )

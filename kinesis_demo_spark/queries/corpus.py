@@ -456,3 +456,68 @@ def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(keep)
         .select("doc_id", "source", "lang", "keep_ppm")
     )
+
+
+# --- curriculum difficulty buckets ----------------------------------------------
+
+CURRICULUM_QUANTILES = (0.25, 0.5, 0.75)
+
+
+@register(
+    "curriculum_quality_buckets",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+  FROM documents
+),
+q AS (
+  SELECT quantile_cont(score, 0.25) AS q1,
+         quantile_cont(score, 0.5) AS q2,
+         quantile_cont(score, 0.75) AS q3
+  FROM scored
+)
+SELECT doc_id, score,
+       CAST(CASE WHEN score <= q1 THEN 0
+                 WHEN score <= q2 THEN 1
+                 WHEN score <= q3 THEN 2
+                 ELSE 3 END AS BIGINT) AS bucket
+FROM scored, q
+""",
+)
+def curriculum_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum/data-ordering prep: every document assigned a difficulty
+    quartile by lexical-diversity score (type-token ratio — one exact
+    double division). Quartile thresholds are EXACT interpolated
+    percentiles (Spark ``percentile`` == DuckDB ``quantile_cont``, the
+    stats_moments precedent) computed in one 1-row aggregate and broadcast
+    back — per-row bucketing is then three comparisons, no window. A
+    trainer reads bucket k before k+1 (easy-to-hard) or samples by bucket.
+
+    Scale: the exact percentile needs the score multiset on one reducer —
+    fine for a 1-row global agg over per-doc scores at fixture scale; the
+    documented 100 TB path swaps in ``approx_percentile`` (constant-memory
+    sketch) with the same downstream plan."""
+    scored = _docs(spark, sf_dir).select(
+        "doc_id",
+        (
+            F.size(F.array_distinct(_tokens())).cast("double")
+            / F.size(_tokens()).cast("double")
+        ).alias("score"),
+    )
+    q = scored.agg(
+        *[
+            F.expr(f"percentile(score, {p})").alias(f"q{i + 1}")
+            for i, p in enumerate(CURRICULUM_QUANTILES)
+        ]
+    )
+    bucket = (
+        F.when(F.col("score") <= F.col("q1"), 0)
+        .when(F.col("score") <= F.col("q2"), 1)
+        .when(F.col("score") <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return scored.crossJoin(F.broadcast(q)).select(
+        "doc_id", "score", bucket.cast("long").alias("bucket")
+    )

@@ -764,3 +764,73 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cust_orders") > 1)
         & (F.col("o_totalprice").cast("double") > F.col("cust_avg"))
     )
+
+
+# --- TPC-H Q4-shape: EXISTS-driven priority count ---------------------------------
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o.o_orderpriority
+""",
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape adapted to the fixture schema (it carries no
+    commit/receipt dates — the reference fixture's lineitem ends at
+    l_shipdate, so the EXISTS predicate becomes 'shipped after the order
+    date'): orders counted by priority where ANY line item satisfies a
+    correlated inequality. The plan is the canonical EXISTS decorrelation:
+    a LEFT SEMI join on the order key with the inequality as a join-side
+    residual — the fact-fact semi join shuffles each side once on the key
+    and lineitem rows never duplicate orders (semi join short-circuits on
+    first match)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --- TPC-H Q6-shape: pushdown filter + scalar aggregate ---------------------------
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_quantity < 24 AND l_discount >= 0.05 AND l_discount <= 0.07
+""",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: the pushdown showcase — a tight scan filter (quantity +
+    discount band) feeding one scalar decimal aggregate. Both predicates
+    reach the parquet reader as PushedFilters (asserted in
+    tests/test_plans.py), so row groups outside the band never decompress;
+    the aggregate is a map-side partial + single-row reduce. The discount
+    band compares stored doubles against the exact literals 0.05/0.07 —
+    identical parses in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)
+    return (
+        li.filter(
+            (F.col("l_quantity") < 24)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )

@@ -161,3 +161,21 @@ def test_snapshot_diff_status_semantics(spark):
             assert r["last_id_a"] == -1 and r["last_id_b"] != -1
         if r["status"] == "removed":
             assert r["last_id_b"] == -1 and r["last_id_a"] != -1
+
+
+def test_curriculum_buckets_are_quartiles(spark):
+    from kinesis_demo_spark.queries.corpus import curriculum_quality_buckets
+
+    rows = curriculum_quality_buckets(spark, SF_SMOKE).collect()
+    assert rows and {r["bucket"] for r in rows} == {0, 1, 2, 3}
+    # bucket ordering respects score ordering
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r["score"])
+    for lo, hi in ((0, 1), (1, 2), (2, 3)):
+        assert max(by_bucket[lo]) <= min(by_bucket[hi])
+    # quartiles: no bucket holds more than ~35% of a 4-way split (exact
+    # interpolated thresholds; ties can skew counts slightly)
+    n = len(rows)
+    for b, scores in by_bucket.items():
+        assert len(scores) <= 0.35 * n, (b, len(scores), n)

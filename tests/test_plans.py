@@ -163,3 +163,18 @@ def test_gapfill_shuffles_only_on_user_id(spark):
 def test_vocab_topk_is_take_ordered_not_global_window(spark):
     plan = _plan(Q["text_vocab_topk"](spark, SF), mode="simple")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_q6_pushes_both_band_predicates(spark):
+    plan = _plan(Q["tpch_q6_forecast_revenue"](spark, SF))
+    assert "PushedFilters:" in plan
+    assert "LessThan(l_quantity,24" in plan.replace(" ", "")
+    assert "GreaterThanOrEqual(l_discount,0.05" in plan.replace(" ", "")
+    # column pruning: only the three touched columns reach the scan
+    read = plan.split("ReadSchema")[1][:400]
+    assert "l_extendedprice" in read and "l_orderkey" not in read
+
+
+def test_tpch_q4_is_semi_join_not_inner(spark):
+    plan = _plan(Q["tpch_q4_order_priority"](spark, SF))
+    assert "LeftSemi" in plan

@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 
 from ..functions.hashing import h60
 from ..io import load_table
+from ..plans.movements import X_SQL, Y_SQL, x_col, y_col
 from ..registry import register
 
 D2 = "decimal(18,2)"   # value has 2 decimals
@@ -877,4 +878,74 @@ def incremental_agg_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("user_id").agg(
         F.sum("pn").alias("n_events"),
         F.sum("ps").cast("double").alias("sum_value"),
+    )
+
+
+# --- Z-order (Morton) locality clustering ---------------------------------------
+
+# Interleave the low 11 bits of x (< 1920) and y (< 1080): bit i of x lands
+# at position 2i, bit i of y at 2i+1. Pure integer arithmetic ((v DIV 2^i)
+# % 2) * 4^i — identical in both engines, overflow-free (max code < 2^22).
+_Z_BITS = 11
+_Z_TILE_DIV = 4096  # morton DIV 2^12 => aligned 64 x 64 spatial tiles
+
+
+def _morton_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({x}) // {1 << i} % 2) * {1 << (2 * i)}")
+        terms.append(f"(({y}) // {1 << i} % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_heatmap_locality",
+    oracle=f"""
+WITH pos AS (
+  SELECT CAST({X_SQL} AS BIGINT) AS x, CAST({Y_SQL} AS BIGINT) AS y
+  FROM events
+),
+coded AS (
+  SELECT x, y, CAST({_morton_sql("x", "y")} AS BIGINT) AS morton FROM pos
+)
+SELECT CAST(morton // {_Z_TILE_DIV} AS BIGINT) AS ztile,
+       count(*) AS n_events,
+       min(x) AS min_x, max(x) AS max_x,
+       min(y) AS min_y, max(y) AS max_y,
+       min(morton) AS min_morton, max(morton) AS max_morton
+FROM coded
+GROUP BY 1
+""",
+)
+def zorder_heatmap_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering of the heatmap position space — the
+    space-filling-curve layout pass (Delta/Iceberg ZORDER BY) as a
+    first-class operator: interleaving the x/y bits gives a 1-D sort key
+    under which any contiguous key range covers a small aligned spatial
+    tile, so a store SORTED by morton serves 2-D region queries from few
+    contiguous files instead of a full scan. The query rolls events up per
+    2^12-code tile with the tile's bounding box — each tile provably spans
+    at most 64 x 64 cells (tests/test_analytics.py pins it), which IS the
+    locality guarantee.
+
+    Scale: coordinate derivation and bit interleave are per-row integer
+    expressions (scan-parallel, codegen); the rollup is one map-side
+    combined aggregate on the tile key. To actually lay out a table,
+    ``df.repartitionByRange(F.col('morton')).sortWithinPartitions`` writes
+    the curve order — same expression, no new shuffle shape."""
+    pos = _events(spark, sf_dir).select(x_col().alias("x"), y_col().alias("y"))
+    morton = None
+    for i in range(_Z_BITS):
+        xi = (F.col("x") / (1 << i)).cast("long") % 2 * (1 << (2 * i))
+        yi = (F.col("y") / (1 << i)).cast("long") % 2 * (1 << (2 * i + 1))
+        morton = xi + yi if morton is None else morton + xi + yi
+    coded = pos.select("x", "y", morton.cast("long").alias("morton"))
+    return (
+        coded.groupBy((F.col("morton") / _Z_TILE_DIV).cast("long").alias("ztile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+            F.min("morton").alias("min_morton"), F.max("morton").alias("max_morton"),
+        )
     )

@@ -53,3 +53,18 @@ def test_hourly_gapfill_grid_is_dense_and_zero_filled(spark):
     from kinesis_demo_spark.io import load_table
 
     assert total_events == load_table(spark, SF, "events").count()
+
+
+def test_zorder_tiles_are_64x64_aligned(spark):
+    from kinesis_demo_spark.queries.analytics import zorder_heatmap_locality
+
+    rows = zorder_heatmap_locality(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # a morton-DIV-4096 tile covers one ALIGNED 64x64 cell block — the
+        # locality guarantee a Z-ordered layout gives range queries
+        assert r["max_x"] - r["min_x"] < 64 and r["max_y"] - r["min_y"] < 64
+        assert r["min_x"] // 64 == r["max_x"] // 64
+        assert r["min_y"] // 64 == r["max_y"] // 64
+        # codes inside a tile stay inside the tile's 4096-code range
+        assert r["min_morton"] // 4096 == r["ztile"] == r["max_morton"] // 4096

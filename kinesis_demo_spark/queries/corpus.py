@@ -521,3 +521,125 @@ def curriculum_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.crossJoin(F.broadcast(q)).select(
         "doc_id", "score", bucket.cast("long").alias("bucket")
     )
+
+
+# --- Hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine -------------
+
+RRF_K = 60  # the standard published reciprocal-rank-fusion constant
+RRF_QUERY_VEC = 0  # fixed dense query: the embedding row with vec_id = 0
+RRF_LEG_K = 20  # depth of each retrieval leg entering the fusion
+RRF_TOP_K = 20
+
+
+def _dense_leg_oracle() -> str:
+    from ..functions.vectors import dot_fold_sql, norm_sql
+
+    return f"""
+  WITH v AS (
+    SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm FROM embeddings
+  ),
+  scored AS (
+    SELECT c.vec_id AS doc_id,
+           {dot_fold_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS score
+    FROM v q JOIN v c ON q.vec_id = {RRF_QUERY_VEC} AND c.vec_id <> q.vec_id
+  )
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM scored QUALIFY rnk <= {RRF_LEG_K}
+"""
+
+
+def _rrf_oracle() -> str:
+    return f"""
+WITH lex AS (
+  SELECT doc_id, rnk AS lex_rnk FROM ({_bm25_oracle()})
+),
+dense AS (
+  SELECT doc_id, rnk AS dense_rnk FROM ({_dense_leg_oracle()})
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         CAST(l.lex_rnk AS BIGINT) AS lex_rnk,
+         CAST(d.dense_rnk AS BIGINT) AS dense_rnk,
+         COALESCE(1.0 / ({RRF_K} + l.lex_rnk), 0.0)
+           + COALESCE(1.0 / ({RRF_K} + d.dense_rnk), 0.0) AS rrf_score
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, lex_rnk, dense_rnk, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS fused_rnk
+FROM fused
+QUALIFY fused_rnk <= {RRF_TOP_K}
+"""
+
+
+@register("retrieval_rank_fusion", oracle=_rrf_oracle())
+def retrieval_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (RRF, the standard
+    1/(k + rank) rule with k={RRF_K}) of a lexical BM25 top-{RRF_LEG_K} and a
+    dense cosine top-{RRF_LEG_K} — the canonical two-tower mining recipe for
+    topic-targeted training data, and the shape every hybrid search stack
+    (lexical + vector) runs in production.
+
+    The fixture's documents and embeddings align on doc_id == vec_id, which
+    stands in for the doc->embedding mapping a real corpus ships.
+
+    Scale: each leg independently reduces the corpus to {RRF_LEG_K} rows
+    (BM25 via TakeOrdered top-k, dense via broadcast query + narrow scan +
+    top-k), so the fusion join touches 2x{RRF_LEG_K} rows — driver-trivial at
+    any corpus size; the heavy lifting stays in the legs, which both scale
+    linearly. Cross-engine bit-exactness: ranks are integers; the fused score
+    is two single IEEE divisions and one add, identical parenthesization in
+    both engines; ties broken by doc_id everywhere."""
+    from ..functions.vectors import dot_fold, norm
+
+    lex = (
+        text_bm25_topk(spark, sf_dir)
+        .select(F.col("doc_id"), F.col("rnk").alias("lex_rnk"))
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    q = F.broadcast(
+        v.filter(F.col("vec_id") == RRF_QUERY_VEC)
+        .select(F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm"))
+    )
+    dense_scored = (
+        v.filter(F.col("vec_id") != RRF_QUERY_VEC)
+        .crossJoin(q)  # 1-row broadcast: the fixed query vector
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (dot_fold(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))).alias("score"),
+        )
+    )
+    # TakeOrderedAndProject first (per-partition local top-k, never a global
+    # single-partition window over the scored corpus), THEN rank the k
+    # survivors — the same shape as the BM25 leg.
+    dense = (
+        dense_scored.orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(RRF_LEG_K)
+        .withColumn(
+            "dense_rnk",
+            F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id"))).cast("long"),
+        )
+        .select("doc_id", "dense_rnk")
+    )
+
+    k = F.lit(RRF_K)
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.col("lex_rnk").cast("long").alias("lex_rnk"),
+            F.col("dense_rnk").cast("long").alias("dense_rnk"),
+            (
+                F.coalesce(F.lit(1.0) / (k + F.col("lex_rnk")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (k + F.col("dense_rnk")), F.lit(0.0))
+            ).alias("rrf_score"),
+        )
+    )
+    return (
+        fused.withColumn(
+            "fused_rnk",
+            F.row_number().over(Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))).cast("long"),
+        )
+        .filter(F.col("fused_rnk") <= RRF_TOP_K)
+    )

@@ -962,3 +962,66 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "raise MAX_CC_ITERATIONS for graphs with larger diameters"
         )
     return labels.select("doc_id", "cluster_id")
+
+
+# --- Asymmetric shingle containment (partial-copy / subset near-dup) --------------
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+@register(
+    "dedup_shingle_containment",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+directed AS (
+  SELECT doc_a AS contained_id, doc_b AS container_id,
+         CAST(inter AS DOUBLE) / na AS containment
+  FROM pairs
+  UNION ALL
+  SELECT doc_b AS contained_id, doc_a AS container_id,
+         CAST(inter AS DOUBLE) / nb AS containment
+  FROM pairs
+)
+SELECT contained_id, container_id, containment
+FROM directed
+WHERE containment >= {CONTAINMENT_THRESHOLD}
+""",
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-containment near-dup: C(A->B) = |S(A) ∩ S(B)| / |S(A)|
+    (Broder's containment, the asymmetric companion to Jaccard resemblance).
+    Containment is THE quote/excerpt/partial-copy detector for training
+    corpora: a short doc fully quoted inside a long one has tiny Jaccard
+    (the union is dominated by the long doc) but containment ~1.0, so the
+    symmetric dedup passes miss exactly the pairs this one keeps.
+
+    Scale: identical inverted-index shape as ``dedup_ngram_jaccard`` — only
+    co-shingled pairs materialize, ONE shuffle on the shingle plus one on the
+    pair key; both directed rows derive from the same undirected aggregate
+    (no second pass over the index). The division inter/|A| is a single IEEE
+    op in both engines."""
+    sh = _shingled(spark, sf_dir)
+    ex = sh.select("doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
+    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
+    )
+    fwd = pairs.select(
+        F.col("doc_a").alias("contained_id"),
+        F.col("doc_b").alias("container_id"),
+        (F.col("inter").cast("double") / F.col("na")).alias("containment"),
+    )
+    rev = pairs.select(
+        F.col("doc_b").alias("contained_id"),
+        F.col("doc_a").alias("container_id"),
+        (F.col("inter").cast("double") / F.col("nb")).alias("containment"),
+    )
+    return fwd.unionAll(rev).filter(F.col("containment") >= CONTAINMENT_THRESHOLD)

@@ -834,3 +834,170 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
     )
+
+
+# --- TPC-H Q7-shape: volume shipping between two nations ---------------------------
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2)) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_4')
+         OR (n1.n_name = 'NATION_4' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                         AND TIMESTAMP '1996-12-31 00:00:00'
+) shipping
+GROUP BY 1, 2, 3
+""",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bilateral trade volume between two named nations by ship
+    year. The nation pair disjunction lives on the joined row, but both
+    nation tables are first pre-filtered to the two named nations — at 100 TB
+    that turns the customer/supplier broadcasts into semi-filtered subsets
+    (only rows in either nation survive their broadcast hash join) before
+    the single orders><lineitem shuffle. Year bucketing is a scan-side
+    expression; the final group-by has ~2x2xYears groups — map-side partial
+    aggregation collapses it before one tiny exchange."""
+    pair = ("NATION_1", "NATION_4")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
+    supplier = F.broadcast(
+        load_table(spark, sf_dir, "supplier").join(n1, F.col("s_nationkey") == F.col("s_nk"))
+    )
+    customer = F.broadcast(
+        load_table(spark, sf_dir, "customer").join(n2, F.col("c_nationkey") == F.col("c_nk"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1996-12-31 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    volume = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount")).cast(DEC)
+    return (
+        li.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.sum(volume).cast("double").alias("revenue"))
+    )
+
+
+# --- TPC-H Q10-shape: returned-item report (top-20 customers) ----------------------
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       c.c_acctbal, n.n_name AS nation
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 4, 5
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: who returned the most revenue last quarter. The quarter
+    predicate prunes orders at the scan; the returnflag predicate prunes
+    lineitem at the scan (both PushedFilters); customer+nation broadcast, so
+    the only shuffle is orders><lineitem on the order key followed by the
+    customer-grain partial agg. Top-20 with a deterministic revenue/custkey
+    tie-break is TakeOrderedAndProject — per-partition local heaps, 20 rows
+    to the driver, no global sort."""
+    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount")).cast(DEC)
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
+        .join(nation, F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "nation")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --- TPC-H Q14-shape: promotion revenue share --------------------------------------
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle="""
+WITH j AS (
+  SELECT CASE WHEN p.p_type = 'PROMO'
+              THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))
+              ELSE CAST(0 AS DECIMAL(18,2)) END AS promo_rev,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2)) AS total_rev
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+)
+SELECT CAST(100.0 * CAST(sum(promo_rev) AS DOUBLE) / CAST(sum(total_rev) AS DOUBLE) AS DOUBLE) AS promo_pct,
+       CAST(sum(promo_rev) AS DOUBLE) AS promo_revenue,
+       CAST(sum(total_rev) AS DOUBLE) AS total_revenue
+FROM j
+""",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional-aggregate ratio after a dimension join. The
+    one-month ship window is a pushed scan filter; part broadcasts (it's the
+    small dim), so there is NO shuffle at all before the single-row global
+    aggregate — the plan is scan -> broadcast hash join -> partial agg ->
+    1-row reduce. Both sums are DECIMAL-exact; the percentage is computed as
+    100.0 * promo / total in doubles, the identical two IEEE ops in both
+    engines (multiply first, then divide — parenthesization mirrored)."""
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount")).cast(DEC)
+    zero = F.lit(0).cast(DEC)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue_d"),
+            F.sum(rev).cast("double").alias("total_revenue_d"),
+        )
+        .select(
+            (F.lit(100.0) * F.col("promo_revenue_d") / F.col("total_revenue_d")).alias("promo_pct"),
+            F.col("promo_revenue_d").alias("promo_revenue"),
+            F.col("total_revenue_d").alias("total_revenue"),
+        )
+    )

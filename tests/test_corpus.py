@@ -179,3 +179,22 @@ def test_curriculum_buckets_are_quartiles(spark):
     n = len(rows)
     for b, scores in by_bucket.items():
         assert len(scores) <= 0.35 * n, (b, len(scores), n)
+
+
+def test_rank_fusion_score_is_rrf_of_both_legs(spark):
+    from kinesis_demo_spark.queries import corpus as C
+
+    rows = C.retrieval_rank_fusion(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= C.RRF_TOP_K
+    for r in rows:
+        expect = 0.0
+        if r.lex_rnk is not None:
+            expect += 1.0 / (C.RRF_K + r.lex_rnk)
+        if r.dense_rnk is not None:
+            expect += 1.0 / (C.RRF_K + r.dense_rnk)
+        assert r.rrf_score == expect
+    # fusion actually uses BOTH systems: at least one doc per leg
+    assert any(r.lex_rnk is not None for r in rows)
+    assert any(r.dense_rnk is not None for r in rows)
+    # ranks are dense, deterministic, 1..n
+    assert sorted(r.fused_rnk for r in rows) == list(range(1, len(rows) + 1))

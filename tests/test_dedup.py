@@ -159,3 +159,28 @@ def test_banded_lsh_prunes_hard_in_true_neardup_regime(spark):
     all_pairs = 200 * 199 // 2
     assert recall >= 0.97, recall
     assert len(cands) <= all_pairs / 8, (len(cands), all_pairs)  # >= 8x pruning
+
+
+def test_containment_detects_quote_jaccard_misses(spark, tmp_path_factory):
+    # A short doc fully quoted inside a much longer one: containment(short ->
+    # long) = 1.0 while Jaccard is diluted by the long doc's extra shingles.
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i}" for i in range(60))
+    rows = [(0, quote), (1, filler + " " + quote + " " + filler)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    d = str(tmp_path_factory.mktemp("contain"))
+    df.write.mode("overwrite").parquet(d + "/documents.parquet")
+
+    directed = {
+        (r.contained_id, r.container_id): r.containment
+        for r in D.dedup_shingle_containment(spark, d).collect()
+    }
+    assert directed[(0, 1)] == 1.0  # every shingle of the quote is in the host
+    assert (1, 0) not in directed  # the host is NOT contained in the quote
+
+    jacc = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.dedup_ngram_jaccard(spark, d).collect()
+    }
+    # symmetric Jaccard on the same pair is far below its own dedup threshold
+    assert jacc.get((0, 1), 0.0) < D.JACCARD_THRESHOLD

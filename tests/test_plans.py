@@ -178,3 +178,28 @@ def test_tpch_q6_pushes_both_band_predicates(spark):
 def test_tpch_q4_is_semi_join_not_inner(spark):
     plan = _plan(Q["tpch_q4_order_priority"](spark, SF))
     assert "LeftSemi" in plan
+
+
+def test_tpch_q7_broadcasts_all_dims_single_fact_shuffle(spark):
+    plan = _plan(Q["tpch_q7_volume_shipping"](spark, SF), mode="simple")
+    # supplier/customer (each pre-joined with its nation leg) broadcast; the
+    # only sort-merge-eligible join is orders><lineitem
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q10_pushes_quarter_and_returnflag_to_scans(spark):
+    plan = _plan(Q["tpch_q10_returned_items"](spark, SF))
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "TakeOrderedAndProject" in plan  # top-20, never a global sort
+
+
+def test_tpch_q14_no_shuffle_before_global_agg(spark):
+    plan = _plan(Q["tpch_q14_promo_revenue"](spark, SF), mode="simple")
+    assert "BroadcastHashJoin" in plan  # part is the broadcast dim
+    assert "SortMergeJoin" not in plan
+    # the only SHUFFLE exchange is the single-row final aggregate's (the
+    # dimension's BroadcastExchange doesn't move the fact side)
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 1

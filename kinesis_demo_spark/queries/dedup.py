@@ -659,6 +659,70 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 COSINE_LSH_BAND_BITS = 4
 COSINE_LSH_TABLES = 16
 
+# Screen margin for the per-bucket GEMM pre-filter (see
+# dedup_embedding_cosine_lsh docstring): must exceed the worst-case
+# difference between a BLAS-reordered and a sequential 64-term double sum
+# (~1e-13 relative) by a wide mile while staying far below any meaningful
+# cosine gap. Pairs inside the margin are re-checked by the exact fold, so
+# the margin only affects how much the screen over-admits, never the output.
+SCREEN_MARGIN = 1e-6
+
+
+def _bucket_gemm_screen(pdf):
+    """One (table, bucket) group -> near-dup pairs with their EXACT cosine.
+
+    Two numeric passes, one approximate and one exact:
+
+    1. Screen: float64 GEMM (X @ X.T) + pairwise-summed norms; keep pairs
+       with screened cosine >= threshold - SCREEN_MARGIN. Fast, reordered
+       arithmetic — only ever used to discard pairs that are >= margin
+       below threshold, which reordering (error ~1e-13) cannot misjudge.
+    2. Verify: for the screened pairs only (output-sized), recompute the
+       cosine with strictly SEQUENTIAL left-to-right folds —
+       ``np.cumsum(axis=1)[:, -1]`` over the elementwise double products is
+       bit-for-bit the same add sequence as Spark's ``F.aggregate`` fold
+       seeded at 0.0 and DuckDB's ``list_reduce`` (the
+       map_in_arrow_vector_norms precedent) — and apply the exact
+       >= threshold cut. Emitted scores are therefore bit-identical to the
+       fold the operator is defined by, regardless of BLAS library or
+       thread count.
+
+    The same pair surfacing from k colliding tables emits k bit-identical
+    rows; the outer ``.distinct()`` collapses them."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64"),
+         "cosine": pd.Series(dtype="float64")}
+    )
+    n = len(pdf)
+    if n < 2:
+        return empty
+    X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    nrm_fast = np.sqrt((X * X).sum(axis=1))
+    C = (X @ X.T) / np.outer(nrm_fast, nrm_fast)
+    ii, jj = np.triu_indices(n, k=1)
+    keep = C[ii, jj] >= (COSINE_DUP_THRESHOLD - SCREEN_MARGIN)
+    if not keep.any():
+        return empty
+    ik, jk = ii[keep], jj[keep]
+    # exact sequential folds, only for the screened pairs
+    nrm_exact = np.sqrt(np.cumsum(X * X, axis=1)[:, -1])
+    dots = np.cumsum(X[ik] * X[jk], axis=1)[:, -1]
+    cosine = dots / (nrm_exact[ik] * nrm_exact[jk])
+    final = cosine >= COSINE_DUP_THRESHOLD
+    ids = pdf["vec_id"].to_numpy()
+    a, b = ids[ik[final]], ids[jk[final]]
+    return pd.DataFrame(
+        {
+            "vec_a": np.minimum(a, b).astype("int64"),
+            "vec_b": np.maximum(a, b).astype("int64"),
+            "cosine": cosine[final],
+        }
+    )
+
+
 # Candidate-pair CTE body reused verbatim by pipeline_training_manifest's
 # oracle so engine and oracle can never drift apart on the bucketing.
 EMB_LSH_BANDS_SQL = f"""
@@ -701,25 +765,34 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup.py pins the >= 8x-pruning behavior on a TRUE near-dup
     corpus with the same machinery).
 
-    The plan keeps the unavoidable candidate volume cheap: the banded
-    self-join shuffles only SLIM (vec_id, table, bucket) rows — never the
-    {COSINE_LSH_TABLES}x-replicated embedding payload (~16 B/row vs ~270 B);
-    embeddings are fetched by key join (AQE broadcasts the vector table at
-    fixture scale; at 100 TB it is a bucketed-by-vec_id join moving each
-    embedding once instead of {COSINE_LSH_TABLES}x); and DISTINCT runs
-    LAST, on the threshold survivors only (output-sized), not on the
-    pair-slot stream — a pair colliding in k tables is scored k times, but
-    the measured duplication is only 1.55x and the dot is embarrassingly
-    parallel codegen, while a pre-score distinct is a full extra shuffle of
-    every pair-slot (measured +1.1 s of the query's 3.2 s at sf0.1; this
-    shape runs 1.5 s). Deterministic bucketing keeps the DuckDB oracle
-    bit-identical, so the approximate variant stays value-hash checked."""
+    Physical strategy (r5): per-bucket blocked-GEMM screen, exact-fold
+    verify. At the recall-mandated (4, 16) config the band join generates
+    64% of ALL pairs as candidates (1.29M at sf0.1), and the per-pair cosine
+    fold — an interpreted higher-order function; HOFs never enter
+    whole-stage codegen, and an unrolled 64-term codegen expression measured
+    4x slower still — was the entire cost. Instead each (table, bucket)
+    group is screened by ONE numpy float64 matmul inside applyInPandas
+    (X @ X.T, the blocked-GEMM shape production vector dedup runs), keeping
+    pairs with screened cosine >= threshold - SCREEN_MARGIN. BLAS's
+    reordered 64-term sum differs from the sequential fold by ~1e-13
+    relative — eight orders inside the 1e-6 margin — so every true
+    >= threshold pair always survives the screen; survivors (output-sized)
+    are re-scored with the exact sequential fold that DEFINES the operator.
+    Emitted pairs and scores are therefore bit-identical to the DuckDB
+    oracle, and no boundary decision ever depends on BLAS rounding or
+    thread count.
+
+    Scale: the screen shuffles the {COSINE_LSH_TABLES}x-replicated
+    (vec_id, embedding, tbl, bucket) rows once; each group is a single
+    bucket, so the matmul is small and node-local. Hot-bucket skew is the
+    production knob — tile the per-bucket GEMM or salt hot buckets
+    (documented, not needed at fixture bucket sizes). The verify join
+    broadcasts the vector table while it fits an executor; past that it
+    becomes a bucketed-by-vec_id fetch — a deployment constant, not a plan
+    rewrite. Deterministic bucketing keeps the DuckDB oracle bit-identical,
+    so the approximate variant stays value-hash checked."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    v = emb.select(
-        "vec_id",
-        "embedding",
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-    )
+    v = emb.select("vec_id", "embedding")
     band_rows = F.explode(
         F.array(
             *[
@@ -733,39 +806,15 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    slim = v.select("vec_id", band_rows.alias("b")).select("vec_id", "b.tbl", "b.bucket")
-    cand = (
-        slim.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
-        .join(slim.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket"), ["tbl", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
+    banded = v.select("vec_id", "embedding", band_rows.alias("b")).select(
+        "vec_id", "embedding", "b.tbl", "b.bucket"
     )
-    va = v.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
-    vb_ = v.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
-    cos = dot_fold(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    # distinct BEFORE scoring, spread after: with the slim (vec_a, vec_b)
-    # exchange the pair dedup costs almost nothing and kills the 1.55x
-    # multi-table re-scoring, so every unique pair folds exactly once (and
-    # the post-score distinct disappears — survivors are already unique).
-    # The spread matters independently: bare-long pair rows get
-    # size-coalesced by AQE to a handful of partitions, which would leave
-    # the 64-term cosine fold near-serial (the measured failure mode on
-    # dedup_ngram_jaccard_prefix's verify: 3 tasks on 32 cores, 3.6x wall).
-    # Measured warm at sf0.1: 3.45 s (score-then-distinct) -> 1.91 s.
-    # The vector fetch is EXPLICITLY broadcast: the corpus vector table sits
-    # right at the 10 MB auto-broadcast threshold at sf0.1, so leaving the
-    # choice to size estimates makes the plan flap between broadcast (1.8 s)
-    # and sort-merge (5 s) run to run. While the vector table fits an
-    # executor it IS the dim side of this join; past that, swap the hint for
-    # a bucketed-by-vec_id fetch (see docstring) — a deployment constant,
-    # not a plan rewrite.
-    return (
-        spread(cand.distinct())
-        .join(F.broadcast(va), "vec_a")
-        .join(F.broadcast(vb_), "vec_b")
-        .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    scored = banded.groupBy("tbl", "bucket").applyInPandas(
+        _bucket_gemm_screen, schema="vec_a long, vec_b long, cosine double"
     )
+    # distinct collapses the k bit-identical rows a pair colliding in k
+    # tables emits; the set is output-sized, so the exchange is trivial.
+    return scored.distinct()
 
 
 # --- end-to-end training-corpus pipeline ---------------------------------------

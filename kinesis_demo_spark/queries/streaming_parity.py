@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..registry import register
 from ..streaming.pipeline import (
     run_complete_to_memory,
+    run_stream_dedup,
     run_stream_static_enrich,
     run_stream_stream_join,
 )
@@ -75,3 +76,19 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers aggregate state and streaming_interval_join covers stream-stream
     join state."""
     return run_stream_static_enrich(spark, sf_dir)
+
+
+@register(
+    "streaming_dedup_events",
+    oracle="""
+SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hour
+FROM events
+""",
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup drained over the fixture and
+    checked against batch DISTINCT — exactly-once delivery semantics on the
+    (user, type, hour) delivery key with state evicted at the watermark
+    (see streaming/pipeline.py::run_stream_dedup for the bounded-state
+    argument)."""
+    return run_stream_dedup(spark, sf_dir)

@@ -347,6 +347,45 @@ def run_stream_static_enrich(spark: SparkSession, sf_dir: str, name: str | None 
     return spark.table(name)
 
 
+def run_stream_dedup(spark: SparkSession, sf_dir: str, name: str | None = None) -> DataFrame:
+    """Watermark-bounded streaming deduplication — the fourth streaming
+    differential, covering dedup state the way the other three cover
+    aggregate, stream-stream-join, and static-join state. Events are deduped
+    on the delivery key (user_id, event_type, hour bucket) with
+    ``dropDuplicatesWithinWatermark``: the modern bounded-state API, whose
+    per-key state is EVICTED once the watermark passes the key's event time
+    — the only dedup shape that survives an unbounded 100 TB stream (plain
+    streaming ``dropDuplicates`` keeps every key forever).
+
+    The 2-hour delay strictly covers the 1-hour bucket span, so every
+    duplicate pair (same hour bucket by construction) is still in state when
+    its twin arrives and the drained result equals batch DISTINCT — which is
+    exactly what the oracle checks.
+
+    Output is the surviving key set itself (not the arbitrary surviving
+    row), so the result is fully deterministic."""
+    name = name or "stream_dedup_" + re.sub(r"[^0-9a-zA-Z]", "_", sf_dir).strip("_")
+    deduped = (
+        stream_events(spark, sf_dir)
+        .withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "hour"])
+        .select("user_id", "event_type", "hour")
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 # Serving-store partition column: UTC day index of the window start
 # (unix_micros // µs-per-day). A LONG derived from the instant itself, so it
 # is identical under every session timezone — to_date(timestamp) is not.

@@ -104,13 +104,14 @@ def test_pipeline_corpus_never_forces_broadcast_of_the_loser_set(spark):
     assert "ResolvedHint" not in _analyzed(Q["pipeline_training_corpus"](spark, SF))
 
 
-def test_embedding_dedup_lsh_is_equi_join_not_all_pairs(spark):
-    """Bucketed candidate generation: the bucket join must be a hash/merge
-    equi-join, never a nested-loop over all pairs."""
+def test_embedding_dedup_lsh_is_bucketed_not_all_pairs(spark):
+    """Bucketed candidate generation: pairs come from per-(table, bucket)
+    GEMM-screened groups (one hash exchange into FlatMapGroupsInPandas),
+    never a join over all pairs."""
     plan = _plan(Q["dedup_embedding_cosine_lsh"](spark, SF), mode="simple")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert "Join" in plan
+    assert "FlatMapGroupsInPandas" in plan
 
 
 def test_tfidf_broadcasts_the_corpus_count_not_the_term_tables(spark):

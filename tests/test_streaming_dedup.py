@@ -57,3 +57,17 @@ def test_drop_duplicates_suppresses_cross_batch_redelivery(spark, tmp_path):
     assert out.count() == 30  # 20 + 10 new; 10 redeliveries suppressed
     assert out.select("event_id").distinct().count() == 30
     assert {r.event_id for r in out.collect()} == set(range(30))
+
+
+def test_watermark_bounded_dedup_collapses_hour_bucket_duplicates(spark):
+    """run_stream_dedup: the drained key set equals batch-distinct and is
+    strictly smaller than the event count (the fixture has real duplicate
+    (user, type, hour) deliveries), with no key surviving twice."""
+    from kinesis_demo_spark.streaming.pipeline import run_stream_dedup
+
+    sf = "/root/testdata/sf0.001"
+    out = run_stream_dedup(spark, sf)
+    n = out.count()
+    total = spark.read.parquet(sf + "/events.parquet").count()
+    assert n < total  # duplicates were actually suppressed
+    assert out.distinct().count() == n  # and exactly once each

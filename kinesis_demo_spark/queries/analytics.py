@@ -949,3 +949,134 @@ def zorder_heatmap_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("morton").alias("min_morton"), F.max("morton").alias("max_morton"),
         )
     )
+
+
+# --- Funnel conversion (ordered event-sequence analytics) --------------------------
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@register(
+    "funnel_user_stages",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS first_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.first_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS first_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN c.user_id IS NOT NULL THEN 2
+                 ELSE 1 END AS BIGINT) AS stage_reached
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+""",
+)
+def funnel_user_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): per user, the first view,
+    the first click strictly AFTER that view, and the first purchase
+    strictly after that click — the product-analytics staple where order
+    matters (a click before any view must not count).
+
+    Scale: three per-user min-aggregates chained by user_id-keyed joins —
+    every shuffle is on the same key, so Catalyst reuses one hash
+    partitioning across the chain (no re-exchange between the stages), and
+    each stage's aggregate is map-side partial first. Nothing is ever
+    broadcast per-user; at 100 TB the chain is three co-partitioned passes
+    over the (already user-bucketed) event log."""
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view",
+            "first_click",
+            "first_purchase",
+            F.when(F.col("first_purchase").isNotNull(), F.lit(3))
+            .when(F.col("first_click").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("stage_reached"),
+        )
+    )
+
+
+# --- Cohort retention (weekly activity matrix) -------------------------------------
+
+_US_PER_WEEK = 7 * 86_400_000_000
+
+
+@register(
+    "cohort_weekly_retention",
+    oracle=f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_US_PER_WEEK} AS week
+  FROM events
+),
+first_w AS (
+  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+)
+SELECT f.cohort_week, uw.week - f.cohort_week AS week_offset,
+       count(DISTINCT uw.user_id) AS n_active
+FROM uw JOIN first_w f ON uw.user_id = f.user_id
+GROUP BY 1, 2
+""",
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users grouped by first-active week,
+    counted in every later week they return — THE retention report every
+    analytics engine ships. Weeks are integer epoch-microsecond buckets
+    (``unix_micros DIV week``), timezone-free and bit-identical in both
+    engines (``date_trunc('week')`` week-start conventions never enter).
+
+    Scale: the distinct (user, week) activity set collapses the event log
+    first (one shuffle, map-side partial distinct), the per-user min rides
+    the same user_id partitioning, and the final (cohort, offset) aggregate
+    is tiny. No broadcast of per-user state; count(DISTINCT user) at the
+    matrix grain re-shuffles only the already-distinct activity rows."""
+    uw = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            # integer DIV, never a double division: exact at any epoch
+            F.expr(f"unix_micros(ts) DIV {_US_PER_WEEK}").alias("week"),
+        )
+        .distinct()
+    )
+    first_w = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(first_w, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )

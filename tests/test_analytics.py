@@ -68,3 +68,55 @@ def test_zorder_tiles_are_64x64_aligned(spark):
         assert r["min_y"] // 64 == r["max_y"] // 64
         # codes inside a tile stay inside the tile's 4096-code range
         assert r["min_morton"] // 4096 == r["ztile"] == r["max_morton"] // 4096
+
+
+def test_funnel_stage_ordering_semantics(spark, tmp_path_factory):
+    """A click BEFORE the first view must not advance the funnel; one after
+    must. Constructed per-user event sequences pin the order sensitivity."""
+    import datetime as dt
+
+    from kinesis_demo_spark.queries.analytics import funnel_user_stages
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: click BEFORE view, never after -> stage 1 only
+    rows += [(1, t0, 1, "click", 0.0, "{}"), (2, t0 + dt.timedelta(minutes=1), 1, "view", 0.0, "{}")]
+    # user 2: view -> click -> purchase in order -> stage 3
+    rows += [
+        (3, t0, 2, "view", 0.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=1), 2, "click", 0.0, "{}"),
+        (5, t0 + dt.timedelta(minutes=2), 2, "purchase", 0.0, "{}"),
+    ]
+    # user 3: purchase before click -> stage 2 (view, click) only
+    rows += [
+        (6, t0, 3, "view", 0.0, "{}"),
+        (7, t0 + dt.timedelta(minutes=1), 3, "purchase", 0.0, "{}"),
+        (8, t0 + dt.timedelta(minutes=2), 3, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    d = str(tmp_path_factory.mktemp("funnel"))
+    df.write.parquet(d + "/events.parquet")
+    stages = {r.user_id: r.stage_reached for r in funnel_user_stages(spark, d).collect()}
+    assert stages == {1: 1, 2: 3, 3: 2}
+
+
+def test_cohort_retention_offsets_and_conservation(spark):
+    """Offset 0 contains every user exactly once (each user is active in
+    their own first week), offsets are non-negative, and no offset row can
+    exceed its cohort's size."""
+    from kinesis_demo_spark.queries.analytics import cohort_weekly_retention
+
+    rows = cohort_weekly_retention(spark, "/root/testdata/sf0.001").collect()
+    assert all(r.week_offset >= 0 for r in rows)
+    week0 = {r.cohort_week: r.n_active for r in rows if r.week_offset == 0}
+    total_users = sum(week0.values())
+    import duckdb
+
+    n = duckdb.sql(
+        "select count(distinct user_id) from '/root/testdata/sf0.001/events.parquet'"
+    ).fetchone()[0]
+    assert total_users == n
+    for r in rows:
+        assert r.n_active <= week0[r.cohort_week]

@@ -109,6 +109,16 @@ HEADLINE = (
     "bpe_merge_candidates",
     "snapshot_diff_user_state",
     "streaming_static_enrich",
+    # r5 second wave: relational widening + hybrid retrieval + event analytics
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q8_market_share",
+    "retrieval_rank_fusion",
+    "dedup_shingle_containment",
+    "streaming_dedup_events",
+    "funnel_user_stages",
+    "cohort_weekly_retention",
 )
 
 

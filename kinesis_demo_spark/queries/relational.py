@@ -1001,3 +1001,86 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_revenue_d").alias("total_revenue"),
         )
     )
+
+
+# --- TPC-H Q8-shape: national market share -----------------------------------------
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+WITH all_nations AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2)) AS volume,
+         n2.n_name AS supp_nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'ASIA'
+    AND p.p_type = 'STANDARD'
+    AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                          AND TIMESTAMP '1996-12-31 00:00:00'
+)
+SELECT o_year,
+       CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+            / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS mkt_share,
+       CAST(sum(volume) AS DOUBLE) AS total_volume
+FROM all_nations
+GROUP BY o_year
+""",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: the 8-way market-share join. Every dimension broadcasts
+    (part filtered on type, customer pre-joined to its ASIA-filtered
+    nation/region leg, supplier pre-joined to its nation), the orders date
+    band is a pushed scan filter, so the only shuffle is orders><lineitem.
+    The share is two DECIMAL-exact sums and ONE double division per year —
+    bit-identical in both engines."""
+    part = F.broadcast(load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD"))
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust_leg = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_leg = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    volume = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount")).cast(DEC)
+    zero = F.lit(0).cast(DEC)
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_leg, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_leg, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", volume).otherwise(zero))
+            .cast("double")
+            .alias("nation_volume"),
+            F.sum(volume).cast("double").alias("total_volume"),
+        )
+        .select(
+            "o_year",
+            (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+            "total_volume",
+        )
+    )

@@ -204,3 +204,12 @@ def test_tpch_q14_no_shuffle_before_global_agg(spark):
     # the only SHUFFLE exchange is the single-row final aggregate's (the
     # dimension's BroadcastExchange doesn't move the fact side)
     assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 1
+
+
+def test_tpch_q8_broadcasts_every_dim_leg(spark):
+    plan = _plan(Q["tpch_q8_market_share"](spark, SF), mode="simple")
+    # part, customer-leg, supplier-leg all broadcast; only orders><lineitem
+    # is sort-merge-eligible
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan

@@ -39,7 +39,12 @@ def get_spark(app_name: str = "kinesis-demo-spark", shuffle_partitions: int | No
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode hosts the driver AND all 32 executor threads in ONE JVM:
+        # an 8g heap put the 60-query bench under old-gen GC churn (measured:
+        # mid-bench queries 3-4x their fresh-session warm time, serving p95
+        # blowing the 2 s budget). 32g restores executor-like headroom; on a
+        # real cluster this knob is per-executor memory, not driver.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         # Fixture timestamp columns must surface as UTC instants whatever

@@ -1080,3 +1080,59 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+# --- Event transition matrix (clickstream path analysis) ---------------------------
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+cnt AS (
+  SELECT cur, nxt, count(*) AS n
+  FROM seq WHERE nxt IS NOT NULL
+  GROUP BY cur, nxt
+),
+tot AS (
+  SELECT cur, sum(n) AS row_total FROM cnt GROUP BY cur
+)
+SELECT c.cur, c.nxt, c.n,
+       CAST(CAST(c.n AS DOUBLE) / CAST(t.row_total AS DOUBLE) AS DOUBLE) AS p
+FROM cnt c JOIN tot t ON c.cur = t.cur
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix: for each (current, next)
+    event-type pair, the transition count and conditional probability
+    P(next | current) — the clickstream path-analysis / Markov-model
+    estimation pass. Successor pairing is deterministic under the (ts,
+    event_id) total order, so ties in ts can never flip a transition.
+
+    Scale: one shuffle+sort per user for lead() (the event log's natural
+    partitioning), then a tiny |types|^2 aggregate; the row totals join is
+    |types|-sized and broadcast by the planner. The probability is one
+    BIGINT/BIGINT -> double division, identical in both engines."""
+    seq = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    )
+    cnt = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cnt.groupBy("cur").agg(F.sum("n").alias("row_total"))
+    return cnt.join(tot, "cur").select(
+        "cur",
+        "nxt",
+        "n",
+        (F.col("n").cast("double") / F.col("row_total").cast("double")).alias("p"),
+    )

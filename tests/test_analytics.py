@@ -120,3 +120,18 @@ def test_cohort_retention_offsets_and_conservation(spark):
     assert total_users == n
     for r in rows:
         assert r.n_active <= week0[r.cohort_week]
+
+
+def test_transition_matrix_probabilities_sum_to_one(spark):
+    from kinesis_demo_spark.queries.analytics import event_transition_matrix
+
+    rows = event_transition_matrix(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    from collections import defaultdict
+
+    by_cur = defaultdict(float)
+    for r in rows:
+        assert r.p > 0
+        by_cur[r.cur] += r.p
+    for cur, total in by_cur.items():
+        assert abs(total - 1.0) < 1e-9, (cur, total)

@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..functions.hashing import h60, h60_sql
-from ..io import load_table, spread
+from ..io import load_table, spread, track_persist
 from ..registry import register
 
 
@@ -431,7 +431,13 @@ def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines. Scale: strata table is tiny (broadcast join), the keep
     filter is per-row hash arithmetic — no extra shuffle beyond the one
     stratum aggregate."""
-    per = (
+    # persisted: the stratum table is |source x lang|-sized but its lineage
+    # tokenizes the whole corpus, and it feeds THREE consumers (total
+    # aggregate, weight projection, max aggregate) — as pure lineage the
+    # corpus would be re-scanned and re-tokenized once per consumer
+    # (plan audit caught 4 scans; at 100 TB that is 4 corpus passes for a
+    # 100-row table).
+    per = track_persist(
         _docs(spark, sf_dir)
         .groupBy("source", "lang")
         .agg(F.sum(F.size(_tokens()).cast("long")).alias("n_tokens"))

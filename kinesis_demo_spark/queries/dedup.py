@@ -1063,14 +1063,23 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("nb").alias("nb"),
         )
     )
-    fwd = pairs.select(
-        F.col("doc_a").alias("contained_id"),
-        F.col("doc_b").alias("container_id"),
-        (F.col("inter").cast("double") / F.col("na")).alias("containment"),
-    )
-    rev = pairs.select(
-        F.col("doc_b").alias("contained_id"),
-        F.col("doc_a").alias("container_id"),
-        (F.col("inter").cast("double") / F.col("nb")).alias("containment"),
-    )
-    return fwd.unionAll(rev).filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    # BOTH directions explode out of the single pair aggregate in one
+    # lineage — a fwd.unionAll(rev) of two selects re-runs the whole
+    # inverted-index pipeline per branch (plan audit: 10 shuffles -> 5).
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("contained_id"),
+                    F.col("doc_b").alias("container_id"),
+                    (F.col("inter").cast("double") / F.col("na")).alias("containment"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("contained_id"),
+                    F.col("doc_a").alias("container_id"),
+                    (F.col("inter").cast("double") / F.col("nb")).alias("containment"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.contained_id", "d.container_id", "d.containment")
+    return directed.filter(F.col("containment") >= CONTAINMENT_THRESHOLD)

@@ -21,11 +21,15 @@ any pre-r5 artifact for per-query regression gating.
 
 Each query is forced end-to-end with a ``noop``-format write (full plan
 execution, nothing collected to the driver), timed with a monotonic clock.
-Each query runs TWICE and BOTH timings are recorded: ``queries`` holds the
-min-of-2 (steady-state latency — the first execution pays one-time Catalyst
-analysis + Janino codegen compilation, hundreds of ms of JVM work unrelated
-to data volume, ±30% noise on sub-second queries) and ``queries_cold`` holds
-the first run, directly comparable to the single-cold-run records of rounds
+Each query runs THREE times and all timings are recorded: ``queries`` holds
+the min-of-3 (steady-state latency — the first execution pays one-time
+Catalyst analysis + Janino codegen compilation, hundreds of ms of JVM work
+unrelated to data volume; r5 raised 2 -> 3 runs because the sandbox host
+throttles CPU in multi-second BURSTS — the same pure-scan query measured
+5.9/10.5/1.35 s back-to-back — and min-of-2 had a ~25% chance of landing
+both runs inside a burst, which is what put three different queries at 3-4x
+their true warm time in three consecutive r5 bench runs) and
+``queries_cold`` holds the first run, directly comparable to the single-cold-run records of rounds
 before r3 (ADVICE r3: regression gates must compare like with like —
 tools/bench_compare.py picks the matching series). Tracked persists
 (dedup/multimodal signature tables) are released after each query, so no
@@ -144,7 +148,7 @@ def main() -> None:
         if fn is None:
             continue
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)

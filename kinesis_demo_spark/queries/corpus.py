@@ -211,31 +211,38 @@ def dedup_boilerplate_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide (nav bars, footers, license blurbs) is removed from every
     document; surviving paragraphs are reassembled in order.
 
-    Scale: posexplode -> ONE paragraph-keyed aggregate (countDistinct doc_id
-    with map-side partials; hot boilerplate paragraphs are exactly the rows
-    partial aggregation collapses before the exchange) -> equi-join back on
-    paragraph text -> per-doc ordered reassembly (one shuffle on doc_id).
-    At 100 TB the paragraph-frequency table is vocabulary-sized relative to
-    the corpus; joining on a hashed paragraph digest instead of raw text
-    (md5 col swap, same plan) keeps exchange rows slim."""
+    Scale (r5 restructure, caught by tools/plan_audit.py): the doc->paras
+    table is persisted (it feeds the frequency aggregate, the keep join and
+    the final reassembly join — as pure lineage the corpus was re-scanned
+    per consumer), and the keep decision is a LEFT ANTI join against the
+    FILTERED boilerplate set, not an equi-join back against the full
+    vocabulary-sized frequency table: paragraphs repeated in >= {threshold}
+    docs are by definition few distinct VALUES (nav bars, footers), so the
+    anti-join build side is tiny — AQE broadcasts it and the corpus-sized
+    explode never shuffles for the filter, leaving ONE paragraph-keyed
+    aggregate (map-side partials collapse exactly the hot boilerplate rows)
+    and one doc_id reassembly shuffle as the only exchanges."""
     empty = F.array().cast("array<string>")
-    built = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.concat(
-            F.array("text"),
-            F.when(F.col("doc_id") % 3 == 0, F.array(F.lit(PARA_FOOTER_A))).otherwise(empty),
-            F.when(F.col("doc_id") % 7 == 0, F.array(F.lit(PARA_FOOTER_B))).otherwise(empty),
-        ).alias("paras"),
+    built = track_persist(
+        _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                F.array("text"),
+                F.when(F.col("doc_id") % 3 == 0, F.array(F.lit(PARA_FOOTER_A))).otherwise(empty),
+                F.when(F.col("doc_id") % 7 == 0, F.array(F.lit(PARA_FOOTER_B))).otherwise(empty),
+            ).alias("paras"),
+        )
     )
     exploded = built.select(
         "doc_id", F.posexplode("paras").alias("idx0", "para")
     ).select("doc_id", (F.col("idx0") + 1).cast("long").alias("idx"), "para")
-    freq = exploded.groupBy("para").agg(F.countDistinct("doc_id").alias("n_docs_with"))
-    kept = (
-        exploded.join(freq, "para")
-        .filter(F.col("n_docs_with") < PARA_DOC_THRESHOLD)
-        .select("doc_id", "idx", "para")
+    boiler = (
+        exploded.groupBy("para")
+        .agg(F.countDistinct("doc_id").alias("n_docs_with"))
+        .filter(F.col("n_docs_with") >= PARA_DOC_THRESHOLD)
+        .select("para")
     )
+    kept = exploded.join(boiler, "para", "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(

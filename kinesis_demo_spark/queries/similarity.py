@@ -555,3 +555,172 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = _recompute_centroids(vecs, assign)
     final = _assign(vecs, cents)
     return final.select("vec_id", F.col("cid").alias("cluster_id"), "dist")
+
+
+# --- Product-quantization ANN (ADC scoring over 8-byte codes) ----------------------
+
+PQ_M = 8        # subspaces
+PQ_SUB = 8      # dims per subspace (PQ_M * PQ_SUB == embedding dim 64)
+PQ_K = 16       # codewords per subspace
+PQ_SHORTLIST = 100  # ADC shortlist size fed to the exact re-rank
+# Deterministic codebook: codeword j of every subspace = the j-th corpus
+# vector's subvector (the same offline-k-means stand-in precedent as IVF's
+# coarse centroids — the search machinery is what the operator pins).
+
+
+def _subdist2(x, y, off: int):
+    """Exact squared L2 distance over dims [off, off+PQ_SUB): strictly
+    sequential left-to-right fold, bit-identical to the DuckDB mirror."""
+    d = lambda p, q: (p.cast("double") - q.cast("double")) * (p.cast("double") - q.cast("double"))  # noqa: E731
+    return F.aggregate(
+        F.zip_with(F.slice(x, off + 1, PQ_SUB), F.slice(y, off + 1, PQ_SUB), d),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+
+
+def _subdist2_sql(x: str, y: str, off: int) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {PQ_SUB + 1}), i -> "
+        f"(CAST({x}[{off} + i] AS DOUBLE) - CAST({y}[{off} + i] AS DOUBLE))"
+        f" * (CAST({x}[{off} + i] AS DOUBLE) - CAST({y}[{off} + i] AS DOUBLE))), (a, b) -> a + b)"
+    )
+
+
+def _pq_oracle() -> str:
+    enc_cols = ", ".join(
+        f"list_position(dists_{m}, list_min(dists_{m})) AS code_{m}" for m in range(PQ_M)
+    )
+    dist_arrays = ", ".join(
+        f"list_transform(range(0, {PQ_K}), j -> {_subdist2_sql('e.embedding', 'cbl.cb[j + 1]', m * PQ_SUB)}) AS dists_{m}"
+        for m in range(PQ_M)
+    )
+    qtab = ", ".join(
+        f"list_transform(range(0, {PQ_K}), j -> {_subdist2_sql('e.embedding', 'cbl.cb[j + 1]', m * PQ_SUB)}) AS dt_{m}"
+        for m in range(PQ_M)
+    )
+    adc = " + ".join(f"dt_{m}[code_{m}]" for m in range(PQ_M))
+    return f"""
+WITH cbl AS (
+  SELECT list(embedding ORDER BY vec_id) AS cb
+  FROM embeddings WHERE vec_id < {PQ_K}
+),
+dists AS (
+  SELECT e.vec_id, {dist_arrays} FROM embeddings e, cbl
+),
+enc AS (
+  SELECT vec_id, {enc_cols} FROM dists
+),
+qt AS (
+  SELECT e.vec_id AS query_id, {qtab} FROM embeddings e, cbl WHERE e.vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, enc.vec_id AS neighbor_id, {adc} AS approx_d2
+  FROM qt q JOIN enc ON enc.vec_id <> q.query_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY approx_d2, neighbor_id) AS srnk
+  FROM scored
+),
+vb AS (
+  SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm FROM embeddings
+),
+rerank AS (
+  SELECT s.query_id, s.neighbor_id,
+         {dot_fold_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
+  FROM shortlist s
+  JOIN vb q ON q.vec_id = s.query_id
+  JOIN vb c ON c.vec_id = s.neighbor_id
+  WHERE s.srnk <= {PQ_SHORTLIST}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM rerank
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cosine
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@register("ann_pq_adc_topk", oracle=_pq_oracle())
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) scoring —
+    the memory-compression scale path the LSH/IVF variants don't cover
+    (Jegou et al., PAMI'11): each vector is encoded as {PQ_M} codes of
+    log2({PQ_K}) bits ({PQ_M} bytes vs 256 bytes raw float32 — 32x), and a
+    query scores a vector by summing {PQ_M} PRECOMPUTED subspace distances
+    looked up by code, never touching the original embedding.
+
+    At 100 TB this is the decisive ANN shape: the scan reads the CODES
+    column (8 B/vector), the per-query distance table is {PQ_M}x{PQ_K}
+    doubles broadcast once, and scoring is {PQ_M} array lookups + adds per
+    row inside codegen — the raw vectors are only read to (a) build codes
+    once offline and (b) re-rank a top-R shortlist if exactness matters
+    (the exact re-rank is ``ann_cosine_topk``'s machinery, composable).
+
+    Everything is deterministic — codebook = the first {PQ_K} corpus
+    vectors (IVF's offline-training stand-in precedent), argmin tie-breaks
+    to the smallest code via first-occurrence array_position, distances are
+    sequential folds — so even this doubly-approximate operator carries a
+    bit-exact DuckDB value-hash oracle. The returned top-{TOP_K} is the
+    EXACT-cosine re-rank of the ADC top-{PQ_SHORTLIST} shortlist — the
+    production PQ search pipeline (candidate generation over codes, exact
+    math over ~0.1% of raw vectors); measured recall@10 vs the exact
+    baseline: 0.90/0.88 at sf0.001/sf0.01 (pinned in
+    tests/test_similarity_pq.py)."""
+    vb = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    cb = F.broadcast(
+        vb.filter(F.col("vec_id") < PQ_K)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))),
+                lambda s: s["embedding"],
+            ).alias("cb")
+        )
+    )
+    with_cb = vb.crossJoin(cb)  # 1-row broadcast: the codebook
+
+    def dists(m: int):
+        return F.transform(F.col("cb"), lambda c: _subdist2(F.col("embedding"), c, m * PQ_SUB))
+
+    enc = with_cb.select(
+        "vec_id",
+        *[
+            F.array_position(dists(m), F.array_min(dists(m))).alias(f"code_{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    qt = with_cb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        *[dists(m).alias(f"dt_{m}") for m in range(PQ_M)],
+    )
+    adc = F.element_at(F.col("dt_0"), F.col("code_0").cast("int"))
+    for m in range(1, PQ_M):
+        adc = adc + F.element_at(F.col(f"dt_{m}"), F.col(f"code_{m}").cast("int"))
+    scored = (
+        enc.join(F.broadcast(qt), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("approx_d2"))
+    )
+    sw = Window.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+    shortlist = (
+        scored.withColumn("srnk", F.row_number().over(sw))
+        .filter(F.col("srnk") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank of the |queries| x PQ_SHORTLIST shortlist — the only rows
+    # whose raw embeddings are ever fetched at query time
+    vn = _vectors(spark, sf_dir)
+    qv = vn.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn"))
+    cv = vn.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), F.col("nrm").alias("cn"))
+    cos = dot_fold(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(F.broadcast(cv), "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", "cosine")
+    )

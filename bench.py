@@ -119,6 +119,7 @@ HEADLINE = (
     "tpch_q14_promo_revenue",
     "tpch_q8_market_share",
     "retrieval_rank_fusion",
+    "ann_pq_adc_topk",
     "dedup_shingle_containment",
     "streaming_dedup_events",
     "funnel_user_stages",

@@ -1136,3 +1136,76 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("row_total").cast("double")).alias("p"),
     )
+
+
+# --- Co-occurrence / association lift (market-basket analytics) --------------------
+
+
+@register(
+    "event_cooccurrence_lift",
+    oracle="""
+WITH basket AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+n_users AS (
+  SELECT count(DISTINCT user_id) AS n FROM basket
+),
+per_type AS (
+  SELECT event_type, count(*) AS n_t FROM basket GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+  FROM basket a JOIN basket b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_ab,
+       CAST(CAST(p.n_ab AS DOUBLE) / CAST(n.n AS DOUBLE) AS DOUBLE) AS support,
+       CAST(CAST(p.n_ab AS DOUBLE) / CAST(ta.n_t AS DOUBLE) AS DOUBLE) AS confidence_a_to_b,
+       CAST((CAST(p.n_ab AS DOUBLE) / CAST(ta.n_t AS DOUBLE))
+            / (CAST(tb.n_t AS DOUBLE) / CAST(n.n AS DOUBLE)) AS DOUBLE) AS lift
+FROM pairs p
+JOIN per_type ta ON p.type_a = ta.event_type
+JOIN per_type tb ON p.type_b = tb.event_type
+CROSS JOIN n_users n
+""",
+)
+def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over per-user event baskets: for every unordered
+    event-type pair, support, confidence and lift — the market-basket
+    companion to ``event_transition_matrix`` (unordered co-engagement vs
+    ordered succession).
+
+    Scale: the basket (distinct user x type) collapses the log first — one
+    shuffle with map-side partial distinct; the pair self-join rides the
+    same user_id partitioning (types per user are bounded, so the per-user
+    pair fan-out is a constant factor, never quadratic in events); the
+    |types| and 1-row totals broadcast. Each ratio is a fixed sequence of
+    IEEE divisions mirrored exactly in the oracle."""
+    basket = _events(spark, sf_dir).select("user_id", "event_type").distinct()
+    n_users = basket.agg(F.count_distinct("user_id").alias("n"))
+    per_type = basket.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = basket.select("user_id", F.col("event_type").alias("type_a"))
+    b = basket.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ta = F.broadcast(per_type.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("na")))
+    tb = F.broadcast(per_type.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("nb")))
+    conf = F.col("n_ab").cast("double") / F.col("na").cast("double")
+    return (
+        pairs.join(ta, "type_a")
+        .join(tb, "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            (F.col("n_ab").cast("double") / F.col("n").cast("double")).alias("support"),
+            conf.alias("confidence_a_to_b"),
+            (conf / (F.col("nb").cast("double") / F.col("n").cast("double"))).alias("lift"),
+        )
+    )

@@ -135,3 +135,31 @@ def test_transition_matrix_probabilities_sum_to_one(spark):
         by_cur[r.cur] += r.p
     for cur, total in by_cur.items():
         assert abs(total - 1.0) < 1e-9, (cur, total)
+
+
+def test_cooccurrence_lift_identities(spark):
+    """support * n_users == n_ab, confidence == support/P(a), and lift is
+    symmetric in (a, b) — recomputed from an independent DuckDB basket."""
+    import duckdb
+
+    from kinesis_demo_spark.queries.analytics import event_cooccurrence_lift
+
+    rows = event_cooccurrence_lift(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    con = duckdb.connect()
+    n, = con.execute(
+        "select count(distinct user_id) from '/root/testdata/sf0.001/events.parquet'"
+    ).fetchone()
+    per = dict(
+        con.execute(
+            "select event_type, count(distinct user_id) from "
+            "'/root/testdata/sf0.001/events.parquet' group by 1"
+        ).fetchall()
+    )
+    con.close()
+    for r in rows:
+        assert r.support == r.n_ab / n
+        assert r.confidence_a_to_b == r.n_ab / per[r.type_a]
+        # lift symmetry: n_ab/(n_a*n_b/n) is the same either direction
+        lift_ba = (r.n_ab / per[r.type_b]) / (per[r.type_a] / n)
+        assert abs(r.lift - lift_ba) < 1e-12

@@ -148,3 +148,61 @@ def map_in_arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses pairwise summation there). Per-batch streaming, zero shuffles."""
     emb = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     return emb.mapInArrow(_arrow_norm_batches, schema="vec_id long, nrm double")
+
+
+# --- Python UDTF (table function) — the sixth Python surface -----------------------
+
+
+class _SentenceSplitUDTF:
+    """Arrow-optimized Python UDTF: one input doc row -> one output row per
+    sentence. Defined module-level so executors can unpickle it; registered
+    per-session inside the query function."""
+
+    def eval(self, doc_id, text):  # noqa: ANN001 — UDTF protocol signature
+        if text is None:
+            return
+        for idx, sent in enumerate(text.split(". ")):
+            yield doc_id, idx + 1, sent, len(sent.split(" "))
+
+
+@register(
+    "udtf_sentence_split",
+    oracle="""
+SELECT doc_id,
+       CAST(s.i AS BIGINT) AS sent_idx,
+       s.sent AS sentence,
+       CAST(len(string_split(s.sent, ' ')) AS BIGINT) AS n_words
+FROM documents,
+     LATERAL (
+       SELECT unnest(string_split(text, '. ')) AS sent,
+              generate_subscripts(string_split(text, '. '), 1) AS i
+     ) s
+""",
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 4 ``udtf``) exploding each
+    document into indexed sentences — the sixth and last Python execution
+    surface (after pandas_udf, applyInPandas, applyInPandasWithState,
+    mapInPandas, mapInArrow), value-hash checked like the rest: the split is
+    plain ``str.split('. ')``, mirrored by DuckDB ``string_split``, so the
+    Python table function is provably lossless.
+
+    Scale: UDTFs stream row batches through the Python worker like any
+    Arrow surface — per-row fan-out, no state, no shuffle; the lateral
+    expansion happens executor-side so the plan stays a narrow map. (The
+    pure-SQL equivalent is posexplode(split(...)) — the operator exists to
+    pin the UDTF surface itself, the escape hatch for table-generating
+    logic Spark expressions cannot state.)"""
+    from pyspark.sql.functions import udtf
+
+    sentence_split = udtf(
+        _SentenceSplitUDTF,
+        returnType="doc_id bigint, sent_idx bigint, sentence string, n_words bigint",
+    )
+    spark.udtf.register("sentence_split_udtf", sentence_split)
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT f.doc_id, f.sent_idx, f.sentence, f.n_words "
+        "FROM _udtf_docs d, LATERAL sentence_split_udtf(d.doc_id, d.text) f"
+    )

@@ -124,6 +124,10 @@ HEADLINE = (
     "streaming_dedup_events",
     "funnel_user_stages",
     "cohort_weekly_retention",
+    "event_transition_matrix",
+    "event_cooccurrence_lift",
+    "hopping_window_counts",
+    "udtf_sentence_split",
 )
 
 

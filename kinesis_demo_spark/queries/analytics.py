@@ -1209,3 +1209,53 @@ def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (conf / (F.col("nb").cast("double") / F.col("n").cast("double"))).alias("lift"),
         )
     )
+
+
+# --- Hopping (sliding) window aggregate --------------------------------------------
+
+HOP_WINDOW_MIN = 10   # window length, minutes
+HOP_SLIDE_MIN = 5     # slide, minutes
+_US_PER_MIN = 60_000_000
+
+
+@register(
+    "hopping_window_counts",
+    oracle=f"""
+WITH hops AS (
+  SELECT user_id, value,
+         epoch_us(ts) // {HOP_SLIDE_MIN * _US_PER_MIN} - k.k AS slide_idx
+  FROM events,
+       (SELECT unnest(range({HOP_WINDOW_MIN // HOP_SLIDE_MIN})) AS k) k
+  WHERE epoch_us(ts) // {HOP_SLIDE_MIN * _US_PER_MIN} - k.k >= 0
+)
+SELECT user_id,
+       make_timestamp(slide_idx * {HOP_SLIDE_MIN * _US_PER_MIN}) AS window_start,
+       count(*) AS cnt,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM hops
+GROUP BY 1, 2
+""",
+)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregate ({HOP_WINDOW_MIN} min windows sliding every
+    {HOP_SLIDE_MIN} min): each event lands in window/slide = 2 overlapping
+    windows — the smoothing shape dashboards use between tumbling (no
+    overlap) and session (gap) windows, and Spark's native
+    ``F.window(ts, '10 minutes', '5 minutes')`` multi-assignment.
+
+    The oracle replicates the assignment arithmetic (an event at slide
+    index i belongs to windows starting at i and i-1 slide units) from
+    integer epoch DIV buckets, so both engines window identically with no
+    timezone in play. Scale: the explode factor is the constant
+    window/slide ratio; state per (user, window) is two exact aggregates —
+    the same bounded-state story as the tumbling form, x2."""
+    ev = _events(spark, sf_dir)
+    w = F.window("ts", f"{HOP_WINDOW_MIN} minutes", f"{HOP_SLIDE_MIN} minutes")
+    return (
+        ev.groupBy("user_id", w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select("user_id", F.col("w.start").alias("window_start"), "cnt", "sum_value")
+    )

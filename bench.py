@@ -118,6 +118,7 @@ HEADLINE = (
     "tpch_q10_returned_items",
     "tpch_q14_promo_revenue",
     "tpch_q8_market_share",
+    "tpch_q19_disjunctive_revenue",
     "retrieval_rank_fusion",
     "ann_pq_adc_topk",
     "dedup_shingle_containment",

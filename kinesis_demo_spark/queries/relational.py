@@ -1084,3 +1084,48 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_volume",
         )
     )
+
+
+# --- TPC-H Q19-shape: disjunctive predicate revenue --------------------------------
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    oracle="""
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: the disjunctive-predicate benchmark. The WHERE is a
+    3-branch OR mixing both tables' columns; Catalyst factors the common
+    conjuncts per side (CNF conversion), so each branch's part-side terms
+    (brand, size) prune the broadcast dim BEFORE the join and the
+    quantity bands reach the lineitem scan as an OR-of-ranges PushedFilter
+    — the plan every optimizer paper grades OR-pushdown on. One broadcast
+    join, one 1-row aggregate, zero shuffles of the fact side."""
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount")).cast(DEC)
+    branch = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            branch("Brand#1", 15, 1, 11)
+            | branch("Brand#2", 25, 10, 20)
+            | branch("Brand#3", 35, 20, 30)
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

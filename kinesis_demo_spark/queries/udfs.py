@@ -198,6 +198,7 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentence_split = udtf(
         _SentenceSplitUDTF,
         returnType="doc_id bigint, sent_idx bigint, sentence string, n_words bigint",
+        useArrow=True,  # ArrowEvalPythonUDTF, not row-pickled BatchEvalPythonUDTF
     )
     spark.udtf.register("sentence_split_udtf", sentence_split)
     docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")

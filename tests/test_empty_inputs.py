@@ -72,3 +72,19 @@ def test_round3_ops_on_empty_tables(spark, empty_dir):
     assert P.sample_stratified_documents(spark, empty_dir).count() == 0
     assert P.sequence_packing(spark, empty_dir).count() == 0
     assert P.embedding_quantize_int8(spark, empty_dir).count() == 0
+
+
+def test_r5_operators_on_empty_tables(spark, empty_dir):
+    from kinesis_demo_spark.queries import analytics as A
+    from kinesis_demo_spark.queries import corpus as C
+    from kinesis_demo_spark.queries import dedup as D
+    from kinesis_demo_spark.queries import similarity as S
+
+    assert A.funnel_user_stages(spark, empty_dir).count() == 0
+    assert A.cohort_weekly_retention(spark, empty_dir).count() == 0
+    assert A.event_transition_matrix(spark, empty_dir).count() == 0
+    assert A.event_cooccurrence_lift(spark, empty_dir).count() == 0
+    assert A.hopping_window_counts(spark, empty_dir).count() == 0
+    assert D.dedup_shingle_containment(spark, empty_dir).count() == 0
+    assert S.ann_pq_adc_topk(spark, empty_dir).count() == 0
+    assert C.retrieval_rank_fusion(spark, empty_dir).count() == 0

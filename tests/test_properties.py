@@ -198,3 +198,50 @@ def test_repetition_matches_python_reference(spark, docs):
         n, nd = len(grams), len(set(grams))
         want.add((i, n, nd, (n - nd) / n if n else 0.0))
     assert got == want
+
+
+_word = st.sampled_from("alpha beta gamma delta epsilon zeta eta theta".split())
+
+
+@given(st.lists(st.lists(_word, min_size=0, max_size=20), min_size=2, max_size=5))
+@_settings
+def test_containment_dominates_jaccard_on_random_corpora(spark, word_lists):
+    """For EVERY co-shingled pair, each directed containment >= Jaccard
+    (|A∩B|/|A| >= |A∩B|/|A∪B| since A ⊆ A∪B) and containment <= 1 — the
+    algebraic relation that makes containment the quote detector. Verified
+    on random corpora against the independently computed Python sets."""
+    import tempfile
+
+    from kinesis_demo_spark.queries.dedup import (
+        dedup_ngram_jaccard,
+        dedup_shingle_containment,
+    )
+
+    texts = [" ".join(ws) for ws in word_lists]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            list(enumerate(texts)), "doc_id bigint, text string"
+        ).write.mode("overwrite").parquet(d + "/documents.parquet")
+        cont = {
+            (r.contained_id, r.container_id): r.containment
+            for r in dedup_shingle_containment(spark, d).collect()
+        }
+        jacc = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in dedup_ngram_jaccard(spark, d).collect()
+        }
+
+    def shingles(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)} if len(w) >= 3 else set()
+
+    sets = {i: shingles(t) for i, t in enumerate(texts)}
+    for (a, b), c in cont.items():
+        sa, sb = sets[a], sets[b]
+        inter = len(sa & sb)
+        assert 0 < c <= 1.0
+        assert c == inter / len(sa)  # exact directed containment
+        # dominates symmetric Jaccard whenever that pair was emitted
+        j = jacc.get((min(a, b), max(a, b)))
+        if j is not None:
+            assert c >= j

@@ -213,3 +213,14 @@ def test_tpch_q8_broadcasts_every_dim_leg(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     assert plan.count("SortMergeJoin") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q19_or_predicate_reaches_scans(spark):
+    plan = _plan(Q["tpch_q19_disjunctive_revenue"](spark, SF))
+    # CNF factoring: the common disjunction residue reaches BOTH scans as
+    # an Or(...) pushed filter (brand/size on part, quantity bands on
+    # lineitem), and the join itself stays a broadcast equi-join
+    assert "Or(" in plan
+    assert "PushedFilters: [" in plan
+    simple = _plan(Q["tpch_q19_disjunctive_revenue"](spark, SF), mode="simple")
+    assert "BroadcastHashJoin" in simple and "SortMergeJoin" not in simple

@@ -128,6 +128,7 @@ HEADLINE = (
     "event_transition_matrix",
     "event_cooccurrence_lift",
     "hopping_window_counts",
+    "streaming_hopping_counts",
     "udtf_sentence_split",
 )
 

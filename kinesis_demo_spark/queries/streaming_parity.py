@@ -13,6 +13,7 @@ from ..registry import register
 from ..streaming.pipeline import (
     run_complete_to_memory,
     run_stream_dedup,
+    run_stream_hopping_counts,
     run_stream_static_enrich,
     run_stream_stream_join,
 )
@@ -92,3 +93,30 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see streaming/pipeline.py::run_stream_dedup for the bounded-state
     argument)."""
     return run_stream_dedup(spark, sf_dir)
+
+
+@register(
+    "streaming_hopping_counts",
+    oracle=f"""
+WITH hops AS (
+  SELECT user_id, value,
+         epoch_us(ts) // {5 * 60_000_000} - k.k AS slide_idx
+  FROM events,
+       (SELECT unnest(range(2)) AS k) k
+  WHERE epoch_us(ts) // {5 * 60_000_000} - k.k >= 0
+)
+SELECT user_id,
+       make_timestamp(slide_idx * {5 * 60_000_000}) AS window_start,
+       count(*) AS cnt,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM hops
+GROUP BY 1, 2
+""",
+)
+def streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window (10 min / 5 min slide) streaming aggregate drained and
+    checked against the batch hop-assignment oracle — the overlapping-window
+    state differential, completing the streaming family: tumbling aggregate,
+    stream-stream join, stream-static join, dedup, and now hopping state,
+    each value-hash-compared to batch SQL."""
+    return run_stream_hopping_counts(spark, sf_dir)

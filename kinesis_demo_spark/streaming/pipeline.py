@@ -198,16 +198,24 @@ def stream_events(
     return out
 
 
-def windowed_aggregate(events: DataFrame, window: str = "1 second", watermark: str | None = None) -> DataFrame:
-    """A1/W1 as a streaming-compatible plan: per-(user, tumbling window)
-    count + exact decimal sum. With a watermark, Spark evicts window state
-    once event time passes window_end + delay — the bounded-state production
-    shape (an improvement over the reference, which has no late-data story;
-    SURVEY.md W5)."""
+def windowed_aggregate(
+    events: DataFrame,
+    window: str = "1 second",
+    watermark: str | None = None,
+    slide: str | None = None,
+) -> DataFrame:
+    """A1/W1 as a streaming-compatible plan: per-(user, window) count +
+    exact decimal sum — tumbling by default, hopping when ``slide`` is
+    given (each event then lands in window/slide overlapping windows; state
+    grows by the same constant factor). With a watermark, Spark evicts
+    window state once event time passes window_end + delay — the
+    bounded-state production shape (an improvement over the reference,
+    which has no late-data story; SURVEY.md W5)."""
     if watermark is not None:
         events = events.withWatermark("ts", watermark)
+    w = F.window("ts", window, slide) if slide is not None else F.window("ts", window)
     return (
-        events.groupBy("user_id", F.window("ts", window).alias("w"))
+        events.groupBy("user_id", w.alias("w"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
@@ -337,6 +345,33 @@ def run_stream_static_enrich(spark: SparkSession, sf_dir: str, name: str | None 
         enriched.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def run_stream_hopping_counts(spark: SparkSession, sf_dir: str, name: str | None = None) -> DataFrame:
+    """Hopping-window streaming aggregate drained over the fixture — the
+    overlapping-window state shape (window/slide = 2 windows per event),
+    checked against the batch hop-assignment oracle the way
+    streaming_window_counts checks tumbling state."""
+    name = name or "stream_hop_" + re.sub(r"[^0-9a-zA-Z]", "_", sf_dir).strip("_")
+    # complete mode, like the tumbling differential: append+watermark would
+    # (correctly) withhold the trailing not-yet-finalized windows at
+    # stream end, which a batch oracle cannot mirror; watermarked eviction
+    # itself is pinned by the tumbling/dedup/watermark tests.
+    agg = windowed_aggregate(
+        stream_events(spark, sf_dir), window="10 minutes", slide="5 minutes"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
         .trigger(availableNow=True)
         .start()
     )

@@ -48,6 +48,7 @@ STREAM_DRAINS = {
     "streaming_interval_join",
     "streaming_static_enrich",
     "streaming_dedup_events",
+    "streaming_hopping_counts",
     "sessionize_stateful_streaming",
 }
 

@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Measured scaling behavior across fixture scale factors.
+
+For a representative query per plan family this times the warm min-of-3 at
+sf0.01 and sf0.1 (sf0.001 sits under the ~0.2 s session floor and only adds
+noise) and reports the observed scaling exponent
+
+    alpha = log(t_big / t_small) / log(10)
+
+alpha ~ 0 means fixed-overhead dominated (streaming machinery, tiny
+outputs), ~ 1 means linear in data — the target for every scan/agg/join
+shape here — and ~ 2 would expose an accidental all-pairs. Exponents are
+biased DOWN by any fixed per-query overhead (Catalyst analysis, Python
+worker spin-up), so alpha clearly below 1 on a data-heavy query means
+overhead still dominates at sf0.1, not sublinear magic.
+
+Output: a table to stderr and SCALE_PROBE.json (per-query times + alpha)
+for the round artifact. Host burst-throttling (see bench.py) can inflate a
+single cell; rerun the affected query solo before reading anything into a
+surprising alpha.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kinesis_demo_spark.io import release_persisted
+from kinesis_demo_spark.registry import all_queries
+from kinesis_demo_spark.session import get_spark
+
+# family -> representative (data-heavy, non-streaming) query
+PROBES = (
+    "tpch_q1_pricing_summary",        # scan + wide agg
+    "star_join_revenue_by_region",    # broadcast star join
+    "join_orders_lineitem_priority",  # fact-fact shuffle join
+    "window_functions_battery",       # per-user windows
+    "dedup_exact_text",               # hash agg on digest
+    "dedup_ngram_jaccard",            # inverted-index self-join
+    "dedup_embedding_cosine_lsh",     # bucketed GEMM screen
+    "ann_pq_adc_topk",                # PQ encode + ADC scan
+    "text_tfidf",                     # explode + term aggs
+    "funnel_user_stages",             # chained keyed aggs
+    "sequence_packing",               # applyInPandas per shard
+    "json_wire_roundtrip",            # serde round trip
+)
+
+SF_SMALL = "/root/testdata/sf0.01"
+SF_BIG = "/root/testdata/sf0.1"
+
+
+def _time(fn, spark, sf_dir: str) -> float:
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+    release_persisted()
+    return min(runs)
+
+
+def main() -> None:
+    spark = get_spark("kinesis-demo-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+    out: dict[str, dict] = {}
+    for name in PROBES:
+        fn = registry.get(name)
+        if fn is None:
+            continue
+        t_small = _time(fn, spark, SF_SMALL)
+        t_big = _time(fn, spark, SF_BIG)
+        alpha = math.log(t_big / t_small) / math.log(10.0)
+        out[name] = {
+            "t_sf0.01": round(t_small, 3),
+            "t_sf0.1": round(t_big, 3),
+            "alpha": round(alpha, 2),
+        }
+        print(
+            f"{name:34s} {t_small:7.3f}s -> {t_big:7.3f}s  alpha={alpha:5.2f}",
+            file=sys.stderr,
+        )
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_PROBE.json"
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    worst = max(out.values(), key=lambda r: r["alpha"])["alpha"]
+    print(json.dumps({"n_probed": len(out), "max_alpha": worst}))
+
+
+if __name__ == "__main__":
+    main()

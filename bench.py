@@ -119,6 +119,8 @@ HEADLINE = (
     "tpch_q14_promo_revenue",
     "tpch_q8_market_share",
     "tpch_q19_disjunctive_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_diversity",
     "retrieval_rank_fusion",
     "ann_pq_adc_topk",
     "dedup_shingle_containment",

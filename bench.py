@@ -132,6 +132,7 @@ HEADLINE = (
     "hopping_window_counts",
     "streaming_hopping_counts",
     "udtf_sentence_split",
+    "scd2_user_state_intervals",
 )
 
 

@@ -1259,3 +1259,91 @@ def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", F.col("w.start").alias("window_start"), "cnt", "sum_value")
     )
+
+
+# --- SCD-2 state intervals (change-tracking dimension build) -----------------------
+
+
+@register(
+    "scd2_user_state_intervals",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN prev_type IS NULL OR prev_type <> event_type THEN 1 ELSE 0 END AS is_change
+  FROM ordered
+),
+versioned AS (
+  SELECT user_id, event_type, ts,
+         sum(is_change) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+  FROM flagged
+),
+intervals AS (
+  SELECT user_id, CAST(version AS BIGINT) AS version,
+         min(event_type) AS state,
+         min(ts) AS valid_from,
+         count(*) AS n_events
+  FROM versioned
+  GROUP BY user_id, version
+)
+SELECT user_id, version, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+       n_events
+FROM intervals
+""",
+)
+def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 interval build: collapse each user's event-type runs into
+    versioned validity intervals (state, valid_from, valid_to, open-ended
+    current row) — the warehouse change-tracking dimension pattern, built
+    from the gaps-and-islands idiom (lag -> change flag -> running-sum
+    version id -> per-version aggregate -> lead for the closing bound).
+
+    Scale: every window partitions by user_id, so ONE shuffle+sort per user
+    feeds the lag, the running sum, and (after the tiny per-version
+    aggregate on the same key) the lead — Catalyst reuses the partitioning
+    across all three. The (ts, event_id) total order makes run boundaries,
+    version numbers and interval bounds fully deterministic."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_change"),
+    )
+    versioned = flagged.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("is_change")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("version"),
+    )
+    intervals = versioned.groupBy("user_id", F.col("version").cast("long").alias("version")).agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    vw = Window.partitionBy("user_id").orderBy("version")
+    return intervals.select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(vw).alias("valid_to"),
+        "n_events",
+    )

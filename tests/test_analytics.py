@@ -163,3 +163,30 @@ def test_cooccurrence_lift_identities(spark):
         # lift symmetry: n_ab/(n_a*n_b/n) is the same either direction
         lift_ba = (r.n_ab / per[r.type_b]) / (per[r.type_a] / n)
         assert abs(r.lift - lift_ba) < 1e-12
+
+
+def test_scd2_intervals_partition_the_timeline(spark):
+    """Per user: versions are 1..n dense, intervals chain exactly
+    (valid_to == next valid_from), only the last interval is open, states
+    alternate between consecutive versions, and n_events sums to the
+    user's event count."""
+    from collections import defaultdict
+
+    from kinesis_demo_spark.queries.analytics import scd2_user_state_intervals
+    from kinesis_demo_spark.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = scd2_user_state_intervals(spark, sf).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    total = 0
+    for user, urows in by_user.items():
+        urows.sort(key=lambda r: r.version)
+        assert [r.version for r in urows] == list(range(1, len(urows) + 1))
+        for a, b in zip(urows, urows[1:]):
+            assert a.valid_to == b.valid_from, (user, a.version)
+            assert a.state != b.state, (user, a.version)  # runs were collapsed
+        assert urows[-1].valid_to is None  # current state is open-ended
+        total += sum(r.n_events for r in urows)
+    assert total == load_table(spark, sf, "events").count()

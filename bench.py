@@ -133,6 +133,8 @@ HEADLINE = (
     "streaming_hopping_counts",
     "udtf_sentence_split",
     "scd2_user_state_intervals",
+    "profile_events_columns",
+    "outliers_value_mad",
 )
 
 

@@ -1347,3 +1347,101 @@ def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(vw).alias("valid_to"),
         "n_events",
     )
+
+
+# --- Data-quality profile (per-column stats in one pass) ---------------------------
+
+
+@register(
+    "profile_events_columns",
+    oracle="""
+SELECT count(*) AS n_rows,
+       count(DISTINCT user_id) AS user_id_distinct,
+       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS user_id_nulls,
+       count(DISTINCT event_type) AS event_type_distinct,
+       sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS event_type_nulls,
+       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_nulls,
+       CAST(min(value) AS DOUBLE) AS value_min,
+       CAST(max(value) AS DOUBLE) AS value_max,
+       min(ts) AS ts_min, max(ts) AS ts_max,
+       sum(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END) AS props_empty
+FROM events
+""",
+)
+def profile_events_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile: row count, per-column null/empty counts,
+    distinct cardinalities, and value/time ranges — the data-quality
+    screening every ingestion pipeline runs before training-data jobs
+    touch a new drop. ONE aggregate over one scan (all statistics are
+    map-side combinable, including the distinct counts via partial
+    dedup); no second pass, no per-column jobs."""
+    ev = _events(spark, sf_dir)
+    nul = lambda c: F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))  # noqa: E731
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("user_id").alias("user_id_distinct"),
+        nul("user_id").alias("user_id_nulls"),
+        F.count_distinct("event_type").alias("event_type_distinct"),
+        nul("event_type").alias("event_type_nulls"),
+        nul("value").alias("value_nulls"),
+        F.min("value").cast("double").alias("value_min"),
+        F.max("value").cast("double").alias("value_max"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+        F.sum(F.when(F.col("props").isNull() | (F.col("props") == ""), 1).otherwise(0)).alias(
+            "props_empty"
+        ),
+    )
+
+
+# --- Robust outliers: median / MAD z-score -----------------------------------------
+
+MAD_CUTOFF = 3.0
+
+
+@register(
+    "outliers_value_mad",
+    oracle=f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.event_id, e.value, m.med,
+         abs(e.value - m.med) AS absdev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, d.event_id, d.value, d.med, m.mad,
+       abs(d.value - d.med) / m.mad AS robust_z
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+WHERE abs(d.value - d.med) / m.mad > {MAD_CUTOFF}
+""",
+)
+def outliers_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: |x - median| / MAD per event type, flagging
+    rows past {MAD_CUTOFF} — the median/MAD screen that survives the very
+    outliers a mean/stddev z-score is corrupted by (the standard robust
+    alternative). Both quantiles use the shared exact interpolated
+    percentile (bit-identical across engines); the deviation and ratio are
+    single IEEE ops mirrored in the oracle.
+
+    Scale: two grouped exact percentiles (per-group sort — the documented
+    approx_percentile swap applies beyond memory) with the tiny per-type
+    tables broadcast back; the flagging pass is a pure scan filter."""
+    ev = _events(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("absdev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(absdev, 0.5)").alias("mad"))
+    z = F.abs(F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select("event_type", "event_id", "value", "med", "mad", z.alias("robust_z"))
+        .filter(F.col("robust_z") > MAD_CUTOFF)
+    )

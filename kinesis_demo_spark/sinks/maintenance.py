@@ -1,0 +1,99 @@
+"""Lake-maintenance operators for the partitioned serving store: small-file
+compaction and time-based partition retention — the two jobs every
+parquet-backed store schedules (Delta/Iceberg expose them as OPTIMIZE and
+retention policies; on plain parquet directories they are rewrite passes).
+
+Both are layout-only: the row set is bit-identical before and after
+(asserted in tests/test_maintenance.py), so they carry no SQL oracle — the
+invariant IS "the data didn't change, only the files did".
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# Target in-memory bytes per compacted output file. Parquet encodes/compresses
+# below this; the point is an order-of-magnitude file-count reduction, not an
+# exact on-disk size.
+TARGET_FILE_BYTES = 64 * 1024 * 1024
+_STAGING_SUFFIX = "__compact_staging"
+
+
+def _partition_dirs(path: str, partition_col: str) -> list[str]:
+    return sorted(
+        d for d in os.listdir(path) if d.startswith(partition_col + "=")
+    )
+
+
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    partition_value: str,
+    sort_col: str | None = None,
+    target_bytes: int = TARGET_FILE_BYTES,
+) -> dict:
+    """Rewrite ONE partition of a partitioned parquet store into
+    size-targeted files (optionally re-sorted on ``sort_col`` so range scans
+    stay clustered after compaction). Staged to a sibling directory and
+    swapped in with the same rename discipline the streaming upsert sink
+    uses, so a crash mid-compact leaves either the old or the new layout,
+    never a mix.
+
+    Scale: compaction is per-partition (the unit a scheduler parallelizes
+    over); each rewrite is one narrow read -> coalesce -> write with no
+    shuffle unless ``sort_col`` asks for clustering. Returns
+    {files_before, files_after, rows}.
+    """
+    part_dir = os.path.join(path, f"{partition_col}={partition_value}")
+    if not os.path.isdir(part_dir):
+        raise FileNotFoundError(part_dir)
+    files_before = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    df = spark.read.parquet(part_dir)
+    rows = df.count()
+    size_bytes = sum(
+        os.path.getsize(os.path.join(part_dir, f)) for f in files_before
+    )
+    n_out = max(1, -(-size_bytes // target_bytes))  # ceil div
+    if sort_col is not None:
+        out = df.repartitionByRange(n_out, F.col(sort_col)).sortWithinPartitions(sort_col)
+    else:
+        out = df.coalesce(n_out)
+    staging = part_dir + _STAGING_SUFFIX
+    out.write.mode("overwrite").parquet(staging)
+    backup = part_dir + "__old"
+    os.rename(part_dir, backup)
+    os.rename(staging, part_dir)
+    shutil.rmtree(backup)
+    files_after = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    return {
+        "files_before": len(files_before),
+        "files_after": len(files_after),
+        "rows": rows,
+    }
+
+
+def expire_partitions(
+    path: str, partition_col: str, keep_from: str
+) -> dict:
+    """Time-based retention: drop every partition whose value sorts strictly
+    below ``keep_from`` (partition values must be lexicographically ordered
+    — true for zero-padded day indexes and ISO dates, which is why the
+    serving store partitions on a numeric UTC day). Directory-level deletes
+    only — O(expired partitions), the data files are never read.
+
+    Returns {expired: [...], kept: [...]}.
+    """
+    expired, kept = [], []
+    prefix = partition_col + "="
+    for d in _partition_dirs(path, partition_col):
+        value = d[len(prefix):]
+        if value < keep_from:
+            shutil.rmtree(os.path.join(path, d))
+            expired.append(value)
+        else:
+            kept.append(value)
+    return {"expired": expired, "kept": kept}

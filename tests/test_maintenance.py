@@ -1,0 +1,68 @@
+"""Lake-maintenance invariants: compaction changes FILES, never DATA;
+retention drops exactly the expired partitions and never reads the rest."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from kinesis_demo_spark.sinks.maintenance import compact_partition, expire_partitions
+
+
+def _store(spark, tmp_path, n_files: int = 16):
+    path = str(tmp_path / "store")
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 4).cast("string").alias("day"),
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    # repartition to force many small files per partition
+    df.repartition(n_files).write.partitionBy("day").mode("overwrite").parquet(path)
+    return path
+
+
+def test_compaction_preserves_rows_and_cuts_files(spark, tmp_path):
+    path = _store(spark, tmp_path)
+    before = spark.read.parquet(path).filter(F.col("day") == "1")
+    before_rows = sorted((r.k, r.v) for r in before.collect())
+
+    stats = compact_partition(spark, path, "day", "1", sort_col="k")
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == 1  # tiny partition -> single target file
+    assert stats["rows"] == len(before_rows)
+
+    after = spark.read.parquet(path).filter(F.col("day") == "1")
+    assert sorted((r.k, r.v) for r in after.collect()) == before_rows
+    # other partitions untouched
+    assert spark.read.parquet(path).count() == 4000
+
+
+def test_compaction_with_sort_clusters_the_sort_key(spark, tmp_path):
+    path = _store(spark, tmp_path)
+    compact_partition(spark, path, "day", "2", sort_col="k")
+    part_dir = os.path.join(path, "day=2")
+    files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    # single output file; rows inside are sorted by k (clustered layout)
+    assert len(files) == 1
+    rows = spark.read.parquet(os.path.join(part_dir, files[0])).collect()
+    ks = [r.k for r in rows]
+    assert ks == sorted(ks)
+
+
+def test_expire_partitions_drops_only_old(spark, tmp_path):
+    path = _store(spark, tmp_path)
+    out = expire_partitions(path, "day", keep_from="2")
+    assert out["expired"] == ["0", "1"]
+    assert out["kept"] == ["2", "3"]
+    left = spark.read.parquet(path)
+    assert left.select("day").distinct().count() == 2
+    assert left.count() == 2000
+
+
+def test_compaction_unknown_partition_raises(spark, tmp_path):
+    path = _store(spark, tmp_path)
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        compact_partition(spark, path, "day", "99")

@@ -1083,3 +1083,75 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d")
     ).select("d.contained_id", "d.container_id", "d.containment")
     return directed.filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+
+
+# --- Canonical selection: keep the best document per duplicate cluster --------------
+
+
+@register(
+    "dedup_canonical_selection",
+    oracle=f"""
+WITH RECURSIVE
+{_SHINGLE_CTES},
+jp AS (
+  SELECT doc_a, doc_b FROM pairs
+  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM jp
+  UNION ALL
+  SELECT doc_b, doc_a FROM jp
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+),
+labeled AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
+           / CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS quality
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT cluster_id,
+       -max(struct_pack(q := quality, nd := -doc_id)).nd AS canonical_id,
+       max(struct_pack(q := quality, nd := -doc_id)).q AS canonical_quality,
+       count(*) AS n_members
+FROM labeled
+GROUP BY cluster_id
+""",
+)
+def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: after transitive clustering, keep the
+    HIGHEST-QUALITY member of each duplicate cluster (unique-word ratio —
+    an exact two-integer division both engines compute identically), ties
+    to the smallest doc_id — the curation rule real pipelines use instead
+    of keep-smallest-id (the best-written copy survives, not the first
+    crawled).
+
+    Scale: inherits dedup_clusters' label-propagation output (one column
+    pair), scores each doc with a per-row expression, and picks the argmax
+    per cluster with a single struct-max aggregate — deterministic ties via
+    (quality, -doc_id) lexicographic order, the stats_argminmax precedent."""
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        (
+            F.size(F.array_distinct(F.split("text", " "))).cast("double")
+            / F.size(F.split("text", " ")).cast("double")
+        ).alias("quality"),
+    )
+    labeled = clusters.join(docs, "doc_id")
+    pair = F.struct(F.col("quality").alias("q"), (-F.col("doc_id")).alias("nd"))
+    agg = labeled.groupBy("cluster_id").agg(
+        F.max(pair).alias("mx"), F.count(F.lit(1)).alias("n_members")
+    )
+    return agg.select(
+        "cluster_id",
+        (-F.col("mx.nd")).alias("canonical_id"),
+        F.col("mx.q").alias("canonical_quality"),
+        "n_members",
+    )

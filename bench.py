@@ -135,6 +135,7 @@ HEADLINE = (
     "scd2_user_state_intervals",
     "profile_events_columns",
     "outliers_value_mad",
+    "bloom_prefilter_semi_join",
 )
 
 

@@ -33,6 +33,7 @@ _QUERY_MODULES = (
     "kinesis_demo_spark.queries.reshape",
     "kinesis_demo_spark.queries.training_prep",
     "kinesis_demo_spark.queries.corpus",
+    "kinesis_demo_spark.queries.runtime_filter",
 )
 
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries only

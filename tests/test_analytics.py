@@ -190,3 +190,24 @@ def test_scd2_intervals_partition_the_timeline(spark):
         assert urows[-1].valid_to is None  # current state is open-ended
         total += sum(r.n_events for r in urows)
     assert total == load_table(spark, sf, "events").count()
+
+
+def test_bloom_prefilter_matches_plain_semi_join(spark):
+    """No false negatives ever: the bloom-prefiltered exact count equals the
+    plain semi join's, and bloom candidates are a superset of true matches."""
+    import duckdb
+
+    from kinesis_demo_spark.queries.runtime_filter import (
+        ACCTBAL_MIN,
+        bloom_prefilter_semi_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    r = bloom_prefilter_semi_join(spark, sf).collect()[0]
+    truth, = duckdb.sql(
+        f"select count(*) from '{sf}/orders.parquet' o where o.o_custkey in "
+        f"(select c_custkey from '{sf}/customer.parquet' where c_acctbal > {ACCTBAL_MIN})"
+    ).fetchone()
+    assert r.n_exact == truth
+    assert r.n_bloom_pass >= r.n_exact
+    assert r.n_false_positives == r.n_bloom_pass - r.n_exact

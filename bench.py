@@ -136,6 +136,7 @@ HEADLINE = (
     "profile_events_columns",
     "outliers_value_mad",
     "bloom_prefilter_semi_join",
+    "rfm_customer_segments",
 )
 
 

@@ -1208,3 +1208,77 @@ def tpch_q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
         .limit(20)
     )
+
+
+# --- RFM customer segmentation ------------------------------------------------------
+
+
+@register(
+    "rfm_customer_segments",
+    oracle="""
+WITH anchor AS (
+  SELECT max(o_orderdate) AS mx FROM orders
+),
+base AS (
+  SELECT o.o_custkey AS c_custkey,
+         CAST(date_diff('day', max(o.o_orderdate), a.mx) AS BIGINT) AS recency_days,
+         count(*) AS frequency,
+         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders o, anchor a
+  GROUP BY o.o_custkey, a.mx
+),
+scored AS (
+  SELECT c_custkey, recency_days, frequency, monetary,
+         CAST(ntile(4) OVER (ORDER BY recency_days DESC, c_custkey) AS BIGINT) AS r_score,
+         CAST(ntile(4) OVER (ORDER BY frequency, c_custkey) AS BIGINT) AS f_score,
+         CAST(ntile(4) OVER (ORDER BY monetary, c_custkey) AS BIGINT) AS m_score
+  FROM base
+)
+SELECT c_custkey, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       r_score * 100 + f_score * 10 + m_score AS rfm_code
+FROM scored
+""",
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency (days since last order, against the
+    corpus max date so the operator is a pure function of the data),
+    frequency, monetary (DECIMAL-exact), each quartile-scored with ntile
+    so 4 is always the best bucket (most recent / most frequent / highest
+    spend), composed into the classic 3-digit RFM code. Every ntile
+    ordering carries a c_custkey tie-break, so bucket boundaries are
+    deterministic and cross-engine identical.
+
+    Scale: one customer-grain aggregate, then three ntile windows over the
+    CUSTOMER table (not the fact table). A global ntile needs a global
+    sort of customer-grain rows — the documented scale-out swap is
+    percentile-bound bucketing (approx quantile cutoffs broadcast as a
+    pure filter), identical buckets up to boundary ties."""
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("mx"))
+    base = (
+        orders.crossJoin(F.broadcast(anchor))
+        .groupBy(F.col("o_custkey").alias("c_custkey"), "mx")
+        .agg(
+            F.datediff(F.max("mx"), F.max("o_orderdate")).cast("long").alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("monetary"),
+        )
+        .drop("mx")
+    )
+    r_w = Window.orderBy(F.col("recency_days").desc(), "c_custkey")
+    f_w = Window.orderBy("frequency", "c_custkey")
+    m_w = Window.orderBy("monetary", "c_custkey")
+    scored = base.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r_w).cast("long").alias("r_score"),
+        F.ntile(4).over(f_w).cast("long").alias("f_score"),
+        F.ntile(4).over(m_w).cast("long").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_code",
+        F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
+    )

@@ -211,3 +211,32 @@ def test_bloom_prefilter_matches_plain_semi_join(spark):
     assert r.n_exact == truth
     assert r.n_bloom_pass >= r.n_exact
     assert r.n_false_positives == r.n_bloom_pass - r.n_exact
+
+
+def test_time_operators_self_heal_non_utc_sessions(spark):
+    """A caller (e.g. the driver harness) may hand the engine a session
+    whose default timezone drifted. Every time-sensitive r5 operator must
+    still match the naive-UTC oracle because load_table re-pins the session
+    timezone (io.ensure_runtime_confs) — window boundaries, week buckets
+    and interval bounds silently shift otherwise."""
+    from kinesis_demo_spark.registry import all_oracle_sql, all_queries
+
+    from .oracle_harness import compare, duckdb_conn
+
+    sf = "/root/testdata/sf0.001"
+    Q, O = all_queries(), all_oracle_sql()
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        con = duckdb_conn(sf)
+        for name in (
+            "hopping_window_counts",
+            "cohort_weekly_retention",
+            "scd2_user_state_intervals",
+            "funnel_user_stages",
+        ):
+            assert not compare(Q[name](spark, sf), con, O[name], name), name
+        con.close()
+        # and the engine left the session healed, not just its own queries
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")

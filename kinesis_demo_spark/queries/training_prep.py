@@ -335,3 +335,61 @@ def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sampled.groupBy("shard").applyInPandas(_pack_shard, schema=_PACK_SCHEMA)
+
+
+# --- Deterministic train/val/test split --------------------------------------------
+
+SPLIT_SALT = "split1|"
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # val = [80, 90), test = [90, 100)
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id, source,
+         {h60_sql(f"'{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+  FROM documents
+),
+labeled AS (
+  SELECT doc_id, source,
+         CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM assigned
+)
+SELECT source, split, count(*) AS n_docs,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM labeled
+GROUP BY source, split
+""",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {SPLIT_TRAIN_PCT}/{SPLIT_VAL_PCT}/{100 - SPLIT_TRAIN_PCT - SPLIT_VAL_PCT}
+    train/val/test assignment: split = salted content-hash bucket of the
+    document id — the property that matters is STABILITY (a document's
+    split never changes across runs, re-shards, retries, or corpus
+    growth-by-append), which rand()-based splitters violate and
+    hash-bucketing guarantees; the salt isolates this split from every
+    other h60 sampler in the pipeline (distinct salt = independent coin).
+    Reported at (source, split) grain so stratification skew is visible.
+
+    Scale: one per-row hash + one small aggregate; the assignment itself
+    composes as a pushed filter (split = 'train') into any downstream
+    reader, exactly like the stratified sampler."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = h60(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))) % 100
+    labeled = docs.select(
+        "doc_id",
+        "source",
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return labeled.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 from ..functions.hashing import h60, h60_sql
 from ..io import load_table, spread
 from ..registry import register
+from .dedup import SHINGLES_SQL as SHINGLES_SQL_REF
 
 # Small, public stopword marker lists (most-frequent function words).
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -553,4 +554,59 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
             (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("mean_chars"),
         )
+    )
+
+
+# --- Cross-source n-gram novelty (data-diversity measurement) ----------------------
+
+
+@register(
+    "text_source_novelty",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, source, {SHINGLES_SQL_REF} AS shingles FROM documents
+),
+ex AS (
+  SELECT doc_id, source, unnest(shingles) AS s FROM sh
+),
+spread AS (
+  SELECT s, count(DISTINCT source) AS n_sources FROM ex GROUP BY s
+)
+SELECT e.doc_id, e.source,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN sp.n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive,
+       CAST(sum(CASE WHEN sp.n_sources = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS novelty
+FROM ex e JOIN spread sp ON e.s = sp.s
+GROUP BY e.doc_id, e.source
+""",
+)
+def text_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram novelty: per document, the fraction of its word
+    trigrams that no OTHER source's corpus contains — the data-diversity
+    signal mixture tuning needs (a source whose documents are mostly
+    shingle-shared with the rest of the corpus adds volume, not diversity).
+    A shingle counts as exclusive when exactly one source uses it, which is
+    computable from ONE global (shingle -> distinct-source count) aggregate
+    instead of per-(doc, other-source) comparisons.
+
+    Scale: same inverted-index skeleton as the dedup family — explode
+    shingles once, one map-side-combinable distinct-count per shingle, one
+    join back (the spread table is vocabulary-sized; at 100 TB it stays a
+    keyed shuffle join, never broadcast-hinted), one per-doc aggregate.
+    The novelty ratio is a single BIGINT/BIGINT -> double division."""
+    from .dedup import shingles_col
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    sh = docs.select("doc_id", "source", shingles_col().alias("shingles"))
+    ex = sh.select("doc_id", "source", F.explode("shingles").alias("s"))
+    spread_tbl = ex.groupBy("s").agg(F.count_distinct("source").alias("n_sources"))
+    joined = ex.join(spread_tbl, "s")
+    return joined.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("n_sources") == 1, 1).otherwise(0)).alias("n_exclusive"),
+        (
+            F.sum(F.when(F.col("n_sources") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("novelty"),
     )

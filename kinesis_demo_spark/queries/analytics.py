@@ -1445,3 +1445,109 @@ def outliers_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "event_id", "value", "med", "mad", z.alias("robust_z"))
         .filter(F.col("robust_z") > MAD_CUTOFF)
     )
+
+
+# --- Key-skew concentration report (HHI from exact integer sums) -------------------
+
+
+@register(
+    "skew_concentration_report",
+    oracle="""
+WITH per_key AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT count(*) AS n_keys,
+         CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(max(n) AS BIGINT) AS max_key_rows,
+         CAST(sum(n * n) AS BIGINT) AS sum_sq
+  FROM per_key
+)
+SELECT n_keys, n_rows, max_key_rows,
+       CAST(max_key_rows AS DOUBLE) / CAST(n_rows AS DOUBLE) AS max_share,
+       CAST(sum_sq AS DOUBLE) / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)) AS hhi,
+       1.0 / CAST(n_keys AS DOUBLE) AS hhi_uniform_floor
+FROM agg
+""",
+)
+def skew_concentration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key skew diagnostic: key count, hottest key's share, and the
+    Herfindahl-Hirschman concentration index of the user_id distribution —
+    the number that tells you whether a shuffle on this key needs salting
+    (HHI at the 1/n_keys uniform floor = balanced; approaching 1 = one whale
+    key owns the table). HHI is computed as sum(n_i^2) / N^2 from EXACT
+    BIGINT power sums — order-independent integers, then two IEEE ops —
+    instead of summing per-key (n_i/N)^2 doubles whose result depends on
+    summation order.
+
+    Scale: one per-key count (map-side partials) and a 1-row reduce; this is
+    the pre-flight check the salting operator (operators/salting.py) is the
+    answer to."""
+    per_key = _events(spark, sf_dir).groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    agg = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_key_rows"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
+    )
+    return agg.select(
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        (F.col("max_key_rows").cast("double") / F.col("n_rows").cast("double")).alias("max_share"),
+        (
+            F.col("sum_sq").cast("double")
+            / (F.col("n_rows").cast("double") * F.col("n_rows").cast("double"))
+        ).alias("hhi"),
+        (F.lit(1.0) / F.col("n_keys").cast("double")).alias("hhi_uniform_floor"),
+    )
+
+
+# --- Seasonal (hour-of-day) baseline anomalies -------------------------------------
+
+
+@register(
+    "seasonal_hour_anomalies",
+    oracle="""
+WITH base AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS hod_avg
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type, CAST(hour(e.ts) AS BIGINT) AS hod,
+       e.value, b.hod_avg,
+       e.value / b.hod_avg AS ratio
+FROM events e
+JOIN base b ON e.event_type = b.event_type AND CAST(hour(e.ts) AS BIGINT) = b.hod
+WHERE e.value / b.hod_avg > 3.0
+""",
+)
+def seasonal_hour_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly flagging: each event compared to its
+    (type, hour-of-day) historical average, so a value that is normal at
+    the daily peak is not flagged just because the GLOBAL average sits
+    lower — the baseline shape monitoring systems use once plain
+    threshold alerts start paging on rush hour. The average is a DECIMAL
+    sum over one count division (exact-then-one-IEEE-op, both engines
+    identical); hour extraction is UTC-session-pinned.
+
+    Scale: the baseline is |types| x 24 rows — broadcast back over the
+    scan; the flagging pass is a pure per-row comparison."""
+    ev = _events(spark, sf_dir)
+    hod = F.hour("ts").cast("long")
+    base = ev.groupBy("event_type", hod.alias("hod")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("hod_avg")
+    )
+    return (
+        ev.select("event_id", "event_type", hod.alias("hod"), "value")
+        .join(F.broadcast(base), ["event_type", "hod"])
+        .select(
+            "event_id", "event_type", "hod", "value", "hod_avg",
+            (F.col("value") / F.col("hod_avg")).alias("ratio"),
+        )
+        .filter(F.col("ratio") > 3.0)
+    )

@@ -1282,3 +1282,48 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rfm_code",
         F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
     )
+
+
+# --- 2-D binned aggregate (dashboard heatmap shape) --------------------------------
+
+BIN2D_QTY = 5.0       # quantity bin width
+BIN2D_PRICE = 10000.0  # extended-price bin width
+
+
+@register(
+    "lineitem_2d_histogram",
+    oracle=f"""
+SELECT CAST(floor(l_quantity / {BIN2D_QTY}) AS BIGINT) AS qty_bin,
+       CAST(floor(l_extendedprice / {BIN2D_PRICE}) AS BIGINT) AS price_bin,
+       count(*) AS n,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_discount
+FROM lineitem
+GROUP BY 1, 2
+""",
+)
+def lineitem_2d_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D binned aggregate over (quantity, extended price) with a per-cell
+    mean discount — the density-heatmap shape every dashboard scatter
+    renders once raw points stop fitting on screen (and the server-side
+    pre-aggregation that makes it O(cells) to ship instead of O(rows)).
+    Bin ids are floor divisions of stored doubles by exact binary-friendly
+    or identical-literal widths — the same two IEEE ops in both engines;
+    the cell mean is a DECIMAL sum over one count division.
+
+    Scale: a pure scan + one grouped aggregate on the (cheap, low-card)
+    cell key; map-side partials collapse the fact table before the
+    exchange, which carries only |cells| rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_quantity") / BIN2D_QTY).cast("long").alias("qty_bin"),
+            F.floor(F.col("l_extendedprice") / BIN2D_PRICE).cast("long").alias("price_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("l_discount").cast(DEC)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_discount"),
+        )
+    )

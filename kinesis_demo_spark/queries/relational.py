@@ -1327,3 +1327,57 @@ def lineitem_2d_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_discount"),
         )
     )
+
+
+# --- Ratio-to-report window (percent of total) --------------------------------------
+
+
+@register(
+    "orders_share_by_priority",
+    oracle="""
+WITH per AS (
+  SELECT o_orderpriority,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue_dec,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(revenue_dec AS DOUBLE) AS revenue,
+       n_orders,
+       CAST(revenue_dec AS DOUBLE) / CAST(sum(revenue_dec) OVER () AS DOUBLE) AS revenue_share,
+       CAST(n_orders AS DOUBLE) / CAST(sum(n_orders) OVER () AS DOUBLE) AS order_share
+FROM per
+""",
+)
+def orders_share_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each priority's share of total revenue and order
+    count via an unbounded empty-partition window OVER the already-reduced
+    aggregate — the reporting idiom behind every percent-of-total column.
+    The window runs over |priorities| rows (the fact table was collapsed
+    first), so the global frame costs nothing. The denominator is summed
+    as DECIMAL THROUGH the window (exact, order-independent — a double
+    window sum diverges in the last ulp because the engines reduce the
+    partition in different orders; measured on this very query) and cast
+    once, so the share is a single identical IEEE division in both
+    engines."""
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue_dec"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "o_orderpriority",
+        F.col("revenue_dec").cast("double").alias("revenue"),
+        "n_orders",
+        (
+            F.col("revenue_dec").cast("double")
+            / F.sum("revenue_dec").over(w).cast("double")
+        ).alias("revenue_share"),
+        (F.col("n_orders").cast("double") / F.sum("n_orders").over(w).cast("double")).alias(
+            "order_share"
+        ),
+    )

@@ -1381,3 +1381,164 @@ def orders_share_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_share"
         ),
     )
+
+
+# --- TPC-H Q13-shape: customer order-count distribution ---------------------------
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""",
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: left-outer join with a residual predicate ON THE JOIN
+    (priority exclusion — filtering in WHERE would silently drop the
+    zero-order customers the query exists to count), then two stacked
+    aggregations: orders-per-customer, customers-per-order-count. The
+    fixture lacks o_comment, so the classic 'not like %special%requests%'
+    becomes a priority-class exclusion with identical plan shape.
+
+    Scale: the outer join shuffles both sides on custkey once; the first
+    aggregate reuses that partitioning (no second exchange — custkey is
+    the grouping key), and the distribution aggregate exchanges only
+    |distinct counts| rows. count(o_orderkey) counts non-null matches
+    only, which is what makes the left join's padding rows land in the
+    c_count=0 bucket on both engines."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --- TPC-H Q17-shape: small-quantity-order revenue --------------------------------
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+WITH brand_lines AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#3'
+),
+thresholds AS (
+  SELECT l_partkey,
+         0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)) AS thr
+  FROM brand_lines GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(b.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM brand_lines b JOIN thresholds t ON b.l_partkey = t.l_partkey
+WHERE b.l_quantity < t.thr
+""",
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: the correlated per-part average-quantity subquery,
+    decorrelated the way Catalyst itself rewrites it — aggregate the
+    brand's lineitems once per part, join the thresholds back, filter,
+    reduce to one row. The per-part threshold is 0.2 x mean quantity
+    computed as a DECIMAL-exact sum over one count division and one
+    literal multiply — three identical IEEE ops in both engines, so the
+    strict < comparison cannot flap on summation order.
+
+    Scale: the brand filter prunes the broadcast part dim BEFORE the fact
+    join (the fact side never shuffles for it); the thresholds table is
+    |brand parts|-sized and broadcast back against the same pruned fact
+    stream, which AQE plans as a broadcast join; the final sum is a
+    1-row aggregate. Nothing in the plan touches non-brand lineitems
+    twice."""
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_lines = li.join(part, F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresholds = brand_lines.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+        ).alias("thr")
+    )
+    return (
+        brand_lines.join(F.broadcast(thresholds), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("thr"))
+        .agg((F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+# --- TPC-H Q22-shape: wealthy inactive customers ----------------------------------
+
+
+@register(
+    "tpch_q22_inactive_wealthy",
+    oracle="""
+WITH avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS ab
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n.n_name AS nation,
+       count(*) AS numcust,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+CROSS JOIN avg_bal a
+WHERE c.c_acctbal > a.ab
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY n.n_name
+""",
+)
+def tpch_q22_inactive_wealthy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: a global scalar aggregate (average positive balance)
+    broadcast back as a filter, composed with an anti join against orders
+    (customers who never ordered) and a nation rollup. The fixture lacks
+    c_phone, so the country-code substring becomes the nation dim the
+    schema actually has — same plan: scalar subquery + NOT EXISTS + group.
+
+    Scale: the average is a 1-row aggregate crossJoin-broadcast (no
+    driver collect); the anti join is the shuffle — it keys both sides on
+    custkey once, and AQE converts it to broadcast-anti when the order
+    side's distinct custkeys fit; the nation dim is broadcast. The
+    balance filter is applied before the anti join so only above-average
+    customers shuffle at all."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("ab")
+        )
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum("c_acctbal").alias("totacctbal"),
+        )
+    )

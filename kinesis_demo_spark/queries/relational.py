@@ -1542,3 +1542,207 @@ def tpch_q22_inactive_wealthy(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+# --- TPC-H Q2-shape: minimum-cost supplier per part -------------------------------
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+WITH pcost AS (
+  SELECT l.l_partkey, l.l_suppkey, min(l.l_extendedprice) AS supply_cost
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = 1
+  GROUP BY 1, 2
+),
+sized AS (
+  SELECT pc.*, p.p_name
+  FROM pcost pc JOIN part p ON p.p_partkey = pc.l_partkey
+  WHERE p.p_size < 8
+),
+ranked AS (
+  SELECT *, min(supply_cost) OVER (PARTITION BY l_partkey) AS best
+  FROM sized
+)
+SELECT r.l_partkey AS p_partkey, r.p_name, s.s_name, n.n_name AS nation,
+       r.supply_cost
+FROM ranked r
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE r.supply_cost = r.best
+""",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: for each qualifying part, the supplier(s) offering the
+    minimum cost within one region — the correlated-min subquery of the
+    original, with the fixture's lineitem history standing in for the
+    partsupp catalog it lacks (cost of a (part, supplier) pair = the
+    minimum price that pair ever shipped at). All ties are kept, like the
+    original's `ps_supplycost = (SELECT min...)`. The compared cost is a
+    stored double propagated untouched through min(), so the equality
+    filter cannot flap across engines.
+
+    Scale: region prunes supplier to a broadcast list BEFORE the fact
+    scan joins it (the fact side never shuffles for the dim); the
+    (part, supplier) aggregate shuffles once on a two-column key; the
+    per-part min is a window over that already-reduced table (|pairs|
+    rows, not |lineitems|); the size-filtered part dim is broadcast and
+    applied before the window to shrink its input."""
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    supp_region = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(nation.filter(F.col("n_regionkey") == 1), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    part_sized = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") < 8)
+        .select("p_partkey", "p_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    pcost = (
+        li.join(supp_region, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("supply_cost"))
+    )
+    sized = pcost.join(part_sized, F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey", "l_suppkey", "supply_cost", "p_name"
+    )
+    w = Window.partitionBy("l_partkey")
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    return (
+        sized.withColumn("best", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("best"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "supply_cost",
+        )
+    )
+
+
+# --- TPC-H Q9-shape: product-line profit by nation and year -----------------------
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+         - 0.8 * CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%gear%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+""",
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit per (supplier nation, order year) for one product
+    line — the widest join tree in TPC-H (fact x 3 dims x fact). The
+    fixture has no ps_supplycost, so cost is modeled as 80% of retail
+    price x quantity; to stay cross-engine exact, revenue and cost are
+    summed as separate DECIMAL aggregates and the 0.8 factor is applied
+    once on the already-exact double — two IEEE ops per group, not one
+    rounding per row.
+
+    Scale: the part name filter prunes the broadcast dim to ~13% before
+    the fact join; supplier and nation are broadcast; the only real
+    shuffle is the lineitem-orders equi-join on orderkey, and the final
+    aggregate carries |nations x years| groups. This is the plan a
+    100 TB fact table needs: one fact-fact exchange, everything else
+    riding map-side."""
+    part_g = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount")).cast(DEC)
+    cost = F.col("p_retailprice").cast(DEC) * F.col("l_quantity").cast(DEC)
+    return (
+        li.join(part_g, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            (
+                F.sum(rev).cast("double") - F.lit(0.8) * F.sum(cost).cast("double")
+            ).alias("profit")
+        )
+    )
+
+
+# --- TPC-H Q11-shape: concentrated-value parts ------------------------------------
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle="""
+WITH pv AS (
+  SELECT l.l_partkey,
+         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS value_dec
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = 2
+  GROUP BY 1
+)
+SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM pv
+WHERE CAST(value_dec AS DOUBLE) > 0.001 * (SELECT CAST(sum(value_dec) AS DOUBLE) FROM pv)
+""",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose shipped value within one region exceeds a
+    fixed fraction of the region's total — the HAVING-over-a-global-
+    scalar-subquery pattern (Q15 filters on the global MAX; this one on a
+    FRACTION of the global SUM, which is the harder case because the
+    threshold depends on every group). Per-part values are DECIMAL-exact;
+    the grand total is a DECIMAL sum OF those group sums (associative,
+    order-free), so the 0.001 x total threshold is one IEEE multiply in
+    both engines.
+
+    Scale: region prunes supplier to a broadcast list before the fact
+    join; the per-part aggregate shuffles once on partkey; the grand
+    total is a 1-row re-aggregate of the |parts|-sized intermediate,
+    broadcast back — the fact table is scanned exactly once and the
+    second pass runs over group sums, not rows."""
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    supp_region = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(nation.filter(F.col("n_regionkey") == 2), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = (
+        li.join(supp_region, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("value_dec"))
+    )
+    total = pv.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double")
+            > F.lit(0.001) * F.col("total_dec").cast("double")
+        )
+        .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
+    )

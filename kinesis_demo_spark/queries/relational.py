@@ -1746,3 +1746,175 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
     )
+
+
+# --- TPC-H Q12-shape: late-shipment priority counts -------------------------------
+
+
+@register(
+    "tpch_q12_shipclass_priority",
+    oracle="""
+SELECT l.l_linestatus AS ship_class,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= o.o_orderdate
+  AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+""",
+)
+def tpch_q12_shipclass_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: fact-fact join with a residual cross-table predicate
+    (shipdate >= orderdate — the commitdate/receiptdate chronology check
+    the fixture's columns allow) plus a pushed year band, then a
+    conditional aggregate splitting order priorities into high/low counts
+    per line class (l_linestatus stands in for the missing l_shipmode;
+    the group-by-CASE-count plan is identical).
+
+    Scale: the year band reaches the lineitem scan as PushedFilters
+    before the join; the orderkey equi-join is the one shuffle and the
+    chronology predicate evaluates as a post-join filter on already
+    co-located rows; the CASE counts partial-aggregate map-side into
+    |classes| rows."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey")).filter(
+        F.col("l_shipdate") >= F.col("o_orderdate")
+    )
+    grouped = joined.groupBy(F.col("l_linestatus").alias("ship_class")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )
+    return grouped
+
+
+# --- TPC-H Q20-shape: excess-availability suppliers -------------------------------
+
+
+@register(
+    "tpch_q20_excess_suppliers",
+    oracle="""
+WITH sp AS (
+  SELECT l.l_suppkey, l.l_partkey, sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE '%bolt%'
+  GROUP BY 1, 2
+),
+ptot AS (SELECT l_partkey, sum(qty) AS tot FROM sp GROUP BY 1)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+        SELECT sp.l_suppkey FROM sp JOIN ptot ON sp.l_partkey = ptot.l_partkey
+        WHERE CAST(sp.qty AS DOUBLE) > 0.1 * CAST(ptot.tot AS DOUBLE))
+  AND s.s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+""",
+)
+def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: the double-nested semi-join chain — suppliers (in one
+    region) who hold an outsized share of any one product line's flow.
+    The original's `ps_availqty > 0.5 * sum(l_quantity)` correlated
+    subquery becomes: per-(supplier, part) shipped quantity exceeding 10%
+    of that part's total, with the part set pre-filtered by name. Both
+    IN-subqueries stay semi joins (no multiplicity leak into the output).
+
+    Scale: the name filter prunes the broadcast part dim; the
+    (supplier, part) aggregate shuffles once on the pair key; the
+    per-part totals re-aggregate the |pairs|-sized intermediate (no
+    second fact scan) and join back on partkey; both IN lists resolve as
+    broadcast LeftSemi against the 100-row supplier dim."""
+    part_sel = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = (
+        li.join(part_sel, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
+    )
+    ptot = sp.groupBy("l_partkey").agg(F.sum("qty").alias("tot"))
+    excess = (
+        sp.join(ptot, "l_partkey")
+        .filter(F.col("qty").cast("double") > F.lit(0.1) * F.col("tot").cast("double"))
+        .select("l_suppkey")
+    )
+    nation_r = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2).select("n_nationkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        supplier.join(excess, supplier.s_suppkey == excess.l_suppkey, "left_semi")
+        .join(nation_r, supplier.s_nationkey == nation_r.n_nationkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+# --- TPC-H Q21-shape: suppliers who kept orders waiting ---------------------------
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+SELECT s.s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_regionkey = 1
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY 1
+""",
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: the EXISTS + NOT-EXISTS self-join pair — for finalized
+    orders, count per supplier the late line items where the order was
+    multi-supplier yet THIS supplier was the only late one. 'Late' is
+    shipdate > orderdate + 90 days (the fixture's stand-in for the
+    receiptdate > commitdate check). The oracle keeps the literal
+    correlated-EXISTS formulation; this side runs the decorrelation
+    Catalyst cannot do automatically for the pair: one pass computes
+    per-order distinct-supplier and distinct-late-supplier counts, and
+    the EXISTS/NOT-EXISTS become `n_supp > 1 AND n_late = 1` on the late
+    rows — proven row-identical to the correlated form.
+
+    Scale: lineitem joins the F-orders once on orderkey and BOTH the
+    per-order aggregate and the qualify join reuse that partitioning (a
+    correlated-subquery plan would scan lineitem three times; this scans
+    it once). Supplier and nation are broadcast; the output aggregate
+    carries |suppliers| groups."""
+    orders_f = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    ol = li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("late"),
+    )
+    per_order = ol.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation_r = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1).select("n_nationkey")
+    )
+    return (
+        ol.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation_r, F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -610,3 +610,212 @@ def text_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("novelty"),
     )
+
+
+# --- Winnowing fingerprints (MOSS) ---------------------------------------------------
+
+WINNOW_K = 3  # tokens per k-gram
+WINNOW_W = 4  # hashes per winnowing window
+_WIN_POS_BITS = 20  # pos packs into the low 20 bits of the combined key
+_WIN_HASH_MOD = 1 << 39  # 39-bit hash keeps hash*2^20 + pos < 2^59
+
+
+def _winnow_fps_sql() -> str:
+    """DuckDB fragment: the winnowed (doc_id, pos, fp) set, as a CTE body."""
+    kgram = f"array_to_string(list_slice(toks, CAST(pos AS INT), CAST(pos + {WINNOW_K - 1} AS INT)), ' ')"
+    return f"""
+tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(range(1, length(toks) - {WINNOW_K - 2})) AS pos, toks
+  FROM tok WHERE length(toks) >= {WINNOW_K}
+),
+hashed AS (
+  SELECT doc_id, pos,
+         ({h60_sql(kgram)} % {_WIN_HASH_MOD}) * {1 << _WIN_POS_BITS} + pos AS combined
+  FROM grams
+),
+winmin AS (
+  SELECT doc_id,
+         min(combined) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS sel
+  FROM hashed
+),
+fps AS (
+  SELECT DISTINCT doc_id,
+         sel % {1 << _WIN_POS_BITS} AS pos,
+         sel // {1 << _WIN_POS_BITS} AS fp
+  FROM winmin
+)
+"""
+
+
+def _winnow_fps(docs: DataFrame) -> DataFrame:
+    """Winnowed fingerprints as a (doc_id, pos, fp) DataFrame."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= WINNOW_K
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks") - (WINNOW_K - 1))
+        ).alias("pos"),
+        "toks",
+    )
+    kgram = F.array_join(F.slice("toks", F.col("pos"), WINNOW_K), " ")
+    hashed = grams.select(
+        "doc_id",
+        "pos",
+        (
+            (h60(kgram) % _WIN_HASH_MOD) * (1 << _WIN_POS_BITS) + F.col("pos")
+        ).alias("combined"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), Window.currentRow)
+    )
+    return (
+        hashed.select("doc_id", F.min("combined").over(w).alias("sel"))
+        .distinct()
+        .select(
+            "doc_id",
+            (F.col("sel") % (1 << _WIN_POS_BITS)).alias("pos"),
+            (F.col("sel") / (1 << _WIN_POS_BITS)).cast("long").alias("fp"),
+        )
+    )
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+WITH {_winnow_fps_sql()}
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, CAST(fp AS BIGINT) AS fp FROM fps
+""",
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every {WINNOW_K}-token k-gram, slide a {WINNOW_W}-hash
+    window, keep each window's minimum — any shared passage of at least
+    {WINNOW_W + WINNOW_K - 1} tokens between two documents is GUARANTEED to
+    share a selected fingerprint, at ~2/(w+1) the density of keeping every
+    hash. Tie-breaks and 'which window selected it' are made engine-free by
+    packing (hash, position) into one BIGINT — hash in the high 39 bits,
+    position in the low {_WIN_POS_BITS} — so the window min IS the
+    lexicographic (hash, leftmost-pos) winner and both engines select
+    byte-identical sets. Leading partial windows (the first w-1 positions)
+    participate, a documented standard variant. Positions above 2^{_WIN_POS_BITS}
+    would collide in the packing; chunk longer documents upstream
+    (text_chunk_documents) before fingerprinting.
+
+    Scale: explode -> per-row JVM md5 -> ONE window sort per doc partition
+    (doc_id partitioning, no global sort) -> distinct, which reuses the
+    same doc_id-keyed exchange. Output is ~2n/(w+1) rows per document."""
+    return _winnow_fps(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "fp"
+    )
+
+
+@register(
+    "dedup_winnowing_overlap",
+    oracle=f"""
+WITH {_winnow_fps_sql()},
+inv AS (SELECT DISTINCT doc_id, fp FROM fps),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+  FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared_fps FROM pairs WHERE shared_fps >= 8
+""",
+)
+def dedup_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection over winnowed fingerprints — the MOSS
+    report: document pairs sharing >= 8 selected fingerprints, i.e. pairs
+    with many guaranteed-common token runs. Complements the shingle/minhash
+    family: winnowing's window guarantee localizes WHERE the overlap is
+    (contiguous passages), so it catches partial-plagiarism shapes that
+    whole-document Jaccard dilutes below threshold.
+
+    Scale: the same inverted-index skeleton as every dedup op here — pairs
+    are generated ONLY within same-fingerprint buckets (no all-pairs), the
+    per-doc fingerprint set is already ~2/(w+1) sparse, and hot fingerprints
+    (boilerplate runs) are exactly the hot-shingle skew AQE's skew-join
+    split handles; the pair count aggregate shuffles on the (a, b) key
+    once."""
+    fps = _winnow_fps(_docs(spark, sf_dir)).select("doc_id", "fp").distinct()
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 8)
+    )
+
+
+# --- Corpus-frequency quality score --------------------------------------------------
+
+RARE_PER_MILLE = 1  # token is rare when corpus_count * 1000 < corpus_total
+
+
+@register(
+    "text_freq_quality",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+vocab AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT count(*) AS total FROM tok)
+SELECT t.doc_id,
+       count(*) AS n_tok,
+       CAST(sum(v.cnt) AS BIGINT) AS freq_mass,
+       CAST(sum(v.cnt) AS DOUBLE) / CAST(count(*) * (SELECT total FROM tot) AS DOUBLE) AS mean_token_freq,
+       CAST(sum(CASE WHEN v.cnt * {1000 // RARE_PER_MILLE} < (SELECT total FROM tot) THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(sum(CASE WHEN v.cnt * {1000 // RARE_PER_MILLE} < (SELECT total FROM tot) THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_token_ratio
+FROM tok t JOIN vocab v USING (term)
+GROUP BY t.doc_id
+""",
+)
+def text_freq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality signals per document: the mean corpus
+    frequency of its tokens (low = rare-token-heavy, the frequency-based
+    quality filter of web-scale curation pipelines) and the fraction of
+    tokens rarer than {RARE_PER_MILLE} per mille. The usual mean of
+    per-token probabilities is a float sum whose order differs across
+    engines; instead the SAME number is computed as
+    sum(corpus_count) / (n_tok * corpus_total) — an exact BIGINT mass over
+    one product — so both engines perform one identical IEEE division.
+    Rarity compares integers (cnt * 1000 < total), never a float
+    threshold.
+
+    Scale: one explode -> one vocabulary aggregate (|vocab| rows, map-side
+    combined) -> join back on term (vocabulary table broadcasts when it
+    fits, else a keyed shuffle with natural-Zipf skew for AQE) -> one
+    per-doc aggregate; the corpus total rides in as a broadcast 1-row
+    aggregate."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    rare = F.col("cnt") * 1000 < F.col("total")
+    return (
+        tok.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("cnt").alias("freq_mass"),
+            (
+                F.sum("cnt").cast("double")
+                / (F.count(F.lit(1)) * F.first("total")).cast("double")
+            ).alias("mean_token_freq"),
+            F.sum(F.when(rare, 1).otherwise(0)).alias("n_rare"),
+            (
+                F.sum(F.when(rare, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("rare_token_ratio"),
+        )
+    )

@@ -180,3 +180,53 @@ def test_repetition_score_flags_repeated_text(spark, tmp_path_factory):
     assert got[0].dup_frac == (148 - 3) / 148
     assert got[1].n_distinct == got[1].n_grams and got[1].dup_frac == 0.0
     assert got[2].n_grams == 0 and got[2].dup_frac == 0.0
+
+
+# --- winnowing --------------------------------------------------------------
+
+
+def test_winnowing_guarantee_shared_passage_shares_fingerprint(spark, tmp_path_factory):
+    """The winnowing contract: any common token run of length >= w + k - 1
+    is detected via at least one shared fingerprint, however the
+    surrounding text differs."""
+    from kinesis_demo_spark.queries.text import WINNOW_K, WINNOW_W, _winnow_fps
+
+    out = tmp_path_factory.mktemp("winnow")
+    passage = " ".join(f"shared{i}" for i in range(WINNOW_W + WINNOW_K - 1))
+    docs = [
+        (0, "alpha beta gamma " + passage + " delta epsilon"),
+        (1, "uno dos tres cuatro " + passage),
+        (2, " ".join(f"other{i}" for i in range(30))),  # no overlap
+    ]
+    rows = [(i, t, "en", "src", len(t)) for i, t in docs]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(out / "documents.parquet"))
+    fps = _winnow_fps(
+        spark.read.parquet(str(out / "documents.parquet"))
+    ).collect()
+    by_doc = {d: {r.fp for r in fps if r.doc_id == d} for d in (0, 1, 2)}
+    assert by_doc[0] & by_doc[1], "shared passage must share a fingerprint"
+    assert not (by_doc[0] & by_doc[2]) and not (by_doc[1] & by_doc[2])
+
+
+def test_winnowing_density_bound(spark, tmp_path_factory):
+    """Winnowing never selects more than one fingerprint per window step:
+    |fps| <= n_grams, and for long docs roughly 2n/(w+1) — assert the hard
+    upper bound and the non-triviality lower bound n_grams/w."""
+    import math
+
+    from kinesis_demo_spark.queries.text import WINNOW_K, WINNOW_W, _winnow_fps
+
+    out = tmp_path_factory.mktemp("winnowd")
+    n_tok = 100
+    text = " ".join(f"t{i % 37}x{i % 11}" for i in range(n_tok))
+    spark.createDataFrame(
+        [(0, text, "en", "src", len(text))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(out / "documents.parquet"))
+    fps = _winnow_fps(spark.read.parquet(str(out / "documents.parquet"))).collect()
+    n_grams = n_tok - (WINNOW_K - 1)
+    # one fingerprint per window position at most; at least one per w-run
+    assert len(fps) <= n_grams
+    assert len(fps) >= math.ceil(n_grams / WINNOW_W)

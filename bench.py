@@ -137,6 +137,20 @@ HEADLINE = (
     "outliers_value_mad",
     "bloom_prefilter_semi_join",
     "rfm_customer_segments",
+    # r5 continuation: full TPC-H coverage + winnowing family
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipclass_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_inactive_wealthy",
+    "text_winnowing_fingerprints",
+    "dedup_winnowing_overlap",
+    "text_freq_quality",
+    "ann_cosine_topk_truncated",
 )
 
 

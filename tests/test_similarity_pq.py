@@ -75,3 +75,26 @@ def test_pq_codes_are_within_codebook_range(spark):
     ).collect()[0]
     for m in range(S.PQ_M):
         assert 1 <= agg[f"mn_{m}"] and agg[f"mx_{m}"] <= S.PQ_K
+
+
+def test_truncated_prescreen_recall_at_10_vs_exact(spark):
+    """Dimension-truncated coarse pass + exact re-rank must find the true
+    neighbors; measured 0.90 at sf0.01 with (16 dims, 300 shortlist) —
+    pin a floor with headroom (a slicing/rank regression collapses it)."""
+    exact = _topk_sets(S.ann_cosine_topk(spark, SF).collect())
+    tr = _topk_sets(S.ann_cosine_topk_truncated(spark, SF).collect())
+    recalls = [len(exact[q] & tr[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.75, recalls
+
+
+def test_truncated_prescreen_scores_are_exact_cosine(spark):
+    """Emitted scores must equal the exact cosine for that pair — the
+    truncation may only affect WHICH pairs surface, never their scores."""
+    exact = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in S.ann_cosine_topk(spark, SF).collect()
+    }
+    for r in S.ann_cosine_topk_truncated(spark, SF).collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:
+            assert r.cosine == exact[key], key

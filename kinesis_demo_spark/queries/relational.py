@@ -1918,3 +1918,113 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# --- Bag-semantics set ops (EXCEPT ALL / INTERSECT ALL) ---------------------------
+
+
+@register(
+    "bag_set_ops_priorities",
+    oracle="""
+WITH early AS (
+  SELECT o_orderpriority AS prio FROM orders
+  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+),
+late AS (
+  SELECT o_orderpriority AS prio FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT 'except_all' AS op, prio, count(*) AS n
+FROM (SELECT prio FROM early EXCEPT ALL SELECT prio FROM late)
+GROUP BY 2
+UNION ALL
+SELECT 'intersect_all' AS op, prio, count(*) AS n
+FROM (SELECT prio FROM early INTERSECT ALL SELECT prio FROM late)
+GROUP BY 2
+""",
+)
+def bag_set_ops_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — the BAG-semantics siblings of
+    set_ops_nations' distinct set ops, which most engines get subtly wrong
+    by deduplicating first: per value v, EXCEPT ALL keeps
+    max(count_a(v) - count_b(v), 0) copies and INTERSECT ALL keeps
+    min(count_a, count_b). The probe multisets are order priorities before
+    vs after a date split, so every value survives with a nontrivial
+    multiplicity; the result re-groups the surviving bag so the
+    multiplicities themselves are value-hash checked.
+
+    Scale: Catalyst plans both as a single aggregate computing per-value
+    counts on each side then a generate replicating the difference/min —
+    one shuffle on the value key, never a row-by-row anti join; the
+    grouped output collapses it right back, which AQE fuses into the same
+    exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    early = orders.filter(F.col("o_orderdate") < split).select(
+        F.col("o_orderpriority").alias("prio")
+    )
+    late = orders.filter(F.col("o_orderdate") >= split).select(
+        F.col("o_orderpriority").alias("prio")
+    )
+    ex = (
+        early.exceptAll(late)
+        .groupBy("prio")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "prio", "n")
+    )
+    inter = (
+        early.intersectAll(late)
+        .groupBy("prio")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "prio", "n")
+    )
+    return ex.unionAll(inter)
+
+
+# --- Null-aware anti join (NOT IN three-valued logic) -----------------------------
+
+
+@register(
+    "not_in_null_semantics",
+    oracle="""
+SELECT
+  (SELECT count(*) FROM customer
+   WHERE c_nationkey NOT IN
+     (SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000.0)) AS clean_list_survivors,
+  (SELECT count(*) FROM customer
+   WHERE c_nationkey NOT IN
+     (SELECT CASE WHEN s_acctbal >= 0 THEN s_nationkey END
+      FROM supplier WHERE s_acctbal > 9000.0 OR s_acctbal < 0)) AS null_poisoned_survivors
+""",
+)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN under SQL three-valued logic — the classic correctness trap a
+    plain left-anti join gets wrong: one NULL in the subquery list makes
+    `x NOT IN (list)` UNKNOWN for every non-matching x, so the poisoned
+    variant must return ZERO survivors while the clean variant returns
+    thousands. Expressed through the SQL front-end because this is
+    precisely the case where the DataFrame `left_anti` join is NOT
+    equivalent; Catalyst plans it as NullAwareAntiJoin (a broadcast join
+    carrying the extra null-existence check) rather than a plain anti
+    join. Both counts ride in one row so the driver hash pins both
+    semantics at once.
+
+    Scale: each branch is a broadcast null-aware anti join against a
+    filtered 100-row dim list plus a 1-row count aggregate — the fact side
+    scans once per branch and never shuffles."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer.createOrReplaceTempView("nins_customer")
+    supplier.createOrReplaceTempView("nins_supplier")
+    return spark.sql(
+        """
+SELECT
+  (SELECT count(*) FROM nins_customer
+   WHERE c_nationkey NOT IN
+     (SELECT s_nationkey FROM nins_supplier WHERE s_acctbal > 9000.0)) AS clean_list_survivors,
+  (SELECT count(*) FROM nins_customer
+   WHERE c_nationkey NOT IN
+     (SELECT CASE WHEN s_acctbal >= 0 THEN s_nationkey END
+      FROM nins_supplier WHERE s_acctbal > 9000.0 OR s_acctbal < 0)) AS null_poisoned_survivors
+"""
+    )

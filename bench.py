@@ -151,6 +151,9 @@ HEADLINE = (
     "dedup_winnowing_overlap",
     "text_freq_quality",
     "ann_cosine_topk_truncated",
+    "bag_set_ops_priorities",
+    "not_in_null_semantics",
+    "bpe_train_merges",
 )
 
 

@@ -656,3 +656,110 @@ def retrieval_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("fused_rnk") <= RRF_TOP_K)
     )
+
+
+# --- iterative BPE training ------------------------------------------------------
+
+BPE_ROUNDS = 6
+BPE_SEP = "+"  # joins the two merged symbols into the new one
+
+
+def _apply_merge(toks: F.Column, a: F.Column, b: F.Column) -> F.Column:
+    """Leftmost non-overlapping replacement of adjacent (a, b) with the
+    merged symbol — the BPE application step, as ONE sequential
+    ``F.aggregate`` fold inside whole-stage codegen (no Python boundary).
+    The accumulator carries (out, pending): pending holds the previous
+    unconsumed symbol; consuming (pending=a, x=b) emits the merge and
+    clears it, so "a a a" with merge (a,a) yields ("a+a", "a") exactly
+    like the reference BPE algorithm."""
+    merged = F.concat(a, F.lit(BPE_SEP), b)
+    acc_t = "struct<out: array<string>, pending: string>"
+    return F.aggregate(
+        toks,
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("pending"),
+        ).cast(acc_t),
+        lambda acc, x: F.when(
+            acc["pending"].isNull(),
+            F.struct(acc["out"].alias("out"), x.alias("pending")).cast(acc_t),
+        )
+        .when(
+            (acc["pending"] == a) & (x == b),
+            F.struct(
+                F.concat(acc["out"], F.array(merged)).alias("out"),
+                F.lit(None).cast("string").alias("pending"),
+            ).cast(acc_t),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(acc["out"], F.array(acc["pending"])).alias("out"),
+                x.alias("pending"),
+            ).cast(acc_t)
+        ),
+        lambda acc: F.when(
+            acc["pending"].isNull(), acc["out"]
+        ).otherwise(F.concat(acc["out"], F.array(acc["pending"]))),
+    )
+
+
+@register("bpe_train_merges")  # iterative, driver-sequenced -> no SQL oracle;
+# differential vs a pure-Python reference implementation in tests/test_corpus.py
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL iterative BPE tokenizer training, distributed: {BPE_ROUNDS}
+    rounds of (count adjacent pairs corpus-wide -> pick the most frequent
+    pair, ties to the lexicographically smallest -> rewrite every document
+    with the merge applied). ``bpe_merge_candidates`` is one round's scan;
+    this is the whole training loop, the part that genuinely needs a
+    driver-sequenced iteration because round r's counts depend on round
+    r-1's rewrite. Exactly ONE row (the argmax pair) is collected per
+    round — the merge table is driver-side by design, as in any
+    distributed tokenizer trainer; the corpus itself never leaves the
+    executors.
+
+    Scale: each round is one explode -> pair count (map-side combined) ->
+    TakeOrdered(1), then a lazy per-row fold rewriting the arrays. The
+    working set is persisted per round and the previous round's cache
+    released (lineage would otherwise recompute all prior rewrites every
+    round — O(R^2) corpus passes; with the checkpointing it is O(R)). At
+    100 TB each round is a single shuffle of pair partials, and the
+    rewrite is embarrassingly parallel codegen."""
+    from ..io import release_persisted, track_persist
+
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", _tokens().alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    current = docs
+    for rnd in range(1, BPE_ROUNDS + 1):
+        pairs = current.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("a"),
+                        F.element_at("toks", i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p")
+        )
+        counts = pairs.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+        best = counts.orderBy(F.col("n").desc(), F.col("p.a"), F.col("p.b")).limit(1).collect()
+        if not best:
+            break
+        row = best[0]
+        a, b, n = row.p.a, row.p.b, row.n
+        merges.append((rnd, a, b, a + BPE_SEP + b, n))
+        nxt = track_persist(
+            current.select(
+                "doc_id", _apply_merge(F.col("toks"), F.lit(a), F.lit(b)).alias("toks")
+            )
+        )
+        nxt.count()  # materialize before releasing the parent cache
+        current = nxt
+    release_persisted()
+    return spark.createDataFrame(
+        merges, "round bigint, sym_a string, sym_b string, merged string, n bigint"
+    )

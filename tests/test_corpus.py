@@ -198,3 +198,73 @@ def test_rank_fusion_score_is_rrf_of_both_legs(spark):
     assert any(r.dense_rnk is not None for r in rows)
     # ranks are dense, deterministic, 1..n
     assert sorted(r.fused_rnk for r in rows) == list(range(1, len(rows) + 1))
+
+
+# --- iterative BPE trainer ---------------------------------------------------
+
+
+def _py_bpe(texts, rounds, sep):
+    """Reference BPE trainer: greedy max-count pair (ties lexicographic),
+    leftmost non-overlapping application."""
+    docs = [t.split(" ") for t in texts if len(t.split(" ")) >= 2]
+    merges = []
+    for rnd in range(1, rounds + 1):
+        counts = {}
+        for toks in docs:
+            for i in range(len(toks) - 1):
+                counts[(toks[i], toks[i + 1])] = counts.get((toks[i], toks[i + 1]), 0) + 1
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnd, a, b, a + sep + b, n))
+        out_docs = []
+        for toks in docs:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + sep + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            out_docs.append(out)
+        docs = out_docs
+    return merges
+
+
+def test_bpe_trainer_matches_python_reference(spark):
+    import duckdb
+
+    from kinesis_demo_spark.queries.corpus import BPE_ROUNDS, BPE_SEP, bpe_train_merges
+
+    sf = "/root/testdata/sf0.001"
+    texts = [
+        r[0]
+        for r in duckdb.sql(f"SELECT text FROM '{sf}/documents.parquet'").fetchall()
+    ]
+    expected = _py_bpe(texts, BPE_ROUNDS, BPE_SEP)
+    got = [
+        (r.round, r.sym_a, r.sym_b, r.merged, r.n)
+        for r in bpe_train_merges(spark, sf).orderBy("round").collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_merge_application_is_leftmost_nonoverlapping(spark):
+    from pyspark.sql import functions as F
+
+    from kinesis_demo_spark.queries.corpus import _apply_merge
+
+    df = spark.createDataFrame(
+        [(0, ["a", "a", "a"]), (1, ["a", "b", "a", "a", "b"]), (2, ["x"])],
+        "doc_id bigint, toks array<string>",
+    )
+    out = {
+        r.doc_id: r.m
+        for r in df.select(
+            "doc_id", _apply_merge(F.col("toks"), F.lit("a"), F.lit("a")).alias("m")
+        ).collect()
+    }
+    assert out[0] == ["a+a", "a"]          # no overlap reuse
+    assert out[1] == ["a", "b", "a+a", "b"]
+    assert out[2] == ["x"]

@@ -200,3 +200,82 @@ def test_stream_static_enrich_covers_all_events(spark):
     # flag semantics: anomaly iff value strictly exceeds twice the history
     for r in rows[:200]:
         assert r["is_anomaly"] == (1 if r["value"] > 2.0 * r["hist_avg"] else 0)
+
+
+def test_transform_with_state_user_totals(spark):
+    """Spark 4's arbitrary-state API (`transformWithStateInPandas`,
+    ValueState per user) computing exact per-user event totals, drained and
+    checked against the batch aggregate. The TWS Python worker speaks a
+    protobuf state protocol; this sandbox ships pyspark without
+    `google.protobuf`, so the test gates on it — loud skip here, full
+    differential on any deployment that has it (the engine's
+    applyInPandasWithState sessionizer covers the stateful surface either
+    way)."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState state protocol requires protobuf",
+    )
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from kinesis_demo_spark.streaming.pipeline import stream_events
+
+    sf = "/root/testdata/sf0.001"
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self._tot = handle.getValueState("tot", "n BIGINT, cents BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._tot.get() or (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+            self._tot.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "cents": [cents]}
+            )
+
+        def close(self):
+            pass
+
+    cents_col = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    src = stream_events(spark, sf).select("user_id", cents_col.alias("cents"))
+    out = src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Totals(),
+        outputStructType="user_id BIGINT, n_events BIGINT, cents BIGINT",
+        outputMode="Update",
+        timeMode="None",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    # latest emission per user == the running total after the last batch
+    got = {
+        r.user_id: (r.n_events, r.cents)
+        for r in spark.table("tws_totals")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "cents")).alias("s"))
+        .select("user_id", "s.n_events", "s.cents")
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n, r.cents)
+        for r in spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents_col).alias("cents"))
+        .collect()
+    }
+    assert got == want

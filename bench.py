@@ -154,6 +154,7 @@ HEADLINE = (
     "bag_set_ops_priorities",
     "not_in_null_semantics",
     "bpe_train_merges",
+    "streaming_outer_interval_join",
 )
 
 

@@ -120,3 +120,35 @@ def streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-stream join, stream-static join, dedup, and now hopping state,
     each value-hash-compared to batch SQL."""
     return run_stream_hopping_counts(spark, sf_dir)
+
+
+@register(
+    "streaming_outer_interval_join",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id AS click_user, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT event_id AS view_id, user_id AS view_user, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+)
+SELECT c.click_id, v.view_id, c.click_user AS user_id,
+       CAST(epoch_ms(v.view_ts) - epoch_ms(c.click_ts) AS BIGINT) AS lag_ms
+FROM clicks c LEFT OUTER JOIN views v
+  ON c.click_user = v.view_user
+ AND v.view_ts >= c.click_ts AND v.view_ts <= c.click_ts + INTERVAL 5 SECOND
+""",
+)
+def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join drained over the
+    fixture and value-hash compared against the batch left-outer range join
+    — the null-padding join-state differential the inner variant can't
+    exercise: an unmatched click may only emit once the watermark PROVES no
+    view can still arrive, so correctness here is evidence the eviction
+    machinery (and the bounded-drain watermark push, see
+    streaming/pipeline.py::run_stream_outer_join) emits every held row
+    exactly once."""
+    from ..streaming.pipeline import run_stream_outer_join
+
+    return run_stream_outer_join(spark, sf_dir)

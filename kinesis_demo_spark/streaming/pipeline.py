@@ -546,3 +546,148 @@ def run_foreach_batch_upsert(
     finally:
         q.stop()
     return spark.read.parquet(out_dir).select("user_id", "window_start", "cnt", "sum_value")
+
+
+def run_stream_outer_join(spark: SparkSession, sf_dir: str, name: str | None = None) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join — the state shape
+    the inner join (run_stream_stream_join) doesn't cover: an unmatched left
+    row may only emit once the watermark proves no counterpart can still
+    arrive, so the join buffers left rows PAST their interval and the
+    null-padded results trail the data by the watermark delay.
+
+    A finite fixture drain exposes the real-world subtlety: rows inside the
+    terminal watermark of the LAST event never flush (the watermark never
+    advances past them once the stream ends). Production streams never end;
+    a bounded drain needs a watermark push. The fixture is therefore STAGED
+    into a scratch dir with one far-future sentinel row per side (user_id
+    -1, +1 h) in a second file, and ``maxFilesPerTrigger=1`` guarantees the
+    sentinel lands in a later micro-batch — by which point every real row
+    is past the watermark and must have emitted, matched or null-padded.
+    Sentinel rows are filtered from the result; the drained output then
+    equals the batch left-outer range join EXACTLY, which the registered
+    oracle checks. The staging is drain harness, not the operator: the
+    join plan itself is the production shape with bounded state on both
+    sides."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..io import load_table
+
+    name = name or "stream_outer_" + re.sub(r"[^0-9a-zA-Z]", "_", sf_dir).strip("_")
+    stage = tempfile.mkdtemp(prefix="outer_join_stage_")
+    shutil.copyfile(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "a_events.parquet")
+    )
+    import time as _time
+
+    now = _time.time()
+    # Keep all staged mtimes recent and within minutes of each other:
+    # FileStreamSource orders batches by mtime AND silently drops files
+    # older than maxFileAge (7 days) behind the newest file — a large
+    # synthetic spread makes the source skip the fixture copy entirely.
+    os.utime(os.path.join(stage, "a_events.parquet"), (now - 300, now - 300))
+    ev_batch = load_table(spark, sf_dir, "events")
+    max_us = ev_batch.agg(F.max(F.unix_micros("ts")).alias("m")).collect()[0].m
+    sentinel_us = max_us + 3_600_000_000  # +1 h, far past every watermark
+    # Probe what physical type the staged copy streams under and write the
+    # sentinel file with the MATCHING ts type so the source schema holds.
+    probed = spark.read.parquet(os.path.join(stage)).schema
+    ts_is_nanos_long = any(
+        f.name == "ts" and isinstance(f.dataType, T.LongType) for f in probed
+    )
+    # TWO sentinel files, one micro-batch apart: the watermark computed from
+    # sentinel #1 only takes effect in the NEXT batch (Spark applies batch
+    # N's watermark in batch N+1, and availableNow does not run a trailing
+    # no-data batch here), so sentinel #2 is what makes the final flush
+    # batch actually execute.
+    for idx, (us, suffix) in enumerate(
+        ((sentinel_us, "z_sentinel1"), (sentinel_us + 3_600_000_000, "z_sentinel2"))
+    ):
+        ts_val = us * 1_000 if ts_is_nanos_long else us
+        ts_expr = (
+            F.lit(ts_val).cast("long")
+            if ts_is_nanos_long
+            else F.expr(f"timestamp_micros({ts_val})")
+        )
+        sentinel = spark.createDataFrame(
+            [(-1, "click", -1.0, "{}"), (-2, "view", -1.0, "{}")],
+            "event_id bigint, event_type string, value double, props string",
+        ).select(
+            "event_id",
+            ts_expr.alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        sentinel.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, suffix))
+        for f in os.listdir(os.path.join(stage, suffix)):
+            if f.endswith(".parquet"):
+                shutil.move(
+                    os.path.join(stage, suffix, f),
+                    os.path.join(stage, f"{suffix}.parquet"),
+                )
+        shutil.rmtree(os.path.join(stage, suffix))
+        os.utime(
+            os.path.join(stage, f"{suffix}.parquet"),
+            (now - 200 + idx * 100, now - 200 + idx * 100),
+        )
+
+    ev = stream_events(spark, stage, max_files_per_trigger=1, glob="*.parquet")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 seconds")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("view_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 seconds")
+    )
+    # The sentinel filter must NOT live inside the streaming plan: a
+    # predicate on the preserved side (click_user >= 0) is pushed down
+    # through the outer join INTO the file-source scan, which silently
+    # removes the sentinel rows BEFORE the watermark operator ever sees
+    # them — the watermark then never advances and the last real click
+    # never flushes (observed: 209/210 rows, input rows 0 in the sentinel
+    # batches). Sentinels are filtered from the DRAINED table instead.
+    joined = clicks.join(
+        views,
+        F.expr(
+            "click_user = view_user AND "
+            "view_ts >= click_ts AND view_ts <= click_ts + interval 5 seconds"
+        ),
+        "leftOuter",
+    ).select(
+        "click_id",
+        "view_id",
+        F.col("click_user").alias("user_id"),
+        (F.unix_millis("view_ts") - F.unix_millis("click_ts")).alias("lag_ms"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    out = (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)  # drop sentinel rows post-drain
+        .localCheckpoint(eager=True)  # detach from the scratch dir
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    return out

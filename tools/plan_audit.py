@@ -50,6 +50,9 @@ STREAM_DRAINS = {
     "streaming_dedup_events",
     "streaming_hopping_counts",
     "sessionize_stateful_streaming",
+    "streaming_outer_interval_join",
+    # driver-sequenced iteration: building the result runs the training loop
+    "bpe_train_merges",
 }
 
 PY_STAGES = (

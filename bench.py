@@ -155,6 +155,8 @@ HEADLINE = (
     "not_in_null_semantics",
     "bpe_train_merges",
     "streaming_outer_interval_join",
+    "text_bigram_lm",
+    "dq_constraint_violations",
 )
 
 

@@ -1551,3 +1551,91 @@ def seasonal_hour_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("ratio") > 3.0)
     )
+
+
+# --- declarative data-quality constraint battery ----------------------------------
+
+
+@register(
+    "dq_constraint_violations",
+    oracle="""
+SELECT 'lineitem_orphan_order' AS rule,
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS violations
+UNION ALL
+SELECT 'lineitem_orphan_part',
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+         (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'orders_orphan_customer',
+       (SELECT count(*) FROM orders o WHERE NOT EXISTS
+         (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'lineitem_nonpositive_price',
+       (SELECT count(*) FROM lineitem WHERE l_extendedprice <= 0)
+UNION ALL
+SELECT 'lineitem_discount_range',
+       (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+UNION ALL
+SELECT 'lineitem_ship_before_order',
+       (SELECT count(*) FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate < o.o_orderdate)
+UNION ALL
+SELECT 'events_negative_user',
+       (SELECT count(*) FROM events WHERE user_id < 0)
+""",
+)
+def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate: referential-integrity, domain-range,
+    and chronology constraints evaluated as one report of violation counts
+    per rule — the Deequ/Great-Expectations shape, composed from the
+    engine's own operators (anti joins for FK orphans, pushed-filter
+    counts for domains, a keyed join for the cross-table chronology rule).
+    A clean pipeline asserts all-zeros before training-data ever ships;
+    the row-per-rule output makes the gate itself auditable.
+
+    Scale: each FK rule is one anti join (broadcast when the key side
+    fits, else a keyed shuffle); domain rules are scan-local pushed-filter
+    counts; the union is of 1-row aggregates, so the report costs the
+    scans, nothing more."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+
+    def count1(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("violations")).select(
+            F.lit(name).alias("rule"), "violations"
+        )
+
+    rules = [
+        count1(
+            "lineitem_orphan_order",
+            li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti"),
+        ),
+        count1(
+            "lineitem_orphan_part",
+            li.join(part, li.l_partkey == part.p_partkey, "left_anti"),
+        ),
+        count1(
+            "orders_orphan_customer",
+            orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti"),
+        ),
+        count1("lineitem_nonpositive_price", li.filter(F.col("l_extendedprice") <= 0)),
+        count1(
+            "lineitem_discount_range",
+            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        ),
+        count1(
+            "lineitem_ship_before_order",
+            li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+                F.col("l_shipdate") < F.col("o_orderdate")
+            ),
+        ),
+        count1("events_negative_user", events.filter(F.col("user_id") < 0)),
+    ]
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionAll(r)
+    return out

@@ -819,3 +819,63 @@ def text_freq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rare_token_ratio"),
         )
     )
+
+
+# --- bigram language-model table -----------------------------------------------------
+
+
+@register(
+    "text_bigram_lm",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+pairs AS (
+  SELECT toks[CAST(pos AS INT)] AS ctx, toks[CAST(pos + 1 AS INT)] AS nxt
+  FROM tok, unnest(range(1, length(toks))) AS u(pos)
+  WHERE length(toks) >= 2
+),
+pc AS (SELECT ctx, nxt, count(*) AS pair_n FROM pairs GROUP BY 1, 2),
+cc AS (SELECT ctx, CAST(sum(pair_n) AS BIGINT) AS ctx_n FROM pc GROUP BY 1)
+SELECT pc.ctx, pc.nxt, pc.pair_n, cc.ctx_n,
+       CAST(pc.pair_n AS DOUBLE) / CAST(cc.ctx_n AS DOUBLE) AS cond_p
+FROM pc JOIN cc ON pc.ctx = cc.ctx
+""",
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language model: P(next | context) estimated from
+    adjacent-token counts — the n-gram LM table behind classic perplexity
+    filtering and contamination heuristics, and the natural companion to
+    the BPE pair scan (same explode skeleton, probabilistic output). The
+    conditional probability is one BIGINT/BIGINT division (context counts
+    are the SUM of that context's pair counts, so the distribution rows
+    for each context sum to exactly 1 in both engines — no separate
+    unigram pass that could disagree at document edges).
+
+    Scale: one explode -> one (ctx, nxt) aggregate with map-side partials
+    -> a |contexts|-sized re-aggregate joined back on ctx (broadcast when
+    the vocabulary fits, keyed shuffle with AQE skew-split otherwise —
+    Zipf heads are the textbook skew case). Output is vocabulary-bounded,
+    not corpus-bounded."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.split("text", " ").alias("toks")).filter(F.size("toks") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("ctx"),
+                    F.element_at("toks", i + 1).alias("nxt"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.ctx", "p.nxt")
+    pc = pairs.groupBy("ctx", "nxt").agg(F.count(F.lit(1)).alias("pair_n"))
+    cc = pc.groupBy("ctx").agg(F.sum("pair_n").alias("ctx_n"))
+    return pc.join(F.broadcast(cc), "ctx").select(
+        "ctx",
+        "nxt",
+        "pair_n",
+        "ctx_n",
+        (F.col("pair_n").cast("double") / F.col("ctx_n").cast("double")).alias("cond_p"),
+    )

@@ -157,6 +157,7 @@ HEADLINE = (
     "streaming_outer_interval_join",
     "text_bigram_lm",
     "dq_constraint_violations",
+    "pit_feature_join_orders",
 )
 
 

@@ -2028,3 +2028,74 @@ SELECT
       FROM nins_supplier WHERE s_acctbal > 9000.0 OR s_acctbal < 0)) AS null_poisoned_survivors
 """
     )
+
+
+# --- point-in-time feature join (leakage-free training features) -------------------
+
+
+@register(
+    "pit_feature_join_orders",
+    oracle=f"""
+SELECT o.o_orderkey,
+       o.o_custkey % {CUSTKEY_MOD} AS join_key,
+       count(e.event_id) AS n_prior_events,
+       CAST(coalesce(sum(CAST(e.value AS DECIMAL(18,2))), 0) AS DOUBLE) AS prior_value_sum
+FROM orders o
+LEFT JOIN events e
+  ON e.user_id = o.o_custkey % {CUSTKEY_MOD} AND e.ts < o.o_orderdate
+GROUP BY 1, 2
+""",
+)
+def pit_feature_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature join — the feature-store shape that keeps
+    training data leakage-free: each order (the 'label' row) is enriched
+    with the key's CUMULATIVE event features (count, exact value sum)
+    STRICTLY BEFORE its own timestamp; an event at exactly the order's
+    time must NOT count, because at serving time it would not have been
+    visible yet. The as-of join answers 'what was the last event'; this
+    answers 'what had accumulated', which is what feature pipelines
+    actually ship.
+
+    Implemented with the same one-shuffle tagged-union machinery as the
+    as-of join, with the tag order INVERTED (label rows sort before
+    feature rows at equal timestamps, so equal-ts events are excluded —
+    the strict-< leakage pin, asserted in tests/test_analytics.py). The
+    cumulative sum is a window over DECIMAL, exact under any partitioning.
+    The oracle is the naive expanded left join + group; this plan carries
+    each row once through ONE (key)-partitioned sort — no |orders| x
+    |events| intermediate at any point, which is the difference at
+    100 TB."""
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("tag"),  # feature rows AFTER label rows at equal t
+        "event_id",
+        F.col("value").cast(DEC).alias("v"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % CUSTKEY_MOD).alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast(DEC).alias("v"),
+        "o_orderkey",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = events.unionByName(orders).select(
+        "*",
+        F.count(F.when(F.col("tag") == 1, F.lit(1))).over(w).alias("n_prior_events"),
+        F.sum(F.when(F.col("tag") == 1, F.col("v"))).over(w).alias("prior_sum_dec"),
+    )
+    return carried.filter(F.col("tag") == 0).select(
+        "o_orderkey",
+        F.col("k").alias("join_key"),
+        "n_prior_events",
+        F.coalesce(F.col("prior_sum_dec").cast("double"), F.lit(0.0)).alias(
+            "prior_value_sum"
+        ),
+    )

@@ -240,3 +240,42 @@ def test_time_operators_self_heal_non_utc_sessions(spark):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# --- point-in-time feature join ---------------------------------------------
+
+
+def test_pit_join_excludes_equal_timestamp_events(spark, tmp_path_factory):
+    """The leakage pin: an event at EXACTLY the label row's timestamp must
+    not contribute to its features (it would not have been visible at
+    serving time), while strictly earlier events must."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from kinesis_demo_spark.queries.relational import (
+        CUSTKEY_MOD,
+        pit_feature_join_orders,
+    )
+
+    out = tmp_path_factory.mktemp("pit")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    before = t0 - dt.timedelta(seconds=5)
+    user = 3
+    events = [
+        (1, before, user, "click", 10.0, "{}"),   # strictly before -> counts
+        (2, t0, user, "click", 100.0, "{}"),      # equal ts -> must NOT count
+    ]
+    spark.createDataFrame(
+        events,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    ).write.parquet(str(out / "events.parquet"))
+    # o_custkey chosen so o_custkey % CUSTKEY_MOD == user
+    orders = [(7, user + CUSTKEY_MOD, "O", 1.0, t0, "1-URGENT")]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(out / "orders.parquet"))
+    row = pit_feature_join_orders(spark, str(out)).collect()[0]
+    assert row.n_prior_events == 1
+    assert row.prior_value_sum == 10.0

@@ -158,6 +158,7 @@ HEADLINE = (
     "text_bigram_lm",
     "dq_constraint_violations",
     "pit_feature_join_orders",
+    "trend_slope_per_user",
 )
 
 

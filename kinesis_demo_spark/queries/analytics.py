@@ -1639,3 +1639,73 @@ def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rules[1:]:
         out = out.unionAll(r)
     return out
+
+
+# --- per-user linear trend (least-squares slope over time) ------------------------
+
+
+@register(
+    "trend_slope_per_user",
+    oracle="""
+WITH t0 AS (SELECT min(epoch_us(ts)) // 1000000 AS x0 FROM events),
+base AS (
+  SELECT user_id,
+         epoch_us(ts) // 1000000 - t0.x0 AS x,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM events, t0
+),
+s AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM base GROUP BY user_id
+)
+SELECT user_id, n,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+         AS slope_cents_per_sec,
+       (CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n
+         AS intercept_cents
+FROM s WHERE n >= 2 AND n * sxx - sx * sx <> 0
+""",
+)
+def trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend of event value over time — the
+    drift/trend detector every monitoring and feature pipeline wants,
+    grouped-regression shape. Everything before the final formula is exact
+    BIGINT arithmetic: x = whole seconds since the corpus's first event
+    (global-min rebase keeps x small enough that sum(x*x) stays far below
+    2^63 — raw epoch seconds squared would overflow), y = exact cents.
+    Slope and intercept are then a fixed handful of IEEE ops on identical
+    integers, so both engines produce bit-identical doubles. Degenerate
+    users (a single event, or zero time variance) are excluded by an
+    integer predicate.
+
+    Scale: one scan -> one map-side-combinable power-sum aggregate per
+    user (5 sums), the same single-exchange shape as the moments battery;
+    the global min rides in as a broadcast 1-row aggregate."""
+    ev = _events(spark, sf_dir)
+    # integer DIV, not "/": long / long is a DOUBLE divide in Spark, lossy
+    # above 2^53 — epoch micros are ~2^60 (the io.py nanos precedent)
+    x0 = ev.agg(F.min(F.expr("unix_micros(ts) DIV 1000000")).alias("x0"))
+    base = ev.crossJoin(F.broadcast(x0)).select(
+        "user_id",
+        (F.expr("unix_micros(ts) DIV 1000000") - F.col("x0")).alias("x"),
+        (F.col("value").cast(D2) * 100).cast("long").alias("y"),
+    )
+    s = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    det = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy).cast("double") / det.cast("double")
+    intercept = (sy.cast("double") - slope * sx.cast("double")) / n
+    return s.filter((n >= 2) & (det != 0)).select(
+        "user_id",
+        "n",
+        slope.alias("slope_cents_per_sec"),
+        intercept.alias("intercept_cents"),
+    )

@@ -159,6 +159,7 @@ HEADLINE = (
     "dq_constraint_violations",
     "pit_feature_join_orders",
     "trend_slope_per_user",
+    "fuzzy_match_blocked_pairs",
 )
 
 

@@ -160,6 +160,7 @@ HEADLINE = (
     "pit_feature_join_orders",
     "trend_slope_per_user",
     "fuzzy_match_blocked_pairs",
+    "embedding_source_drift",
 )
 
 

@@ -832,3 +832,102 @@ def ann_cosine_topk_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "rnk", "cosine")
     )
+
+
+# --- per-source embedding drift (dataset-shift diagnostic) -------------------------
+
+
+@register(
+    "embedding_source_drift",
+    oracle="""
+WITH joined AS (
+  SELECT d.source, e.vec_id, e.embedding
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+ex AS (
+  SELECT source, vec_id, unnest(embedding) AS v,
+         unnest(range(1, len(embedding)+1)) AS dim
+  FROM joined
+),
+cents AS (
+  SELECT source, CAST(dim AS INT) AS dim,
+         list_reduce(list(CAST(v AS DOUBLE) ORDER BY vec_id), (x, y) -> x + y)
+           / count(*) AS mean_v
+  FROM ex GROUP BY source, dim
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.dim,
+         a.mean_v AS ma, b.mean_v AS mb
+  FROM cents a JOIN cents b ON a.dim = b.dim AND a.source < b.source
+)
+SELECT source_a, source_b,
+       list_reduce(list(ma * mb ORDER BY dim), (x, y) -> x + y)
+         / (sqrt(list_reduce(list(ma * ma ORDER BY dim), (x, y) -> x + y))
+            * sqrt(list_reduce(list(mb * mb ORDER BY dim), (x, y) -> x + y)))
+         AS centroid_cosine
+FROM pairs
+GROUP BY source_a, source_b
+""",
+)
+def embedding_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-shift diagnostic: pairwise cosine between per-SOURCE
+    embedding centroids — the drift report that tells a mixture pipeline
+    whether two sources occupy the same region of embedding space (near 1:
+    redundant volume; near 0: genuinely different distribution; a sudden
+    drop release-over-release: a source changed under you). Complements
+    the token-level source-novelty report with a semantic-space view.
+
+    Every float reduction is an ORDERED sequential fold (members by
+    vec_id, dims by index) in both engines — the centroid_by_label
+    precedent — so this diagnostic is bit-exact, not approximately
+    compared. Scale: one embeddings-documents key join, one
+    (source, dim)-grouped fold (bounded by group size; whale sources go
+    two-stage with fixed partial boundaries), then all pair math runs on
+    the |sources| x dims centroid table — corpus size is out of the loop
+    after the first aggregate."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    joined = emb.join(F.broadcast(docs), emb.vec_id == docs.doc_id).select(
+        "source", "vec_id", "embedding"
+    )
+    e = joined.select(
+        "source", "vec_id", F.posexplode("embedding").alias("d0", "v")
+    ).select("source", (F.col("d0") + 1).alias("dim"), "vec_id", "v")
+    folded = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("vec_id", "v"))),
+            lambda s: s["v"].cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cents = e.groupBy("source", "dim").agg(
+        (folded / F.count(F.lit(1))).alias("mean_v")
+    )
+    a = cents.select(
+        F.col("source").alias("source_a"), "dim", F.col("mean_v").alias("ma")
+    )
+    b = cents.select(
+        F.col("source").alias("source_b"), "dim", F.col("mean_v").alias("mb")
+    )
+    pairs = a.join(b, "dim").filter(F.col("source_a") < F.col("source_b"))
+
+    def dimfold(expr: F.Column) -> F.Column:
+        return F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("dim"), expr.alias("x")))),
+                lambda s: s["x"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return pairs.groupBy("source_a", "source_b").agg(
+        (
+            dimfold(F.col("ma") * F.col("mb"))
+            / (
+                F.sqrt(dimfold(F.col("ma") * F.col("ma")))
+                * F.sqrt(dimfold(F.col("mb") * F.col("mb")))
+            )
+        ).alias("centroid_cosine")
+    )

@@ -88,3 +88,32 @@ def test_r5_operators_on_empty_tables(spark, empty_dir):
     assert D.dedup_shingle_containment(spark, empty_dir).count() == 0
     assert S.ann_pq_adc_topk(spark, empty_dir).count() == 0
     assert C.retrieval_rank_fusion(spark, empty_dir).count() == 0
+
+
+def test_r5_continuation_text_ops_on_empty_documents(spark, empty_dir):
+    from kinesis_demo_spark.queries import text as X
+
+    assert X.text_winnowing_fingerprints(spark, empty_dir).count() == 0
+    assert X.dedup_winnowing_overlap(spark, empty_dir).count() == 0
+    assert X.text_freq_quality(spark, empty_dir).count() == 0
+    assert X.text_bigram_lm(spark, empty_dir).count() == 0
+
+
+def test_bpe_trainer_on_empty_documents(spark, empty_dir):
+    from kinesis_demo_spark.queries.corpus import bpe_train_merges
+
+    # no pairs anywhere -> the loop must terminate with an empty merge table
+    assert bpe_train_merges(spark, empty_dir).count() == 0
+
+
+def test_truncated_ann_and_drift_on_empty_embeddings(spark, empty_dir):
+    from kinesis_demo_spark.queries import similarity as S
+
+    assert S.ann_cosine_topk_truncated(spark, empty_dir).count() == 0
+    assert S.embedding_source_drift(spark, empty_dir).count() == 0
+
+
+def test_trend_and_pit_on_empty_events(spark, empty_dir, tmp_path_factory):
+    from kinesis_demo_spark.queries.analytics import trend_slope_per_user
+
+    assert trend_slope_per_user(spark, empty_dir).count() == 0

@@ -245,3 +245,41 @@ def test_containment_dominates_jaccard_on_random_corpora(spark, word_lists):
         j = jacc.get((min(a, b), max(a, b)))
         if j is not None:
             assert c >= j
+
+
+# --- winnowing vs pure-Python reference -------------------------------------------
+
+
+def _winnow_reference(tokens, k, w):
+    """Direct implementation of the spec: hash every k-gram (the engine's
+    packed (h60 % 2^39) << 20 | pos key), take the min over every window of
+    up to w consecutive positions (leading partial windows included), dedupe."""
+    import hashlib
+
+    n = len(tokens) - (k - 1)
+    if n <= 0:
+        return set()
+    combined = []
+    for pos in range(1, n + 1):
+        gram = " ".join(tokens[pos - 1 : pos - 1 + k])
+        h60 = int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+        combined.append((h60 % (1 << 39)) * (1 << 20) + pos)
+    sel = set()
+    for t in range(len(combined)):
+        sel.add(min(combined[max(0, t - w + 1) : t + 1]))
+    return {(c % (1 << 20), c >> 20) for c in sel}
+
+
+token = st.sampled_from(["alpha", "beta", "gamma", "delta", "x", "y"])
+
+
+@given(st.lists(token, min_size=0, max_size=24))
+@_settings
+def test_winnowing_matches_reference(spark, tokens):
+    from kinesis_demo_spark.queries.text import WINNOW_K, WINNOW_W, _winnow_fps
+
+    df = spark.createDataFrame(
+        [(0, " ".join(tokens))], "doc_id bigint, text string"
+    )
+    got = {(r.pos, r.fp) for r in _winnow_fps(df).collect()}
+    assert got == _winnow_reference(tokens, WINNOW_K, WINNOW_W)

@@ -161,6 +161,7 @@ HEADLINE = (
     "trend_slope_per_user",
     "fuzzy_match_blocked_pairs",
     "embedding_source_drift",
+    "rolling_active_users",
 )
 
 

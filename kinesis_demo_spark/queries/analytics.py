@@ -1709,3 +1709,71 @@ def trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope_cents_per_sec"),
         intercept.alias("intercept_cents"),
     )
+
+
+# --- rolling active users (sliding-window distinct count) -------------------------
+
+RAU_WINDOW_HOURS = 24  # trailing span per grid hour
+
+
+@register(
+    "rolling_active_users",
+    oracle=f"""
+WITH uh AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hour_idx FROM events
+),
+span AS (SELECT min(hour_idx) AS h0, max(hour_idx) AS h1 FROM uh),
+covered AS (
+  SELECT DISTINCT user_id, hour_idx + k.k AS win_idx
+  FROM uh, (SELECT unnest(range({RAU_WINDOW_HOURS})) AS k) k
+)
+SELECT make_timestamp(c.win_idx * 3600000000) AS window_end_hour,
+       count(*) AS active_users
+FROM covered c, span s
+WHERE c.win_idx BETWEEN s.h0 AND s.h1
+GROUP BY 1
+""",
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{RAU_WINDOW_HOURS}h distinct active users per hour — the
+    rolling DAU/MAU-style engagement metric. COUNT DISTINCT over a sliding
+    window cannot partial-aggregate directly; the scale shape is the
+    coverage expansion: dedupe activity to (user, hour) FIRST (the only
+    pass over raw events), then each user-hour covers the next
+    {RAU_WINDOW_HOURS} grid hours, dedupe (user, window) and count. The
+    expansion factor applies to the user-hour table, not the event table —
+    at 100 TB that is the difference between x{RAU_WINDOW_HOURS} of a tiny
+    table and x{RAU_WINDOW_HOURS} of the firehose. Windows outside the
+    observed hour span are trimmed against a broadcast 1-row span
+    aggregate. Integer epoch-hour grid keeps both engines' bucketing and
+    window timestamps identical under any session timezone.
+
+    At extreme windows (trailing 30 d on an hourly grid = x720) the
+    further refinement is per-user activity-interval merging (gaps-and-
+    islands, the SCD-2 machinery) emitting [first, last+W] coverage
+    ranges; the x{RAU_WINDOW_HOURS} hop replication is the right
+    simplicity/cost point here."""
+    ev = _events(spark, sf_dir)
+    uh = ev.select(
+        "user_id", F.expr("unix_micros(ts) DIV 3600000000").alias("hour_idx")
+    ).distinct()
+    span = uh.agg(
+        F.min("hour_idx").alias("h0"), F.max("hour_idx").alias("h1")
+    )
+    covered = (
+        uh.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("hour_idx"), F.col("hour_idx") + (RAU_WINDOW_HOURS - 1))
+            ).alias("win_idx"),
+        )
+        .distinct()
+    )
+    return (
+        covered.crossJoin(F.broadcast(span))
+        .filter((F.col("win_idx") >= F.col("h0")) & (F.col("win_idx") <= F.col("h1")))
+        .groupBy(
+            F.expr("timestamp_micros(win_idx * 3600000000)").alias("window_end_hour")
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )

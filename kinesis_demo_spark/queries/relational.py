@@ -1449,19 +1449,19 @@ WHERE b.l_quantity < t.thr
 )
 def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17 shape: the correlated per-part average-quantity subquery,
-    decorrelated the way Catalyst itself rewrites it — aggregate the
-    brand's lineitems once per part, join the thresholds back, filter,
-    reduce to one row. The per-part threshold is 0.2 x mean quantity
-    computed as a DECIMAL-exact sum over one count division and one
-    literal multiply — three identical IEEE ops in both engines, so the
-    strict < comparison cannot flap on summation order.
+    decorrelated to a WINDOW over the brand's lineitems — each row
+    compares against its part's mean quantity computed in the same pass
+    (an aggregate-then-join form would scan lineitem twice; the window
+    form is one scan, one partkey shuffle). The per-part threshold is
+    0.2 x mean quantity computed as a DECIMAL-exact window sum over one
+    count division and one literal multiply — three identical IEEE ops
+    in both engines, so the strict < comparison cannot flap on summation
+    order.
 
-    Scale: the brand filter prunes the broadcast part dim BEFORE the fact
-    join (the fact side never shuffles for it); the thresholds table is
-    |brand parts|-sized and broadcast back against the same pruned fact
-    stream, which AQE plans as a broadcast join; the final sum is a
-    1-row aggregate. Nothing in the plan touches non-brand lineitems
-    twice."""
+    Scale: the brand filter prunes the broadcast part dim BEFORE the
+    fact join (the fact side never shuffles for it); the window
+    partitions the pruned brand stream by partkey — one exchange of
+    |brand lineitems| rows; the final sum is a 1-row aggregate."""
     part = F.broadcast(
         load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     )
@@ -1469,17 +1469,13 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     brand_lines = li.join(part, F.col("l_partkey") == F.col("p_partkey")).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    thresholds = brand_lines.groupBy("l_partkey").agg(
-        (
-            F.lit(0.2)
-            * (
-                F.sum(F.col("l_quantity").cast(DEC)).cast("double")
-                / F.count(F.lit(1)).cast("double")
-            )
-        ).alias("thr")
+    w = Window.partitionBy("l_partkey")
+    thr = F.lit(0.2) * (
+        F.sum(F.col("l_quantity").cast(DEC)).over(w).cast("double")
+        / F.count(F.lit(1)).over(w).cast("double")
     )
     return (
-        brand_lines.join(F.broadcast(thresholds), "l_partkey")
+        brand_lines.withColumn("thr", thr)
         .filter(F.col("l_quantity") < F.col("thr"))
         .agg((F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.lit(7.0)).alias("avg_yearly"))
     )

@@ -224,3 +224,60 @@ def test_tpch_q19_or_predicate_reaches_scans(spark):
     assert "PushedFilters: [" in plan
     simple = _plan(Q["tpch_q19_disjunctive_revenue"](spark, SF), mode="simple")
     assert "BroadcastHashJoin" in simple and "SortMergeJoin" not in simple
+
+
+def test_tpch_q9_single_fact_fact_shuffle_join(spark):
+    plan = _plan(Q["tpch_q9_product_profit"](spark, SF), mode="simple")
+    # part/supplier/nation broadcast; the only sort-merge-eligible join is
+    # lineitem >< orders on orderkey
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q13_outer_join_keeps_residual_on_join(spark):
+    plan = _plan(Q["tpch_q13_customer_distribution"](spark, SF), mode="simple")
+    # the priority exclusion must prune the ORDER side before/at the join,
+    # never the customer side (zero-order customers are the point)
+    assert "LeftOuter" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q17_is_one_scan_window_form(spark):
+    plan = _plan(Q["tpch_q17_small_quantity_revenue"](spark, SF), mode="simple")
+    # window decorrelation: exactly one lineitem scan feeds the plan
+    assert plan.count("Scan parquet") - plan.count("Scan parquet []") <= 2  # lineitem + part
+    assert "Window" in plan
+
+
+def test_tpch_q21_reuses_orderkey_partitioning(spark):
+    plan = _plan(Q["tpch_q21_waiting_suppliers"](spark, SF), mode="simple")
+    # decorrelated one-scan form: no correlated re-scans; supplier/nation
+    # broadcast; no cartesian
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_q22_null_aware_semantics_via_sql(spark):
+    plan = _plan(Q["not_in_null_semantics"](spark, SF), mode="simple")
+    # the poisoned NOT IN must NOT degrade to a plain LeftAnti equi join
+    assert "NAAJ" in plan or "null" in plan.lower()
+
+
+def test_pit_join_single_exchange(spark):
+    plan = _plan(Q["pit_feature_join_orders"](spark, SF), mode="simple")
+    # tagged-union window: one shuffle on the key, no join operator at all
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "Window" in plan
+
+
+def test_winnowing_no_extra_exchange_after_window(spark):
+    from kinesis_demo_spark.queries.text import _winnow_fps
+    from kinesis_demo_spark.io import load_table
+
+    plan = _plan(
+        _winnow_fps(load_table(spark, SF, "documents")), mode="simple"
+    )
+    # doc_id window partitioning is reused by the distinct: <= 2 shuffle
+    # exchanges total (window hash + distinct re-key on the packed value)
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 2

@@ -557,82 +557,72 @@ def run_stream_outer_join(spark: SparkSession, sf_dir: str, name: str | None = N
 
     A finite fixture drain exposes the real-world subtlety: rows inside the
     terminal watermark of the LAST event never flush (the watermark never
-    advances past them once the stream ends). Production streams never end;
-    a bounded drain needs a watermark push. The fixture is therefore STAGED
-    into a scratch dir with one far-future sentinel row per side (user_id
-    -1, +1 h) in a second file, and ``maxFilesPerTrigger=1`` guarantees the
-    sentinel lands in a later micro-batch — by which point every real row
-    is past the watermark and must have emitted, matched or null-padded.
-    Sentinel rows are filtered from the result; the drained output then
-    equals the batch left-outer range join EXACTLY, which the registered
-    oracle checks. The staging is drain harness, not the operator: the
-    join plan itself is the production shape with bounded state on both
-    sides."""
+    advances once the stream ends). Production streams never end; a bounded
+    drain needs a watermark push. The fixture is therefore STAGED into a
+    scratch dir plus one far-future sentinel file (user_id -1, +1 h, one
+    row per side); ``maxFilesPerTrigger=1`` puts the sentinel in a later
+    micro-batch, its batch-end watermark covers every real row, and the
+    trailing no-data batch availableNow runs (noDataMicroBatches, on by
+    default) performs the final eviction — verified complete at both
+    fixture scales. Staging is pure pyarrow (footer-stats max, no scan, no
+    Spark write jobs). Sentinel rows are filtered from the DRAINED table —
+    deliberately NOT inside the streaming plan, where predicate pushdown
+    drags the filter through the outer join into the shared source scan
+    and silently starves the watermark (observed: 209/210 rows, sentinel
+    batches reading 0 input rows). The drained output equals the batch
+    left-outer range join EXACTLY, which the registered oracle checks; the
+    staging is drain harness, not the operator — the join plan itself is
+    the production shape with bounded state on both sides."""
+    import datetime as dt
     import os
     import shutil
     import tempfile
+    import time
 
-    from ..io import load_table
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     name = name or "stream_outer_" + re.sub(r"[^0-9a-zA-Z]", "_", sf_dir).strip("_")
     stage = tempfile.mkdtemp(prefix="outer_join_stage_")
-    shutil.copyfile(
-        os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "a_events.parquet")
-    )
-    import time as _time
-
-    now = _time.time()
-    # Keep all staged mtimes recent and within minutes of each other:
-    # FileStreamSource orders batches by mtime AND silently drops files
-    # older than maxFileAge (7 days) behind the newest file — a large
-    # synthetic spread makes the source skip the fixture copy entirely.
+    src = os.path.join(sf_dir, "events.parquet")
+    shutil.copyfile(src, os.path.join(stage, "a_events.parquet"))
+    # FileStreamSource orders batches by mtime AND drops files older than
+    # maxFileAge (7 days) behind the newest — keep staged mtimes recent and
+    # minutes apart.
+    now = time.time()
     os.utime(os.path.join(stage, "a_events.parquet"), (now - 300, now - 300))
-    ev_batch = load_table(spark, sf_dir, "events")
-    max_us = ev_batch.agg(F.max(F.unix_micros("ts")).alias("m")).collect()[0].m
-    sentinel_us = max_us + 3_600_000_000  # +1 h, far past every watermark
-    # Probe what physical type the staged copy streams under and write the
-    # sentinel file with the MATCHING ts type so the source schema holds.
-    probed = spark.read.parquet(os.path.join(stage)).schema
-    ts_is_nanos_long = any(
-        f.name == "ts" and isinstance(f.dataType, T.LongType) for f in probed
+    sch = pq.read_schema(src)
+    md = pq.read_metadata(src)
+    tsi = sch.get_field_index("ts")
+    mx = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(tsi).statistics
+        if st is not None and st.has_min_max:
+            mx = st.max if mx is None else max(mx, st.max)
+    if mx is None:  # stats stripped — fall back to one column scan
+        from ..io import load_table
+
+        mx_us = (
+            load_table(spark, sf_dir, "events")
+            .agg(F.max(F.unix_micros("ts")).alias("m"))
+            .collect()[0]
+            .m
+        )
+        mx = dt.datetime.utcfromtimestamp(mx_us / 1_000_000)
+    sentinel_ts = mx + dt.timedelta(hours=1)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([-1, -2], type=sch.field("event_id").type),
+            "ts": pa.array([sentinel_ts, sentinel_ts], type=sch.field("ts").type),
+            "user_id": pa.array([-1, -1], type=sch.field("user_id").type),
+            "event_type": pa.array(["click", "view"], type=sch.field("event_type").type),
+            "value": pa.array([-1.0, -1.0], type=sch.field("value").type),
+            "props": pa.array(["{}", "{}"], type=sch.field("props").type),
+        }
     )
-    # TWO sentinel files, one micro-batch apart: the watermark computed from
-    # sentinel #1 only takes effect in the NEXT batch (Spark applies batch
-    # N's watermark in batch N+1, and availableNow does not run a trailing
-    # no-data batch here), so sentinel #2 is what makes the final flush
-    # batch actually execute.
-    for idx, (us, suffix) in enumerate(
-        ((sentinel_us, "z_sentinel1"), (sentinel_us + 3_600_000_000, "z_sentinel2"))
-    ):
-        ts_val = us * 1_000 if ts_is_nanos_long else us
-        ts_expr = (
-            F.lit(ts_val).cast("long")
-            if ts_is_nanos_long
-            else F.expr(f"timestamp_micros({ts_val})")
-        )
-        sentinel = spark.createDataFrame(
-            [(-1, "click", -1.0, "{}"), (-2, "view", -1.0, "{}")],
-            "event_id bigint, event_type string, value double, props string",
-        ).select(
-            "event_id",
-            ts_expr.alias("ts"),
-            F.lit(-1).cast("long").alias("user_id"),
-            "event_type",
-            "value",
-            "props",
-        )
-        sentinel.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, suffix))
-        for f in os.listdir(os.path.join(stage, suffix)):
-            if f.endswith(".parquet"):
-                shutil.move(
-                    os.path.join(stage, suffix, f),
-                    os.path.join(stage, f"{suffix}.parquet"),
-                )
-        shutil.rmtree(os.path.join(stage, suffix))
-        os.utime(
-            os.path.join(stage, f"{suffix}.parquet"),
-            (now - 200 + idx * 100, now - 200 + idx * 100),
-        )
+    sp = os.path.join(stage, "z_sentinel.parquet")
+    pq.write_table(tbl, sp)
+    os.utime(sp, (now - 100, now - 100))
 
     ev = stream_events(spark, stage, max_files_per_trigger=1, glob="*.parquet")
     clicks = (
@@ -684,10 +674,8 @@ def run_stream_outer_join(spark: SparkSession, sf_dir: str, name: str | None = N
         q.awaitTermination()
     finally:
         q.stop()
-    out = (
-        spark.table(name)
-        .filter(F.col("user_id") >= 0)  # drop sentinel rows post-drain
-        .localCheckpoint(eager=True)  # detach from the scratch dir
-    )
+    # the memory sink holds the drained rows in the driver's relation —
+    # nothing references the scratch dir after q.stop(), so no checkpoint
+    # is needed to delete it
     shutil.rmtree(stage, ignore_errors=True)
-    return out
+    return spark.table(name).filter(F.col("user_id") >= 0)  # drop sentinels

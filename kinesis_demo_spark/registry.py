@@ -53,6 +53,15 @@ DRIVER_CORRECTNESS_CAP = 50
 # Queries whose PLANS CHANGED this round always stay/return in-cap so the
 # change is externally re-verified.
 #
+# Round-6 promotion pool (registered below the cap this round, all green in
+# the driver-faithful local harness at sf0.001 AND sf0.01 plus the hostile
+# non-UTC drive): the r5-continuation registrations listed in COVERAGE.md —
+# the nine TPC-H completions, winnowing pair, freq quality, truncated ANN,
+# bag set ops, NOT IN semantics, bigram LM, DQ gate, PIT join, trend
+# regression, fuzzy matching, source drift, rolling active users, outer
+# stream join, BPE trainer (rows-only). Rotate these in for r6 and demote
+# long-green rows whose plans are untouched.
+#
 # Round-5 rotation:
 # Promoted (first driver row): multimodal_frame_sample,
 #   posexplode_document_tokens, sql_frontend_revenue_by_nation,

@@ -48,6 +48,13 @@ PROBES = (
     "funnel_user_stages",             # chained keyed aggs
     "sequence_packing",               # applyInPandas per shard
     "json_wire_roundtrip",            # serde round trip
+    # r5 continuation families
+    "text_winnowing_fingerprints",    # explode + per-doc window min
+    "dedup_winnowing_overlap",        # fingerprint inverted index
+    "fuzzy_match_blocked_pairs",      # attribute-level blocked Levenshtein
+    "tpch_q21_waiting_suppliers",     # decorrelated exists/not-exists
+    "pit_feature_join_orders",        # tagged-union cumulative window
+    "rolling_active_users",           # coverage-expansion distinct count
 )
 
 SF_SMALL = "/root/testdata/sf0.01"

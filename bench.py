@@ -162,6 +162,7 @@ HEADLINE = (
     "fuzzy_match_blocked_pairs",
     "embedding_source_drift",
     "rolling_active_users",
+    "hierarchical_revenue_shares",
 )
 
 

@@ -2103,17 +2103,23 @@ def pit_feature_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fuzzy_match_blocked_pairs",
     oracle="""
-WITH p AS (
-  SELECT p_partkey, p_name, string_split(p_name, ' ')[2] AS block
-  FROM part
+WITH names AS (
+  SELECT p_name, string_split(p_name, ' ')[2] AS block, count(*) AS cnt
+  FROM part GROUP BY 1, 2
 ),
-pairs AS (
-  SELECT a.block, levenshtein(a.p_name, b.p_name) AS dist
-  FROM p a JOIN p b
-    ON a.block = b.block AND a.p_partkey < b.p_partkey
+cross_pairs AS (
+  SELECT a.block, levenshtein(a.p_name, b.p_name) AS dist,
+         a.cnt * b.cnt AS weight
+  FROM names a JOIN names b
+    ON a.block = b.block AND a.p_name < b.p_name
+),
+same_pairs AS (
+  SELECT block, 0 AS dist, cnt * (cnt - 1) // 2 AS weight
+  FROM names WHERE cnt >= 2
 )
-SELECT block, CAST(dist AS BIGINT) AS dist, count(*) AS n_pairs
-FROM pairs WHERE dist <= 3
+SELECT block, CAST(dist AS BIGINT) AS dist,
+       CAST(sum(weight) AS BIGINT) AS n_pairs
+FROM (SELECT * FROM cross_pairs WHERE dist <= 3 UNION ALL SELECT * FROM same_pairs)
 GROUP BY 1, 2
 """,
 )
@@ -2129,21 +2135,114 @@ def fuzzy_match_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines — and reported as a per-(block, distance) candidate-volume
     histogram, the calibration table a linkage pipeline thresholds from.
 
-    Scale: the block equi-join is one keyed shuffle; within-block pair
-    volume is sum of block_size^2 — the classic ER cost model, controlled
-    by block granularity (at 100 TB you block on (noun, length band,
-    first char) to cap block sizes; hot blocks are AQE skew-split
-    territory). The histogram collapses pair rows map-side."""
-    p = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_name", F.split("p_name", " ").getItem(1).alias("block")
+    Scale — attribute-level comparison, the optimization every real ER
+    system applies: records collapse to DISTINCT (value, count) rows
+    FIRST (one map-side-combined aggregate over the corpus), fuzzy
+    pairing runs over distinct values only, and each surviving value
+    pair is weighted by cnt_a * cnt_b (same-value record pairs enter at
+    distance 0 as cnt choose 2) — numerically IDENTICAL to naive
+    record-level pairing, at |distinct values|^2-per-block cost instead
+    of |records|^2 (here: 64 names stand in for 20k records; on a
+    100 TB corpus the ratio is what makes fuzzy matching feasible at
+    all). Residual hot blocks are AQE skew-split territory; multi-pass
+    blocking (noun + length band + prefix) tightens further when even
+    distinct values are many."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name", F.split("p_name", " ").getItem(1).alias("block"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    a = p.select(F.col("block"), F.col("p_partkey").alias("ida"), F.col("p_name").alias("na"))
-    b = p.select(F.col("block"), F.col("p_partkey").alias("idb"), F.col("p_name").alias("nb"))
-    return (
+    a = names.select("block", F.col("p_name").alias("na"), F.col("cnt").alias("ca"))
+    b = names.select("block", F.col("p_name").alias("nb"), F.col("cnt").alias("cb"))
+    cross_pairs = (
         a.join(b, "block")
-        .filter(F.col("ida") < F.col("idb"))
-        .select("block", F.levenshtein("na", "nb").cast("long").alias("dist"))
+        .filter(F.col("na") < F.col("nb"))
+        .select(
+            "block",
+            F.levenshtein("na", "nb").cast("long").alias("dist"),
+            (F.col("ca") * F.col("cb")).alias("weight"),
+        )
         .filter(F.col("dist") <= 3)
+    )
+    same_pairs = names.filter(F.col("cnt") >= 2).select(
+        "block",
+        F.lit(0).cast("long").alias("dist"),
+        F.expr("cnt * (cnt - 1) DIV 2").alias("weight"),
+    )
+    return (
+        cross_pairs.unionByName(same_pairs)
         .groupBy("block", "dist")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .agg(F.sum("weight").alias("n_pairs"))
+    )
+
+
+# --- hierarchical ratio-to-report (percent of parent at every level) ---------------
+
+
+@register(
+    "hierarchical_revenue_shares",
+    oracle="""
+WITH cust AS (
+  SELECT c.c_custkey, n.n_name AS nation, r.r_name AS region,
+         sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev_dec
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2, 3
+)
+SELECT c_custkey, nation, region,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(rev_dec AS DOUBLE) / CAST(sum(rev_dec) OVER (PARTITION BY nation) AS DOUBLE) AS share_in_nation,
+       CAST(sum(rev_dec) OVER (PARTITION BY nation) AS DOUBLE)
+         / CAST(sum(rev_dec) OVER (PARTITION BY region) AS DOUBLE) AS nation_share_in_region,
+       CAST(sum(rev_dec) OVER (PARTITION BY region) AS DOUBLE)
+         / CAST(sum(rev_dec) OVER () AS DOUBLE) AS region_share_of_total
+FROM cust
+""",
+)
+def hierarchical_revenue_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent at every level of the geography hierarchy in one
+    result: each customer's share of its nation, the nation's share of its
+    region, the region's share of the whole — the drill-down report every
+    BI layer renders. Extends the flat ratio-to-report
+    (orders_share_by_priority) to NESTED grains: all three denominators
+    are DECIMAL window sums over the SAME customer-grain aggregate (exact,
+    order-free), so every share is one identical IEEE division per row in
+    both engines.
+
+    Scale: the fact collapses to customer grain first (|customers| rows);
+    the three windows partition by nation / region / nothing over that
+    reduced table — Catalyst orders them narrowest-first so the sorts
+    reuse work, and none of the windows ever sees a fact-table row. Dims
+    broadcast as in the star join."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    cust = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            "c_custkey",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"))
+    )
+    w_nation = Window.partitionBy("nation")
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    nat_sum = F.sum("rev_dec").over(w_nation)
+    reg_sum = F.sum("rev_dec").over(w_region)
+    tot_sum = F.sum("rev_dec").over(w_all)
+    return cust.select(
+        "c_custkey",
+        "nation",
+        "region",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (F.col("rev_dec").cast("double") / nat_sum.cast("double")).alias("share_in_nation"),
+        (nat_sum.cast("double") / reg_sum.cast("double")).alias("nation_share_in_region"),
+        (reg_sum.cast("double") / tot_sum.cast("double")).alias("region_share_of_total"),
     )

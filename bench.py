@@ -163,6 +163,7 @@ HEADLINE = (
     "embedding_source_drift",
     "rolling_active_users",
     "hierarchical_revenue_shares",
+    "pagerank_copurchase",
 )
 
 

@@ -1777,3 +1777,89 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+# --- PageRank over the co-purchase graph ------------------------------------------
+
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING = "0.85"  # as an exact DECIMAL literal
+# (19,18): all ranks/probabilities are < 10, and a (19,18)x(19,18) product
+# stays inside Spark's 38-digit cap with ~35 fractional digits intact —
+# (38,18) squared would trip the precision-overflow rule that TRUNCATES the
+# result scale to 6 decimal digits (measured: ranks came back 6-dp).
+RANK_DEC = "decimal(19,18)"
+
+
+@register("pagerank_copurchase")  # iterative linear algebra -> no SQL oracle;
+# exact tiny-graph differential vs numpy + invariants in tests/test_analytics.py
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (parts are linked when they
+    appear in the same order; edge weight = co-occurrence count) — product
+    importance by random-surfer centrality, the canonical iterative graph
+    algorithm alongside the engine's connected components, k-means, and BPE
+    loops. {PAGERANK_ITERS} damped power iterations; the co-purchase graph
+    is symmetric, so there are no dangling nodes to redistribute.
+
+    Determinism without an oracle: every rank is DECIMAL(19,18) — sums are
+    exact and order-independent under any partitioning, the per-edge
+    transition probability w/out_w is computed ONCE as a decimal division,
+    and the damping constant is an exact decimal literal — so repeated runs
+    (and any cluster layout) produce byte-identical ranks, which the
+    conservation and numpy-differential tests rely on.
+
+    Scale: edges come from one lineitem self-join keyed on orderkey (pair
+    volume = sum of per-order line counts squared — bounded by order size,
+    the market-basket shape co-occurrence lift already uses); each
+    iteration is one (edge join ranks) shuffle on src + one dst-keyed
+    aggregate, the textbook distributed PageRank round. Ranks persist per
+    round (lineage O(iters), not O(iters^2)); only the iteration counter
+    lives on the driver."""
+    from ..io import track_persist
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges_raw = (
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outw = edges_raw.groupBy("src").agg(F.sum("w").alias("out_w"))
+    edges = track_persist(
+        edges_raw.join(outw, "src").select(
+            "src",
+            "dst",
+            (F.col("w").cast(RANK_DEC) / F.col("out_w")).cast(RANK_DEC).alias("p"),
+        )
+    )
+    nodes = track_persist(edges.select(F.col("src").alias("part")).distinct())
+    n_nodes = nodes.count()
+    base = F.lit(f"{0.15 / n_nodes:.18f}").cast(RANK_DEC)
+    damping = F.lit(PAGERANK_DAMPING).cast(RANK_DEC)
+    init = F.lit(f"{1.0 / n_nodes:.18f}").cast(RANK_DEC)
+    ranks = nodes.select("part", init.alias("rank"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.part)
+            .select("dst", (F.col("p") * F.col("rank")).cast(RANK_DEC).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast(RANK_DEC).alias("in_rank"))
+        )
+        nxt = track_persist(
+            nodes.join(contrib, nodes.part == contrib.dst, "left_outer")
+            .select(
+                "part",
+                (
+                    base
+                    + damping
+                    * F.coalesce(F.col("in_rank"), F.lit("0").cast(RANK_DEC))
+                ).cast(RANK_DEC).alias("rank"),
+            )
+        )
+        nxt.count()  # materialize before the next round reuses it
+        ranks = nxt
+    # caches stay tracked; the CALLER releases them after its action (the
+    # io.track_persist contract) — the returned plan reads the final
+    # persisted ranks directly
+    return ranks.select("part", F.col("rank").cast("double").alias("pagerank"))

@@ -279,3 +279,72 @@ def test_pit_join_excludes_equal_timestamp_events(spark, tmp_path_factory):
     row = pit_feature_join_orders(spark, str(out)).collect()[0]
     assert row.n_prior_events == 1
     assert row.prior_value_sum == 10.0
+
+
+# --- PageRank ---------------------------------------------------------------
+
+
+def _numpy_pagerank(edges, iters, d=0.85):
+    import numpy as np
+
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    w = np.zeros((n, n))
+    for a, b in edges:
+        w[idx[b], idx[a]] += 1.0
+    outw = w.sum(axis=0)
+    p = w / outw
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = (1 - d) / n + d * (p @ r)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_pagerank_matches_numpy_on_tiny_graph(spark, tmp_path_factory):
+    from kinesis_demo_spark.io import release_persisted
+    from kinesis_demo_spark.queries.analytics import (
+        PAGERANK_ITERS,
+        pagerank_copurchase,
+    )
+
+    out = tmp_path_factory.mktemp("pr")
+    # orders: (1,2 together) x2, (2,3 together) x1 -> asymmetric weights
+    rows = [
+        (10, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None),
+        (10, 2, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", None),
+        (11, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None),
+        (11, 2, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", None),
+        (12, 2, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None),
+        (12, 3, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", None),
+    ]
+    import datetime as dt
+
+    rows = [r[:10] + (dt.datetime(2024, 1, 1),) for r in rows]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(out / "lineitem.parquet"))
+    got = {r.part: r.pagerank for r in pagerank_copurchase(spark, str(out)).collect()}
+    release_persisted()
+    # co-purchase edges with multiplicity: (1,2)x2 both ways, (2,3)x1 both ways
+    want = _numpy_pagerank([(1, 2), (1, 2), (2, 1), (2, 1), (2, 3), (3, 2)], PAGERANK_ITERS)
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
+    # rank mass conservation on a dangling-free graph
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_is_deterministic_across_runs(spark):
+    from kinesis_demo_spark.io import release_persisted
+    from kinesis_demo_spark.queries.analytics import pagerank_copurchase
+
+    sf = "/root/testdata/sf0.001"
+    r1 = {r.part: r.pagerank for r in pagerank_copurchase(spark, sf).collect()}
+    release_persisted()
+    r2 = {r.part: r.pagerank for r in pagerank_copurchase(spark, sf).collect()}
+    release_persisted()
+    assert r1 == r2  # byte-identical, the DECIMAL-arithmetic guarantee

@@ -53,6 +53,7 @@ STREAM_DRAINS = {
     "streaming_outer_interval_join",
     # driver-sequenced iteration: building the result runs the training loop
     "bpe_train_merges",
+    "pagerank_copurchase",
 }
 
 PY_STAGES = (

@@ -164,6 +164,7 @@ HEADLINE = (
     "rolling_active_users",
     "hierarchical_revenue_shares",
     "pagerank_copurchase",
+    "temporal_join_orders_state",
 )
 
 

@@ -1863,3 +1863,97 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # io.track_persist contract) — the returned plan reads the final
     # persisted ranks directly
     return ranks.select("part", F.col("rank").cast("double").alias("pagerank"))
+
+
+# --- temporal table join (state valid at event time) ------------------------------
+
+
+@register(
+    "temporal_join_orders_state",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS is_change
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+versioned AS (
+  SELECT user_id, event_type, ts,
+         sum(is_change) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS version
+  FROM flagged
+),
+intervals AS (
+  SELECT user_id, version, min(event_type) AS state, min(ts) AS valid_from
+  FROM versioned GROUP BY 1, 2
+),
+bounded AS (
+  SELECT user_id, version, state, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
+  FROM intervals
+)
+SELECT o.o_orderkey,
+       o.o_custkey % 16 AS join_key,
+       b.state AS state_at_order,
+       CAST(b.version AS BIGINT) AS state_version
+FROM orders o
+LEFT JOIN bounded b
+  ON b.user_id = o.o_custkey % 16
+ AND b.valid_from <= o.o_orderdate
+ AND (o.o_orderdate < b.valid_to OR b.valid_to IS NULL)
+""",
+)
+def temporal_join_orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal table join — each order looks up the SCD-2 state interval
+    VALID AT its own timestamp (Flink's FOR SYSTEM_TIME AS OF / the
+    warehouse dimension-at-transaction-time join), including the NULL-open
+    current interval and a NULL state for probes before the key's first
+    interval. The oracle is the declarative interval-containment join;
+    this side exploits that SCD-2 intervals are CONTIGUOUS (valid_to =
+    next valid_from), so 'the interval containing t' reduces to 'the last
+    interval starting at or before t' — the as-of tagged-union window, ONE
+    key-partitioned shuffle, no interval range join and no |orders| x
+    |intervals| expansion. Interval rows sort before probes at equal
+    timestamps, giving the inclusive valid_from <= t bound.
+
+    Scale: the interval table is |state runs| (already collapsed); probes
+    and intervals co-shuffle once on the key; everything downstream is the
+    same window pass the as-of and PIT joins ride."""
+    from .relational import CUSTKEY_MOD
+
+    intervals = scd2_user_state_intervals(spark, sf_dir).select(
+        F.col("user_id").alias("k"),
+        F.col("valid_from").alias("t"),
+        F.lit(0).alias("tag"),
+        "state",
+        "version",
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    probes = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % CUSTKEY_MOD).alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("string").alias("state"),
+        F.lit(None).cast("long").alias("version"),
+        "o_orderkey",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = intervals.unionByName(probes).select(
+        "*",
+        F.last(F.when(F.col("tag") == 0, F.col("state")), ignorenulls=True)
+        .over(w)
+        .alias("state_at_order"),
+        F.last(F.when(F.col("tag") == 0, F.col("version")), ignorenulls=True)
+        .over(w)
+        .alias("state_version"),
+    )
+    return carried.filter(F.col("tag") == 1).select(
+        "o_orderkey",
+        F.col("k").alias("join_key"),
+        "state_at_order",
+        F.col("state_version").cast("long").alias("state_version"),
+    )

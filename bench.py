@@ -165,6 +165,7 @@ HEADLINE = (
     "hierarchical_revenue_shares",
     "pagerank_copurchase",
     "temporal_join_orders_state",
+    "twap_value_per_user",
 )
 
 

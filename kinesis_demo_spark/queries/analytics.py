@@ -1957,3 +1957,61 @@ def temporal_join_orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "state_at_order",
         F.col("state_version").cast("long").alias("state_version"),
     )
+
+
+# --- time-weighted average value (TWAP) -------------------------------------------
+
+
+@register(
+    "twap_value_per_user",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         epoch_us(ts) // 1000000 AS t,
+         lead(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_holding_periods,
+       CAST(sum(t_next - t) AS BIGINT) AS total_seconds,
+       CAST(sum(cents * (t_next - t)) AS DOUBLE) / CAST(sum(t_next - t) AS DOUBLE) AS twap_cents
+FROM seq WHERE t_next IS NOT NULL AND t_next > t
+GROUP BY user_id
+""",
+)
+def twap_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user — each observation weighted by
+    how long it REMAINED the latest one (the holding period until the next
+    event), the metric finance and monitoring use where a plain mean
+    over-counts bursty samplers. Weights and weighted mass are pure BIGINT
+    (seconds x cents; both bounded so products stay far inside 2^63), the
+    mean is one IEEE division of two exact integers, and zero-length
+    holding periods (same-second events) plus each user's open-ended last
+    observation are excluded by integer predicates — all cross-engine
+    exact by construction.
+
+    Scale: one user-keyed window (lead) and a per-user aggregate on the
+    same partitioning — single exchange, the EWMA/LOCF family shape."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.expr("unix_micros(ts) DIV 1000000")
+    seq = ev.select(
+        "user_id",
+        (F.col("value").cast(D2) * 100).cast("long").alias("cents"),
+        t.alias("t"),
+        F.lead(t).over(w).alias("t_next"),
+    )
+    dur = F.col("t_next") - F.col("t")
+    return (
+        seq.filter(F.col("t_next").isNotNull() & (F.col("t_next") > F.col("t")))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_holding_periods"),
+            F.sum(dur).alias("total_seconds"),
+            (
+                F.sum(F.col("cents") * dur).cast("double")
+                / F.sum(dur).cast("double")
+            ).alias("twap_cents"),
+        )
+    )

@@ -166,6 +166,7 @@ HEADLINE = (
     "pagerank_copurchase",
     "temporal_join_orders_state",
     "twap_value_per_user",
+    "python_datasource_events",
 )
 
 

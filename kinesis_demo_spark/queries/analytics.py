@@ -2015,3 +2015,43 @@ def twap_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap_cents"),
         )
     )
+
+
+# --- custom Python data source (Spark 4 DataSource API) ---------------------------
+
+PYDS_N = 10_000
+
+
+@register(
+    "python_datasource_events",
+    oracle=f"""
+WITH gen AS (
+  SELECT i,
+         (i * 2654435761) % 2147483648 AS h
+  FROM (SELECT unnest(range({PYDS_N})) AS i)
+)
+SELECT i AS event_id,
+       CAST(1700000000 + i AS BIGINT) AS ts_epoch_s,
+       h % 150 AS user_id,
+       (['view', 'click', 'purchase', 'scroll', 'error'])[CAST(h % 5 AS INT) + 1] AS event_type,
+       CAST(h % 10000 AS DOUBLE) / 100.0 AS value
+FROM gen
+""",
+)
+def python_datasource_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python data source read end to end: {PYDS_N} synthetic
+    events generated partition-parallel by
+    sources/python_datasource.py::SyntheticEventsSource and value-hash
+    compared against a DuckDB range() reconstruction of the SAME integer
+    arithmetic — the source (not just a query over it) is under the
+    differential gate. sf_dir is unused by design: a generator source has
+    no files."""
+    from ..sources.python_datasource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    return (
+        spark.read.format("synthetic_events")
+        .option("n", str(PYDS_N))
+        .option("partitions", "8")
+        .load()
+    )

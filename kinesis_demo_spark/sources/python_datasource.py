@@ -1,0 +1,71 @@
+"""Custom Python data source (Spark 4 DataSource API, SPARK-44076): a
+deterministic synthetic event generator exposed as a first-class
+``spark.read.format(...)`` source with partition-parallel reads.
+
+Why it exists here: the engine's other sources wrap files and transports;
+this demonstrates the remaining ingestion surface — a PYTHON-defined
+DataSourceV2 — while staying inside the repo's differential-testing bar:
+every generated cell derives from pure integer arithmetic on the row index
+(Knuth multiplicative hash), so a DuckDB ``range()`` query reproduces the
+whole table bit-for-bit and the source itself is value-hash checked like
+any operator.
+
+Scale: ``partitions()`` splits the index space, each worker generates its
+slice independently (no driver data, no skew); at 100 TB this is the shape
+of any partition-parallel connector — the per-partition iterator is the
+only Python cost, and a generator source is embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+KNUTH = 2654435761  # golden-ratio multiplicative constant (public domain)
+N_USERS = 150
+N_TYPES = 5
+TYPES = ("view", "click", "purchase", "scroll", "error")
+BASE_EPOCH_S = 1_700_000_000  # 2023-11-14T22:13:20Z
+
+
+class _Slice(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", "10000"))
+        self.n_partitions = int(options.get("partitions", "8"))
+
+    def partitions(self):
+        step = max(1, (self.n + self.n_partitions - 1) // self.n_partitions)
+        return [_Slice(i, min(i + step, self.n)) for i in range(0, self.n, step)]
+
+    def read(self, partition: _Slice):
+        for i in range(partition.start, partition.end):
+            h = (i * KNUTH) % (1 << 31)
+            yield (
+                i,                                   # event_id
+                BASE_EPOCH_S + i,                    # ts_epoch_s
+                h % N_USERS,                         # user_id
+                TYPES[h % N_TYPES],                  # event_type
+                (h % 10_000) / 100.0,                # value (exact /100 of int)
+            )
+
+
+class SyntheticEventsSource(DataSource):
+    """``spark.read.format("synthetic_events").option("n", ...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return "event_id bigint, ts_epoch_s bigint, user_id bigint, event_type string, value double"
+
+    def reader(self, schema):
+        return SyntheticEventsReader(self.options)
+
+
+def register_synthetic_source(spark) -> None:
+    spark.dataSource.register(SyntheticEventsSource)

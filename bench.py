@@ -167,6 +167,7 @@ HEADLINE = (
     "temporal_join_orders_state",
     "twap_value_per_user",
     "python_datasource_events",
+    "python_datasource_stream_events",
 )
 
 

@@ -2055,3 +2055,62 @@ def python_datasource_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("partitions", "8")
         .load()
     )
+
+
+@register(
+    "python_datasource_stream_events",
+    oracle=f"""
+WITH gen AS (
+  SELECT i,
+         (i * 2654435761) % 2147483648 AS h
+  FROM (SELECT unnest(range({PYDS_N})) AS i)
+)
+SELECT i AS event_id,
+       CAST(1700000000 + i AS BIGINT) AS ts_epoch_s,
+       h % 150 AS user_id,
+       (['view', 'click', 'purchase', 'scroll', 'error'])[CAST(h % 5 AS INT) + 1] AS event_type,
+       CAST(h % 10000 AS DOUBLE) / 100.0 AS value
+FROM gen
+""",
+)
+def python_datasource_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING Python data source drained end to end: the same
+    {PYDS_N} rows arrive over four micro-batches through
+    SimpleDataSourceStreamReader offset bookkeeping (initialOffset ->
+    read -> commit, with readBetweenOffsets replayability), land in a
+    memory sink, and value-hash match the identical DuckDB oracle the
+    batch source uses — a stream==batch==oracle three-way differential
+    that pins the offset arithmetic, not just the row content. The drain
+    polls until the bounded generator reports exhaustion (a generator
+    stream has no file to run dry; production streams never end, so the
+    bound is the test harness, not the source)."""
+    import time as _time
+
+    from ..sources.python_datasource import register_synthetic_stream_source
+
+    register_synthetic_stream_source(spark)
+    name = "pyds_stream_drain"
+    df = (
+        spark.readStream.format("synthetic_events_stream")
+        .option("n", str(PYDS_N))
+        .option("batch", str(PYDS_N // 4))
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if spark.table(name).count() >= PYDS_N:
+                break
+            _time.sleep(0.2)
+        else:
+            raise TimeoutError(f"stream drain incomplete: {spark.table(name).count()}/{PYDS_N}")
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -18,7 +18,12 @@ only Python cost, and a generator source is embarrassingly parallel.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 KNUTH = 2654435761  # golden-ratio multiplicative constant (public domain)
 N_USERS = 150
@@ -69,3 +74,65 @@ class SyntheticEventsSource(DataSource):
 
 def register_synthetic_source(spark) -> None:
     spark.dataSource.register(SyntheticEventsSource)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batched twin of the batch reader: offsets are plain row
+    indices, each ``read`` advances by ``batch`` rows until ``n``, and
+    ``readBetweenOffsets`` replays any committed range deterministically —
+    the replayability contract exactly-once sinks rely on. Row content is
+    the SAME integer arithmetic as the batch reader, so one DuckDB oracle
+    checks both and the stream==batch differential is free."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", "10000"))
+        self.batch = int(options.get("batch", "2500"))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def _rows(self, start: int, end: int):
+        # materialized, not a generator: the stream runner's prefetch
+        # PICKLES the returned iterator (generators are unpicklable)
+        out = []
+        for i in range(start, end):
+            h = (i * KNUTH) % (1 << 31)
+            out.append(
+                (
+                    i,
+                    BASE_EPOCH_S + i,
+                    h % N_USERS,
+                    TYPES[h % N_TYPES],
+                    (h % 10_000) / 100.0,
+                )
+            )
+        return iter(out)
+
+    def read(self, start: dict):
+        i = start["i"]
+        end = min(i + self.batch, self.n)
+        return self._rows(i, end), {"i": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["i"], end["i"])
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class SyntheticEventsStreamSource(DataSource):
+    """``spark.readStream.format("synthetic_events_stream")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_stream"
+
+    def schema(self) -> str:
+        return "event_id bigint, ts_epoch_s bigint, user_id bigint, event_type string, value double"
+
+    def simpleStreamReader(self, schema):
+        return SyntheticEventsStreamReader(self.options)
+
+
+def register_synthetic_stream_source(spark) -> None:
+    spark.dataSource.register(SyntheticEventsStreamSource)

@@ -54,6 +54,7 @@ STREAM_DRAINS = {
     # driver-sequenced iteration: building the result runs the training loop
     "bpe_train_merges",
     "pagerank_copurchase",
+    "python_datasource_stream_events",
 }
 
 PY_STAGES = (

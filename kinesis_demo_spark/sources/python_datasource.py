@@ -21,8 +21,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 KNUTH = 2654435761  # golden-ratio multiplicative constant (public domain)
@@ -136,3 +138,74 @@ class SyntheticEventsStreamSource(DataSource):
 
 def register_synthetic_stream_source(spark) -> None:
     spark.dataSource.register(SyntheticEventsStreamSource)
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, path: str, n: int):
+        self.path, self.n = path, n
+
+
+class JsonlStreamWriter(DataSourceStreamWriter):
+    """Custom Python STREAMING SINK with two-phase commit discipline: each
+    task writes its partition to a uniquely-named staging file and returns
+    a commit message; ``commit`` atomically renames the batch's staged
+    files into the output dir (suffix ``.jsonl``) and appends a batch
+    manifest line; ``abort`` deletes the staged files. A retried/aborted
+    task therefore never leaves half-written visible output — the
+    exactly-once-per-batch contract every real sink (foreachBatch MERGE,
+    Kafka transactional producer) implements, here exercised through the
+    Spark 4 Python DataSource write path."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires option 'path'")
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid
+
+        os.makedirs(os.path.join(self.path, "_staging"), exist_ok=True)
+        fname = os.path.join(self.path, "_staging", uuid.uuid4().hex)
+        n = 0
+        with open(fname, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), sort_keys=True, default=str) + "\n")
+                n += 1
+        return _FileCommit(fname, n)
+
+    def commit(self, messages, batchId) -> None:
+        import os
+
+        total = 0
+        for i, m in enumerate(m for m in messages if m is not None):
+            final = os.path.join(self.path, f"batch-{batchId:05d}-{i:04d}.jsonl")
+            os.replace(m.path, final)
+            total += m.n
+        with open(os.path.join(self.path, "_manifest"), "a") as f:
+            f.write(f"{batchId}\t{total}\n")
+
+    def abort(self, messages, batchId) -> None:
+        import os
+
+        for m in (m for m in messages if m is not None):
+            try:
+                os.remove(m.path)
+            except FileNotFoundError:
+                pass
+
+
+class JsonlSinkSource(DataSource):
+    """``df.writeStream.format("jsonl_sink").option("path", ...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def streamWriter(self, schema, overwrite: bool):
+        return JsonlStreamWriter(self.options)
+
+
+def register_jsonl_sink(spark) -> None:
+    spark.dataSource.register(JsonlSinkSource)

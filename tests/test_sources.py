@@ -225,3 +225,70 @@ def test_kafka_end_to_end_against_real_broker(spark, tmp_path):
     finally:
         q.stop()
     assert _as_set(spark.table(name)) == _as_set(src)
+
+
+def test_python_datasource_jsonl_sink_two_phase_commit(spark, tmp_path):
+    """The custom Python streaming SINK end to end: the synthetic stream
+    source drained through the jsonl sink, with staged files atomically
+    renamed per batch — output must contain exactly the generator's rows
+    (no dupes, no staging leftovers) and a manifest line per batch."""
+    import json
+    import os
+
+    from kinesis_demo_spark.sources.python_datasource import (
+        BASE_EPOCH_S,
+        KNUTH,
+        N_TYPES,
+        N_USERS,
+        TYPES,
+        register_jsonl_sink,
+        register_synthetic_stream_source,
+    )
+
+    register_synthetic_stream_source(spark)
+    register_jsonl_sink(spark)
+    n, batch = 1000, 250
+    out = tmp_path / "sink"
+    df = (
+        spark.readStream.format("synthetic_events_stream")
+        .option("n", str(n))
+        .option("batch", str(batch))
+        .load()
+    )
+    q = (
+        df.writeStream.format("jsonl_sink")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 60
+    def rows_written():
+        total = 0
+        for f in os.listdir(out):
+            if f.endswith(".jsonl"):
+                total += sum(1 for _ in open(out / f))
+        return total
+    try:
+        while time.time() < deadline and (not out.exists() or rows_written() < n):
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    got = []
+    for f in sorted(os.listdir(out)):
+        if f.endswith(".jsonl"):
+            got += [json.loads(line) for line in open(out / f)]
+    assert len(got) == n
+    ids = sorted(r["event_id"] for r in got)
+    assert ids == list(range(n))  # exactly once, no dupes
+    sample = next(r for r in got if r["event_id"] == 7)
+    h = (7 * KNUTH) % (1 << 31)
+    assert sample["user_id"] == h % N_USERS
+    assert sample["event_type"] == TYPES[h % N_TYPES]
+    assert sample["ts_epoch_s"] == BASE_EPOCH_S + 7
+    # staging dir drained; manifest has one line per committed batch
+    assert not os.listdir(out / "_staging")
+    manifest = [l.split("\t") for l in open(out / "_manifest")]
+    assert sum(int(x[1]) for x in manifest) == n

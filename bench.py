@@ -168,6 +168,7 @@ HEADLINE = (
     "twap_value_per_user",
     "python_datasource_events",
     "python_datasource_stream_events",
+    "pseudonymize_user_activity",
 )
 
 

@@ -879,3 +879,55 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ctx_n",
         (F.col("pair_n").cast("double") / F.col("ctx_n").cast("double")).alias("cond_p"),
     )
+
+
+# --- keyed pseudonymization + k-anonymity suppression -------------------------------
+
+PSEUDO_SALT = "pseudo-v1"  # rotate per release; never derivable from output
+K_ANON = 5
+
+
+@register(
+    "pseudonymize_user_activity",
+    oracle=f"""
+WITH pseudo AS (
+  SELECT substr(md5('{PSEUDO_SALT}' || CAST(user_id AS VARCHAR)), 1, 16) AS pseudonym,
+         event_type, value
+  FROM events
+),
+rolled AS (
+  SELECT pseudonym,
+         count(*) AS n_events,
+         count(DISTINCT event_type) AS n_types,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM pseudo GROUP BY pseudonym
+)
+SELECT * FROM rolled WHERE n_events >= {K_ANON}
+""",
+)
+def pseudonymize_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-preserving activity export: user ids replaced by keyed
+    pseudonyms (salted md5 prefix — consistent across every table salted
+    with the same release key, so joins still line up; rotate the salt to
+    break linkability between releases), rolled up per pseudonym, and
+    groups smaller than {K_ANON} SUPPRESSED — the k-anonymity floor that
+    keeps rare users from being re-identified by their own row. This is
+    the privacy side of the curation pipeline next to text_pii_redact
+    (which scrubs payload content; this one de-identifies the subject).
+
+    Scale: the pseudonym is one per-row JVM md5 inside codegen; the
+    rollup is a map-side-combinable aggregate on the pseudonym key; the
+    suppression predicate is a post-aggregate integer filter (HAVING)."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    pseudonym = F.substring(
+        F.md5(F.concat(F.lit(PSEUDO_SALT), F.col("user_id").cast("string"))), 1, 16
+    )
+    return (
+        ev.groupBy(pseudonym.alias("pseudonym"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("event_type").alias("n_types"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .filter(F.col("n_events") >= K_ANON)
+    )

@@ -97,3 +97,50 @@ def expire_partitions(
         else:
             kept.append(value)
     return {"expired": expired, "kept": kept}
+
+
+def purge_subject(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    subject_col: str,
+    subject_value,
+) -> dict:
+    """Right-to-be-forgotten purge: rewrite ONLY the partitions that contain
+    the subject's rows, dropping them, with the same staged rename-swap
+    crash discipline as compaction (a crash leaves the old or the new
+    layout, never a mix). Every other partition's files are untouched —
+    the audit checkpoint a deletion pipeline needs is exactly the returned
+    {partitions_scanned, partitions_rewritten, rows_purged}.
+
+    Scale: the probe pass reads only ``subject_col`` per partition (column
+    pruning + a pushed equality filter), so untouched partitions cost a
+    metadata-cheap scan and zero writes; rewrites are per-partition units a
+    scheduler parallelizes over. A lake format with deletion vectors would
+    make this a metadata operation; on plain parquet the rewrite-only-
+    touched-partitions shape is the best possible cost."""
+    import os
+    import shutil
+
+    scanned = rewritten = purged = 0
+    for part_name in _partition_dirs(path, partition_col):
+        part_dir = os.path.join(path, part_name)
+        scanned += 1
+        df = spark.read.parquet(part_dir)
+        hits = df.filter(F.col(subject_col) == subject_value).count()
+        if hits == 0:
+            continue
+        kept = df.filter(F.col(subject_col) != subject_value)
+        staging = part_dir + _STAGING_SUFFIX
+        kept.write.mode("overwrite").parquet(staging)
+        backup = part_dir + "__old"
+        os.rename(part_dir, backup)
+        os.rename(staging, part_dir)
+        shutil.rmtree(backup)
+        rewritten += 1
+        purged += hits
+    return {
+        "partitions_scanned": scanned,
+        "partitions_rewritten": rewritten,
+        "rows_purged": purged,
+    }

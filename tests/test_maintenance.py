@@ -66,3 +66,47 @@ def test_compaction_unknown_partition_raises(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         compact_partition(spark, path, "day", "99")
+
+
+def test_purge_subject_removes_only_that_subject(spark, tmp_path):
+    """GDPR-style purge: the subject's rows vanish everywhere, every other
+    row survives bit-identically, and partitions without the subject are
+    not rewritten (their files keep their identity)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kinesis_demo_spark.io import load_table
+    from kinesis_demo_spark.sinks.maintenance import purge_subject
+
+    store = str(tmp_path / "store")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    ev.write.partitionBy("day").parquet(store)
+    victim = 3
+    before = spark.read.parquet(store)
+    n_before = before.count()
+    n_victim = before.filter(F.col("user_id") == victim).count()
+    assert n_victim > 0
+    others_before = sorted(
+        r.event_id for r in before.filter(F.col("user_id") != victim).collect()
+    )
+    untouched_parts = {
+        d: sorted(os.listdir(os.path.join(store, d)))
+        for d in os.listdir(store)
+        if d.startswith("day=")
+        and spark.read.parquet(os.path.join(store, d))
+        .filter(F.col("user_id") == victim)
+        .count()
+        == 0
+    }
+    report = purge_subject(spark, store, "day", "user_id", victim)
+    after = spark.read.parquet(store)
+    assert after.filter(F.col("user_id") == victim).count() == 0
+    assert report["rows_purged"] == n_victim
+    assert after.count() == n_before - n_victim
+    assert sorted(r.event_id for r in after.collect()) == others_before
+    for d, files in untouched_parts.items():
+        assert sorted(os.listdir(os.path.join(store, d))) == files, d
+    assert report["partitions_rewritten"] < report["partitions_scanned"] or not untouched_parts

@@ -292,3 +292,32 @@ def test_python_datasource_jsonl_sink_two_phase_commit(spark, tmp_path):
     assert not os.listdir(out / "_staging")
     manifest = [l.split("\t") for l in open(out / "_manifest")]
     assert sum(int(x[1]) for x in manifest) == n
+
+
+def test_observe_metrics_ride_the_action(spark):
+    """`df.observe` collects per-action metrics inside the plan (no second
+    scan) — the lineage-free observability hook a pipeline uses to record
+    row counts and quality mass alongside the job itself. Pinned against
+    direct aggregation."""
+    from pyspark.sql import Observation, functions as F
+
+    from kinesis_demo_spark.io import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    obs = Observation("quality")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_mass"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # one action, metrics ride it
+    got = obs.get
+    want = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_mass"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
+    ).collect()[0]
+    assert got["n_rows"] == want.n_rows
+    assert got["value_mass"] == want.value_mass
+    assert got["n_errors"] == want.n_errors

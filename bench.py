@@ -169,6 +169,8 @@ HEADLINE = (
     "python_datasource_events",
     "python_datasource_stream_events",
     "pseudonymize_user_activity",
+    "variant_props_extract",
+    "lateral_top_lineitems_per_order",
 )
 
 

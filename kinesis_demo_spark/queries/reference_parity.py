@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from ..io import load_table
+from ..io import load_table, spread
 from ..plans.heatmap import heatmap_counts, heatmap_max_intensity
 from ..plans.movements import SENTINEL_SQL, X_SQL, Y_SQL, movement_aggregates, movements
 from ..plans.serving import CURSOR, DEFAULT_USER, NOW, cursor_bootstrap, last_n_windows, poll_sum, range_scan
@@ -526,3 +526,46 @@ def heatmap_rollup_client_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     agg = movement_aggregates(_events(spark, sf_dir))
     return heatmap_counts_client_order(agg, user_id=DEFAULT_USER, now=NOW, n_windows=10)
+
+
+# --- VARIANT semi-structured path (Spark 4) ----------------------------------------
+
+
+@register(
+    "variant_props_extract",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+            THEN 'hi' ELSE 'lo' END AS k_band
+FROM events
+WHERE CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL
+""",
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: the JSON
+    payload is parsed ONCE into the binary variant encoding
+    (``parse_json``) and fields are read with typed path extraction
+    (``try_variant_get``) — the modern engine path that replaces
+    per-access string re-parsing (json_extract_props is the classic
+    get_json_object form; this row pins the new one against the same
+    DuckDB JSON oracle). try_variant_get returns NULL on path/type
+    misses, matching the oracle's CAST-NULL semantics.
+
+    Scale: parse_json is per-row JVM work inside codegen, and the variant
+    binary is columnar-friendly — one parse feeding N typed extractions
+    is exactly why the type exists; at 100 TB you'd persist the variant
+    column and let shredding prune paths at the scan."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    k = F.try_variant_get("v", "$.k", "long")
+    return (
+        v.select(
+            "event_id",
+            k.alias("k"),
+            (k % 10).alias("k_mod"),
+            F.when(k >= 50, F.lit("hi")).otherwise(F.lit("lo")).alias("k_band"),
+        )
+        .filter(F.col("k").isNotNull())
+    )

@@ -2246,3 +2246,46 @@ def hierarchical_revenue_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nat_sum.cast("double") / reg_sum.cast("double")).alias("nation_share_in_region"),
         (reg_sum.cast("double") / tot_sum.cast("double")).alias("region_share_of_total"),
     )
+
+
+# --- correlated LATERAL subquery (top-N per row) -----------------------------------
+
+
+@register(
+    "lateral_top_lineitems_per_order",
+    oracle="""
+SELECT o.o_orderkey, l.l_linenumber,
+       CAST(l.l_extendedprice AS DOUBLE) AS l_extendedprice
+FROM orders o, LATERAL (
+  SELECT l_linenumber, l_extendedprice FROM lineitem
+  WHERE l_orderkey = o.o_orderkey
+  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+WHERE o.o_orderpriority = '1-URGENT'
+""",
+)
+def lateral_top_lineitems_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — each urgent order pulls its own top-2
+    most expensive line items, expressed as the SQL-standard lateral
+    correlation (the form ORMs and BI tools emit) rather than the
+    hand-rolled window + filter. Catalyst decorrelates the LIMIT-ed
+    lateral into exactly that window plan — per-key rank over one
+    orderkey-partitioned exchange — so the declarative form costs the
+    same as window_topk_orders_per_customer's explicit one; DuckDB runs
+    the identical lateral text, pinning cross-engine LATERAL semantics
+    (including the deterministic ORDER BY tie-break inside the lateral).
+
+    Scale: the orders filter prunes before the correlation; no per-row
+    re-execution survives optimization — the plan is join + window, not
+    nested loops."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lat_lineitem")
+    return spark.sql(
+        """
+SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+FROM lat_orders o, LATERAL (
+  SELECT l_linenumber, l_extendedprice FROM lat_lineitem
+  WHERE l_orderkey = o.o_orderkey
+  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+WHERE o.o_orderpriority = '1-URGENT'
+"""
+    )

@@ -21,8 +21,8 @@ any pre-r5 artifact for per-query regression gating.
 
 Each query is forced end-to-end with a ``noop``-format write (full plan
 execution, nothing collected to the driver), timed with a monotonic clock.
-Each query runs THREE times and all timings are recorded: ``queries`` holds
-the min-of-3 (steady-state latency — the first execution pays one-time
+Each query runs two-to-three times and all timings are recorded: ``queries``
+holds the min (steady-state latency — the first execution pays one-time
 Catalyst analysis + Janino codegen compilation, hundreds of ms of JVM work
 unrelated to data volume; r5 raised 2 -> 3 runs because the sandbox host
 throttles CPU in multi-second BURSTS — the same pure-scan query measured
@@ -195,8 +195,18 @@ def main() -> None:
         fn = registry.get(name)
         if fn is None:
             continue
+        # Adaptive min-of-2/3: the third run exists ONLY to outvote the
+        # host's multi-second CPU-throttle bursts (see module docstring).
+        # When runs 1-2 already agree within 25% no burst hit them and the
+        # min is trustworthy; paying the third run anyway pushed the full
+        # 108-query session to ~10 min of wall clock, which risks any
+        # outer harness timeout for zero information.
         runs = []
-        for _ in range(3):
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        if abs(runs[0] - runs[1]) > 0.25 * min(runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)

@@ -281,3 +281,17 @@ def test_winnowing_no_extra_exchange_after_window(spark):
     # doc_id window partitioning is reused by the distinct: <= 2 shuffle
     # exchanges total (window hash + distinct re-key on the packed value)
     assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 2
+
+
+def test_lateral_decorrelates_to_window_not_nested_loop(spark):
+    plan = _plan(Q["lateral_top_lineitems_per_order"](spark, SF), mode="simple")
+    # the LIMIT-ed correlated lateral must become rank-over-window + join,
+    # never a per-row nested-loop re-execution
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_variant_parses_once(spark):
+    plan = _plan(Q["variant_props_extract"](spark, SF), mode="simple")
+    # one parse_json feeding N typed extractions — the point of VARIANT
+    assert plan.count("parse_json") <= 1

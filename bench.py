@@ -171,6 +171,7 @@ HEADLINE = (
     "pseudonymize_user_activity",
     "variant_props_extract",
     "lateral_top_lineitems_per_order",
+    "dedup_quality_report",
 )
 
 

@@ -339,8 +339,9 @@ def _minhash_bands(sh: DataFrame) -> DataFrame:
     )
 
 
-_MINHASH_ORACLE = f"""
-WITH {_SHINGLE_CTES},
+# MinHash signature -> banded candidate CTEs, shared by the LSH oracle and
+# the self-measuring quality report below.
+_MINHASH_CAND_CTES = f"""
 exh AS (
   SELECT doc_id, {h60_sql('s')} % {MINHASH_P} AS h30
   FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
@@ -362,6 +363,11 @@ cands AS (
   FROM bands x JOIN bands y
     ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
 )
+"""
+
+_MINHASH_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+{_MINHASH_CAND_CTES}
 SELECT c.doc_a, c.doc_b, CAST(p.inter AS DOUBLE) / (p.na + p.nb - p.inter) AS jaccard
 FROM cands c JOIN pairs p ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
 WHERE CAST(p.inter AS DOUBLE) / (p.na + p.nb - p.inter) >= {JACCARD_THRESHOLD}
@@ -1154,4 +1160,61 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("mx.nd")).alias("canonical_id"),
         F.col("mx.q").alias("canonical_quality"),
         "n_members",
+    )
+
+
+# --- self-measuring dedup quality report -------------------------------------------
+
+
+@register(
+    "dedup_quality_report",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+{_MINHASH_CAND_CTES},
+truth AS (
+  SELECT doc_a, doc_b FROM pairs
+  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+),
+approx AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cands c JOIN pairs p ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+  WHERE CAST(p.inter AS DOUBLE) / (p.na + p.nb - p.inter) >= {JACCARD_THRESHOLD}
+),
+m AS (
+  SELECT (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM approx) AS n_approx,
+         (SELECT count(*) FROM approx a JOIN truth t
+            ON a.doc_a = t.doc_a AND a.doc_b = t.doc_b) AS tp
+)
+SELECT n_truth, n_approx, tp,
+       CASE WHEN n_approx > 0 THEN CAST(tp AS DOUBLE) / n_approx END AS precision,
+       CASE WHEN n_truth > 0 THEN CAST(tp AS DOUBLE) / n_truth END AS recall
+FROM m
+""",
+)
+def dedup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-measuring approximate-dedup gate: MinHash-LSH's verified pairs
+    scored against the exact inverted-index Jaccard truth — precision and
+    recall as a REGISTERED, value-hash-checked query rather than an
+    offline tool (tools/approx_quality.py measures the frontier; this row
+    keeps the shipped configuration's quality under the same driver gate
+    as the operators themselves). Because the LSH path exact-verifies its
+    candidates, precision is 1.0 by construction and recall is the banding
+    miss rate — a recall drop in this row is a direct signal the
+    (bands, rows) config stopped covering the corpus's similarity regime.
+
+    Scale: both pair sets are the existing operators' plans (inverted
+    index, band join); the metrics join |pairs|-sized outputs — the report
+    costs two counts and one equi-join over result sets, not a new scan
+    shape."""
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    approx = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    tp = approx.join(truth, ["doc_a", "doc_b"]).count()
+    n_truth = truth.count()
+    n_approx = approx.count()
+    row = [(n_truth, n_approx, tp,
+            (tp / n_approx) if n_approx else None,
+            (tp / n_truth) if n_truth else None)]
+    return spark.createDataFrame(
+        row, "n_truth bigint, n_approx bigint, tp bigint, precision double, recall double"
     )

@@ -172,6 +172,7 @@ HEADLINE = (
     "variant_props_extract",
     "lateral_top_lineitems_per_order",
     "dedup_quality_report",
+    "interval_union_coverage",
 )
 
 

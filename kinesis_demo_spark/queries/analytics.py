@@ -2114,3 +2114,88 @@ def python_datasource_stream_events(spark: SparkSession, sf_dir: str) -> DataFra
     finally:
         q.stop()
     return spark.table(name)
+
+
+# --- interval union coverage (merge overlapping intervals) ------------------------
+
+COVER_HALF_WINDOW_S = 1800  # each event covers ts +/- 30 min
+
+
+@register(
+    "interval_union_coverage",
+    oracle=f"""
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) // 1000000 - {COVER_HALF_WINDOW_S} AS s,
+         epoch_us(ts) // 1000000 + {COVER_HALF_WINDOW_S} AS e
+  FROM events
+),
+marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_new_block
+  FROM iv
+),
+blocks AS (
+  SELECT user_id, s, e,
+         sum(is_new_block) OVER (PARTITION BY user_id ORDER BY s, e
+                                 ROWS UNBOUNDED PRECEDING) AS block_id
+  FROM marked
+)
+SELECT user_id,
+       count(DISTINCT block_id) AS n_blocks,
+       CAST(sum(block_len) AS BIGINT) AS covered_seconds
+FROM (
+  SELECT user_id, block_id, max(e) - min(s) AS block_len
+  FROM blocks GROUP BY 1, 2
+)
+GROUP BY user_id
+""",
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals coverage per user: every event covers
+    +/- {COVER_HALF_WINDOW_S} s, overlapping covers MERGE, and the result
+    is how many disjoint activity blocks each user has and their total
+    covered seconds — the classic merge-overlapping-intervals problem
+    (calendar busy time, sensor uptime, on-call coverage) solved with the
+    sort + running-max chain idiom: an interval starts a new block exactly
+    when its start exceeds the running max end of everything before it.
+    All arithmetic is integer epoch seconds — the window comparison, block
+    ids, and lengths are cross-engine exact with no float anywhere.
+
+    Scale: one user-keyed sort feeds the running max, the block-id running
+    sum, and (post block-grain aggregate) the rollup — the single-exchange
+    gaps-and-islands family (SCD-2, sessionize) with an interval twist:
+    the first window's frame must END at 1 PRECEDING, or each interval
+    would chain off its own end and never split a block."""
+    ev = _events(spark, sf_dir)
+    t = F.expr("unix_micros(ts) DIV 1000000")
+    iv = ev.select(
+        "user_id",
+        (t - COVER_HALF_WINDOW_S).alias("s"),
+        (t + COVER_HALF_WINDOW_S).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(F.col("s") > prev_max_e, 1).otherwise(0).alias("is_new_block"),
+    )
+    blocks = marked.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("is_new_block")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("block_id"),
+    )
+    per_block = blocks.groupBy("user_id", "block_id").agg(
+        (F.max("e") - F.min("s")).alias("block_len")
+    )
+    return per_block.groupBy("user_id").agg(
+        F.count_distinct("block_id").alias("n_blocks"),
+        F.sum("block_len").alias("covered_seconds"),
+    )

@@ -173,6 +173,8 @@ HEADLINE = (
     "lateral_top_lineitems_per_order",
     "dedup_quality_report",
     "interval_union_coverage",
+    "top_event_paths",
+    "cusum_value_alarms",
 )
 
 

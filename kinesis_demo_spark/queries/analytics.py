@@ -2199,3 +2199,164 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("block_id").alias("n_blocks"),
         F.sum("block_len").alias("covered_seconds"),
     )
+
+
+# --- sequential pattern mining (top 3-step paths) ---------------------------------
+
+PATH_TOP_K = 20
+
+
+@register(
+    "top_event_paths",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS nxt1,
+         lead(event_type, 2) OVER w AS nxt2
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+paths AS (
+  SELECT event_type || '>' || nxt1 || '>' || nxt2 AS path, count(*) AS n
+  FROM seq WHERE nxt2 IS NOT NULL
+  GROUP BY 1
+),
+ranked AS (
+  SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rnk FROM paths
+)
+SELECT path, n, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {PATH_TOP_K}
+""",
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining, order three: the top-{PATH_TOP_K} most
+    common consecutive event TRIPLES across all users — where the
+    first-order transition matrix says what follows one step, this says
+    which whole journeys dominate (the n-gram model over behavior instead
+    of text; same skeleton as the token vocabulary build). Deterministic
+    (ts, event_id) ordering makes every user's sequence, hence every
+    path count and the tie-broken ranking, cross-engine exact.
+
+    Scale: one user-keyed window (two leads share the frame) -> one
+    path-keyed count with map-side partials -> TakeOrdered top-k; path
+    cardinality is |event_types|^3, tiny regardless of corpus size."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("nxt1"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    )
+    paths = (
+        seq.filter(F.col("nxt2").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "nxt1", "nxt2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    topk = paths.orderBy(F.col("n").desc(), "path").limit(PATH_TOP_K)
+    return topk.select(
+        "path",
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("path")))
+        .cast("long")
+        .alias("rnk"),
+    )
+
+
+# --- CUSUM change detection -------------------------------------------------------
+
+CUSUM_SLACK_CENTS = 500  # half-width of the in-control band
+CUSUM_THRESHOLD_CENTS = 20_000  # alarm level
+
+
+@register(
+    "cusum_value_alarms",
+    oracle=f"""
+WITH base AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         ts, event_id
+  FROM events
+),
+mu AS (
+  SELECT user_id, CAST(sum(cents) AS BIGINT) AS tot, count(*) AS n
+  FROM base GROUP BY user_id
+),
+dev AS (
+  SELECT b.user_id, b.ts, b.event_id,
+         b.cents * m.n - m.tot - {CUSUM_SLACK_CENTS} * m.n AS up_step_scaled,
+         sum(b.cents * m.n - m.tot - {CUSUM_SLACK_CENTS} * m.n)
+           OVER (PARTITION BY b.user_id ORDER BY b.ts, b.event_id
+                 ROWS UNBOUNDED PRECEDING) AS raw_cusum_scaled,
+         m.n AS n
+  FROM base b JOIN mu m ON b.user_id = m.user_id
+)
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(max(raw_cusum_scaled) AS BIGINT) AS peak_scaled,
+       CAST(max(raw_cusum_scaled) AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS peak_drift,
+       CAST(CASE WHEN max(raw_cusum_scaled) > CAST({CUSUM_THRESHOLD_CENTS} AS BIGINT) * n
+            THEN 1 ELSE 0 END AS BIGINT) AS alarm
+FROM dev
+GROUP BY user_id, n
+""",
+)
+def cusum_value_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM upward-drift detection per user: the cumulative sum of
+    (value - mean - slack) crossing a threshold is the classic
+    change-point alarm (Page's test, the simplified no-reset form whose
+    peak statistic still bounds the resetting variant from below). Kept
+    integer-exact by scaling through the per-user event count instead of
+    dividing by it: cents*n - total - slack*n is BIGINT per row (bounds:
+    1e4 cents x 1e4 rows x ... well inside 2^63), the running sum is
+    exact, and the only float ops are the final reported drift and one
+    integer threshold comparison scaled by the same n.
+
+    Scale: a per-user 1-row aggregate broadcast back over the scan, one
+    user-keyed window for the running sum, one rollup — the seasonal-
+    anomaly family shape with a sequential statistic on top."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "user_id",
+        (F.col("value").cast(D2) * 100).cast("long").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    mu = base.groupBy("user_id").agg(
+        F.sum("cents").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    dev = base.join(F.broadcast(mu), "user_id").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "n",
+        (
+            F.col("cents") * F.col("n")
+            - F.col("tot")
+            - F.lit(CUSUM_SLACK_CENTS) * F.col("n")
+        ).alias("up_step_scaled"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = dev.select(
+        "user_id", "n", F.sum("up_step_scaled").over(w).alias("raw_cusum_scaled")
+    )
+    return cusum.groupBy("user_id", "n").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("raw_cusum_scaled").alias("peak_scaled"),
+        (
+            F.max("raw_cusum_scaled").cast("double") / F.col("n").cast("double") / F.lit(100.0)
+        ).alias("peak_drift"),
+        F.when(
+            F.max("raw_cusum_scaled") > F.lit(CUSUM_THRESHOLD_CENTS).cast("long") * F.col("n"),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("alarm"),
+    ).drop("n")

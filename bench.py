@@ -175,6 +175,7 @@ HEADLINE = (
     "interval_union_coverage",
     "top_event_paths",
     "cusum_value_alarms",
+    "revenue_month_over_month",
 )
 
 

@@ -2289,3 +2289,61 @@ FROM lat_orders o, LATERAL (
 WHERE o.o_orderpriority = '1-URGENT'
 """
     )
+
+
+# --- period-over-period revenue report --------------------------------------------
+
+
+@register(
+    "revenue_month_over_month",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT ym,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       n_orders,
+       CAST(lag(rev_dec) OVER (ORDER BY ym) AS DOUBLE) AS prev_revenue,
+       CASE WHEN lag(rev_dec) OVER (ORDER BY ym) IS NOT NULL
+            THEN (CAST(rev_dec AS DOUBLE) - CAST(lag(rev_dec) OVER (ORDER BY ym) AS DOUBLE))
+                 / CAST(lag(rev_dec) OVER (ORDER BY ym) AS DOUBLE)
+       END AS mom_change
+FROM monthly
+""",
+)
+def revenue_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period report: monthly revenue with the previous
+    month's value and the MoM growth rate — the KPI delta every BI layer
+    computes, done safely: the month key is integer year*100+month (no
+    date truncation ambiguity between engines), revenue stays DECIMAL up
+    to the division, and the growth rate subtracts/divides two exact-cast
+    doubles in one fixed expression. The first month's change is NULL,
+    not zero — absence of a comparison is not zero growth.
+
+    Scale: the fact collapses to |months| rows before the single
+    unpartitioned lag window touches anything (a global window is only a
+    smell on un-aggregated data)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("ym")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("ym")
+    prev = F.lag("rev_dec").over(w)
+    return monthly.select(
+        "ym",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        "n_orders",
+        prev.cast("double").alias("prev_revenue"),
+        F.when(
+            prev.isNotNull(),
+            (F.col("rev_dec").cast("double") - prev.cast("double")) / prev.cast("double"),
+        ).alias("mom_change"),
+    )

@@ -176,6 +176,7 @@ HEADLINE = (
     "top_event_paths",
     "cusum_value_alarms",
     "revenue_month_over_month",
+    "packing_efficiency_report",
 )
 
 

@@ -393,3 +393,68 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+# --- packing-efficiency comparison: greedy in-order vs best-fit-decreasing ----------
+
+
+def _pack_shard_bfd(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Best-fit-decreasing packing of one shard: docs sorted by
+    (n_tokens desc, doc_id), each placed into the fullest open bin it
+    still fits; none fits -> open a new bin. Deterministic: ties in
+    residual capacity resolve to the lowest bin id. Oversized docs get
+    their own bin, like the greedy packer."""
+    pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+    bins: list[int] = []  # remaining capacity per bin
+    assign = []
+    for toks in pdf["n_tokens"]:
+        best, best_left = -1, None
+        for b, left in enumerate(bins):
+            if toks <= left and (best_left is None or left < best_left):
+                best, best_left = b, left
+        if best < 0:
+            bins.append(max(0, PACK_BUDGET_TOKENS - toks))
+            assign.append(len(bins) - 1)
+        else:
+            bins[best] -= toks
+            assign.append(best)
+    pdf["bin"] = pd.Series(assign, index=pdf.index, dtype="int64")
+    return pdf[["doc_id", "shard", "bin", "n_tokens"]]
+
+
+@register("packing_efficiency_report")  # BFD is order-dependent + stateful ->
+# no tractable SQL oracle; differential vs a pure-Python reference in
+# tests/test_training_prep.py and invariants (never worse than greedy)
+def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-algorithm comparison per shard: bins used and token
+    utilization for the shipped greedy in-order packer vs best-fit-
+    decreasing — the measurement that tells a training pipeline whether
+    the cheaper streaming-friendly greedy is leaving padding tokens on
+    the table (BFD is the classical near-optimal offline baseline,
+    guaranteed <= 11/9 OPT + 1 bins). Utilization = token_sum /
+    (bins * budget), one exact-integer ratio per (shard, algorithm).
+
+    Scale: both packers run as the same per-shard applyInPandas the
+    shipped operator uses; the report is a per-shard aggregate of the two
+    assignments — algorithm choice changes Python-side work only, never
+    the distribution shape."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    greedy = docs.groupBy("shard").applyInPandas(_pack_shard, schema=_PACK_SCHEMA)
+    bfd = docs.groupBy("shard").applyInPandas(_pack_shard_bfd, schema=_PACK_SCHEMA)
+
+    def report(df: DataFrame, algo: str) -> DataFrame:
+        return df.groupBy("shard").agg(
+            F.lit(algo).alias("algorithm"),
+            F.count_distinct("bin").alias("bins_used"),
+            F.sum("n_tokens").alias("token_sum"),
+            (
+                F.sum("n_tokens").cast("double")
+                / (F.count_distinct("bin") * PACK_BUDGET_TOKENS).cast("double")
+            ).alias("utilization"),
+        )
+
+    return report(greedy, "greedy_inorder").unionByName(report(bfd, "best_fit_decreasing"))

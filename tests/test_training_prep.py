@@ -77,3 +77,48 @@ def test_quantization_bounds_and_roundtrip_error(spark):
         (F.col("err") > F.col("scale") * 0.5 + 1e-12) & (F.abs(F.col("q")) != QUANT_LEVELS)
     )
     assert bad.count() == 0
+
+
+# --- BFD packing -------------------------------------------------------------
+
+
+def test_bfd_packing_matches_python_reference_and_beats_greedy(spark):
+    import duckdb
+
+    from kinesis_demo_spark.queries.training_prep import (
+        PACK_BUDGET_TOKENS,
+        PACK_SHARDS,
+        packing_efficiency_report,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"SELECT doc_id, length(string_split(text, ' ')) FROM '{sf}/documents.parquet'"
+    ).fetchall()
+
+    def ref_bfd(docs):
+        docs = sorted(docs, key=lambda d: (-d[1], d[0]))
+        bins = []
+        for _, toks in docs:
+            best, best_left = -1, None
+            for b, left in enumerate(bins):
+                if toks <= left and (best_left is None or left < best_left):
+                    best, best_left = b, left
+            if best < 0:
+                bins.append(max(0, PACK_BUDGET_TOKENS - toks))
+            else:
+                bins[best] -= toks
+        return len(bins)
+
+    want_bins = {
+        s: ref_bfd([(d, t) for d, t in rows if d % PACK_SHARDS == s])
+        for s in range(PACK_SHARDS)
+    }
+    got = packing_efficiency_report(spark, sf).collect()
+    bfd = {r.shard: r for r in got if r.algorithm == "best_fit_decreasing"}
+    greedy = {r.shard: r for r in got if r.algorithm == "greedy_inorder"}
+    for s in range(PACK_SHARDS):
+        assert bfd[s].bins_used == want_bins[s], s
+        # BFD never uses more bins than in-order greedy
+        assert bfd[s].bins_used <= greedy[s].bins_used, s
+        assert bfd[s].token_sum == greedy[s].token_sum, s

@@ -177,6 +177,8 @@ HEADLINE = (
     "cusum_value_alarms",
     "revenue_month_over_month",
     "packing_efficiency_report",
+    "trimmed_mean_value_by_type",
+    "table_checksums",
 )
 
 

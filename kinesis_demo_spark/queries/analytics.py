@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from ..functions.hashing import h60
+from ..functions.hashing import h60, h60_sql
 from ..io import load_table
 from ..plans.movements import X_SQL, Y_SQL, x_col, y_col
 from ..registry import register
@@ -2360,3 +2360,141 @@ def cusum_value_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alarm"),
     ).drop("n")
+
+
+# --- trimmed mean (p5-p95 robust center) ------------------------------------------
+
+
+@register(
+    "trimmed_mean_value_by_type",
+    oracle="""
+WITH cuts AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*) AS n_kept,
+       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS trimmed_mean,
+       c.lo AS p05, c.hi AS p95
+FROM events e JOIN cuts c ON e.event_type = c.event_type
+WHERE e.value >= c.lo AND e.value <= c.hi
+GROUP BY e.event_type, c.lo, c.hi
+""",
+)
+def trimmed_mean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% two-sided trimmed mean per event type — the robust center the
+    median/MAD outlier pass's sibling: drop everything outside [p05, p95]
+    and average what's left, so a handful of extreme values can't move the
+    reported center. Cutoffs are the shared linear-interpolated exact
+    percentile both engines compute bit-identically; the kept-set mean is
+    a DECIMAL sum over one count division; membership is a plain <=
+    comparison against the identical cutoff doubles — no tolerance
+    anywhere.
+
+    Scale: one percentile aggregate per type (|types| rows) broadcast back
+    over the scan, one conditional aggregate — the MAD-outlier family
+    shape."""
+    ev = _events(spark, sf_dir)
+    cuts = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .filter((F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi")))
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            (
+                F.sum(F.col("value").cast(D2)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("trimmed_mean"),
+        )
+        .select(
+            "event_type",
+            "n_kept",
+            "trimmed_mean",
+            F.col("lo").alias("p05"),
+            F.col("hi").alias("p95"),
+        )
+    )
+
+
+# --- order-independent table checksums (migration validation) ---------------------
+
+
+@register(
+    "table_checksums",
+    oracle=f"""
+SELECT 'events' AS tbl, count(*) AS n_rows,
+       bit_xor({h60_sql("event_id || '|' || CAST(epoch_us(ts) AS VARCHAR) || '|' || user_id || '|' || event_type || '|' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) || '|' || props")}) AS checksum
+FROM events
+UNION ALL
+SELECT 'orders', count(*),
+       bit_xor({h60_sql("o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' || o_orderpriority")})
+FROM orders
+UNION ALL
+SELECT 'customer', count(*),
+       bit_xor({h60_sql("c_custkey || '|' || c_name || '|' || c_nationkey || '|' || CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) || '|' || c_mktsegment")})
+FROM customer
+""",
+)
+def table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksums — the migration/replica
+    validation primitive: per table, the row count plus the XOR of every
+    row's canonical-serialization hash. XOR is commutative/associative
+    with no overflow, so ANY partitioning, engine, or row order yields
+    the same checksum, and a single changed row flips it. Canonical
+    serialization pins the cross-engine trap: floats render differently
+    per engine, so money fields pass through DECIMAL(18,2) before
+    stringification, and timestamps serialize as epoch integers, never
+    formatted strings.
+
+    Scale: one scan per table, map-side-combinable count + bit_xor — the
+    cheapest possible full-content verification; at 100 TB you run it per
+    partition and XOR the partials (which is literally what the aggregate
+    already does)."""
+    ev = _events(spark, sf_dir)
+    ev_canon = F.concat_ws(
+        "|",
+        F.col("event_id"),
+        F.unix_micros("ts"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value").cast(D2).cast("string"),
+        F.col("props"),
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    o_canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast(D2).cast("string"),
+        F.unix_micros("o_orderdate"),
+        F.col("o_orderpriority"),
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    c_canon = F.concat_ws(
+        "|",
+        F.col("c_custkey"),
+        F.col("c_name"),
+        F.col("c_nationkey"),
+        F.col("c_acctbal").cast(D2).cast("string"),
+        F.col("c_mktsegment"),
+    )
+
+    def one(df: DataFrame, name: str, canon: F.Column) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("tbl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor(h60(canon)).alias("checksum"),
+        ).select("tbl", "n_rows", "checksum")
+
+    return (
+        one(ev, "events", ev_canon)
+        .unionByName(one(orders, "orders", o_canon))
+        .unionByName(one(customer, "customer", c_canon))
+    )

@@ -179,6 +179,7 @@ HEADLINE = (
     "packing_efficiency_report",
     "trimmed_mean_value_by_type",
     "table_checksums",
+    "null_safe_join_semantics",
 )
 
 

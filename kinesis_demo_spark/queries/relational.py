@@ -2347,3 +2347,47 @@ def revenue_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev_dec").cast("double") - prev.cast("double")) / prev.cast("double"),
         ).alias("mom_change"),
     )
+
+
+# --- null-safe equality join semantics ---------------------------------------------
+
+
+@register(
+    "null_safe_join_semantics",
+    oracle="""
+WITH l AS (
+  SELECT o_orderkey, NULLIF(o_orderpriority, '5-LOW') AS k FROM orders
+),
+r AS (
+  SELECT NULLIF(o_orderpriority, '5-LOW') AS k, count(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT
+  (SELECT count(*) FROM l JOIN r ON l.k = r.k) AS std_eq_matches,
+  (SELECT count(*) FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k) AS null_safe_matches,
+  (SELECT count(*) FROM l WHERE k IS NULL) AS null_keys
+""",
+)
+def null_safe_join_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality (`<=>` / IS NOT DISTINCT FROM) vs standard `=`
+    in one row: the low-priority class is NULLed out on both sides, so
+    standard equality silently DROPS every such order from the join
+    (NULL = NULL is UNKNOWN) while the null-safe form matches them to the
+    NULL group — the dbt/warehouse merge-key trap that pairs with
+    not_in_null_semantics' three-valued filter trap. The verification is
+    arithmetic: null_safe - std == null_keys exactly.
+
+    Scale: both joins are |orders| x |priority-groups| broadcast
+    equi-joins (Spark plans <=> as a hash join key like any other); the
+    counts are 1-row aggregates."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.nullif(F.col("o_orderpriority"), F.lit("5-LOW"))
+    l = orders.select("o_orderkey", k.alias("k"))
+    r = orders.groupBy(k.alias("rk")).agg(F.count(F.lit(1)).alias("n"))
+    std = l.join(F.broadcast(r), l.k == r.rk).count()
+    nsafe = l.join(F.broadcast(r), l.k.eqNullSafe(r.rk)).count()
+    nulls = l.filter(F.col("k").isNull()).count()
+    return spark.createDataFrame(
+        [(std, nsafe, nulls)],
+        "std_eq_matches bigint, null_safe_matches bigint, null_keys bigint",
+    )

@@ -180,6 +180,7 @@ HEADLINE = (
     "trimmed_mean_value_by_type",
     "table_checksums",
     "null_safe_join_semantics",
+    "join_size_prediction",
 )
 
 

@@ -2391,3 +2391,58 @@ def null_safe_join_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(std, nsafe, nulls)],
         "std_eq_matches bigint, null_safe_matches bigint, null_keys bigint",
     )
+
+
+# --- join-size prediction identity -------------------------------------------------
+
+
+@register(
+    "join_size_prediction",
+    oracle="""
+WITH a AS (SELECT o_custkey AS k, count(*) AS ca FROM orders GROUP BY 1),
+b AS (SELECT c_custkey AS k, count(*) AS cb FROM customer GROUP BY 1),
+pred AS (
+  SELECT CAST(sum(ca * cb) AS BIGINT) AS predicted
+  FROM a JOIN b ON a.k = b.k
+),
+act AS (
+  SELECT count(*) AS actual
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT p.predicted, a.actual,
+       CAST(p.predicted = a.actual AS BIGINT) AS identity_holds
+FROM pred p CROSS JOIN act a
+""",
+)
+def join_size_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality prediction from per-key histograms:
+    |A join B| = sum over shared keys of count_A(k) * count_B(k) — the
+    formula every cost-based optimizer approximates from sampled
+    statistics, computed here EXACTLY and pinned against the real join's
+    count in the same row (identity_holds must be 1). The operational
+    point: the prediction costs two key-grouped counts and a
+    |keys|-sized join — run it BEFORE a fact-fact join to know whether
+    the output explodes (hot-key quadratic blowup) without paying for the
+    join; it is the query-able form of the skew_concentration_report's
+    warning.
+
+    Scale: both histogram aggregates are map-side combinable; the
+    prediction join carries |distinct keys| rows. The 'actual' leg exists
+    only to pin the identity — a production pre-flight would run the
+    prediction alone."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    a = orders.groupBy(F.col("o_custkey").alias("k")).agg(F.count(F.lit(1)).alias("ca"))
+    b = customer.groupBy(F.col("c_custkey").alias("k")).agg(F.count(F.lit(1)).alias("cb"))
+    pred = a.join(b, "k").agg(F.sum(F.col("ca") * F.col("cb")).alias("predicted"))
+    act = orders.join(customer, orders.o_custkey == customer.c_custkey).agg(
+        F.count(F.lit(1)).alias("actual")
+    )
+    return (
+        pred.crossJoin(act)
+        .select(
+            "predicted",
+            "actual",
+            (F.col("predicted") == F.col("actual")).cast("long").alias("identity_holds"),
+        )
+    )

@@ -117,3 +117,14 @@ def test_trend_and_pit_on_empty_events(spark, empty_dir, tmp_path_factory):
     from kinesis_demo_spark.queries.analytics import trend_slope_per_user
 
     assert trend_slope_per_user(spark, empty_dir).count() == 0
+
+
+def test_final_wave_event_ops_on_empty_events(spark, empty_dir):
+    from kinesis_demo_spark.queries import analytics as A
+
+    assert A.interval_union_coverage(spark, empty_dir).count() == 0
+    assert A.top_event_paths(spark, empty_dir).count() == 0
+    assert A.cusum_value_alarms(spark, empty_dir).count() == 0
+    assert A.trimmed_mean_value_by_type(spark, empty_dir).count() == 0
+    assert A.twap_value_per_user(spark, empty_dir).count() == 0
+    assert A.rolling_active_users(spark, empty_dir).count() == 0

@@ -752,13 +752,14 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = best[0]
         a, b, n = row.p.a, row.p.b, row.n
         merges.append((rnd, a, b, a + BPE_SEP + b, n))
-        nxt = track_persist(
+        # persisted but NOT eagerly counted: the next round's pair-count job
+        # materializes this cache as its first consumer, so an explicit
+        # count() here would be a redundant second action per round
+        current = track_persist(
             current.select(
                 "doc_id", _apply_merge(F.col("toks"), F.lit(a), F.lit(b)).alias("toks")
             )
         )
-        nxt.count()  # materialize before releasing the parent cache
-        current = nxt
     release_persisted()
     return spark.createDataFrame(
         merges, "round bigint, sym_a string, sym_b string, merged string, n bigint"

@@ -931,3 +931,101 @@ def embedding_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("centroid_cosine")
     )
+
+
+# --- distributed PCA (exact covariance + driver-side eigensolve) -------------------
+
+PCA_TOP_COMPONENTS = 4
+
+
+@register("pca_embedding_components")  # eigensolve -> no SQL oracle; numpy
+# differential + invariants in tests/test_similarity_pq.py
+def pca_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding corpus, the textbook two-stage
+    shape: the EXPENSIVE part — mean vector and the full 64x64 covariance
+    — is computed distributed from per-(i, j) moments, and only the
+    FIXED-SIZE matrix crosses to the driver for the eigensolve (64x64 is
+    constant work regardless of corpus size; shipping the corpus to a
+    single-node PCA is what this shape exists to avoid). Output: the top
+    {PCA_TOP_COMPONENTS} components' explained-variance ratios and each
+    component's dominant dimension — the spectrum summary a
+    dimensionality-reduction decision reads.
+
+    Determinism: every float reduction is the ordered sequential fold
+    (members by vec_id — the centroid_by_label machinery), so the
+    covariance entering the eigensolve is byte-identical on every run and
+    partitioning; numpy's eigh on identical input is deterministic, and
+    eigenvector sign is fixed by convention (largest-|coordinate| entry
+    made positive). Scale note: at 100 TB the ordered fold per (i, j)
+    group becomes two-stage mean-of-partials with fixed boundaries; the
+    (dims^2)/2 group count is corpus-independent."""
+    import numpy as np
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    e = emb.select("vec_id", F.posexplode("embedding").alias("d0", "v")).select(
+        (F.col("d0") + 1).alias("i"), "vec_id", F.col("v").cast("double").alias("v")
+    )
+    pairs = (
+        e.alias("a")
+        .join(e.alias("b"), (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.i") <= F.col("b.i")))
+        .select(
+            F.col("a.i").alias("i"),
+            F.col("b.i").alias("j"),
+            F.col("a.vec_id").alias("vec_id"),
+            (F.col("a.v") * F.col("b.v")).alias("xy"),
+            F.col("a.v").alias("x"),
+            F.col("b.v").alias("y"),
+        )
+    )
+
+    def fold(col: str) -> F.Column:
+        return F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("vec_id"), F.col(col).alias("x")))),
+                lambda s: s["x"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    moments = (
+        pairs.groupBy("i", "j")
+        .agg(
+            fold("xy").alias("sxy"),
+            fold("x").alias("sx"),
+            fold("y").alias("sy"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    dim = max(r.j for r in moments)
+    n = moments[0].n
+    cov = np.zeros((dim, dim))
+    for r in moments:
+        c = (r.sxy - r.sx * r.sy / r.n) / (r.n - 1)
+        cov[r.i - 1, r.j - 1] = c
+        cov[r.j - 1, r.i - 1] = c
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1]
+    total = float(vals.sum())
+    rows = []
+    for rank, idx in enumerate(order[:PCA_TOP_COMPONENTS], start=1):
+        vec = vecs[:, idx]
+        dom = int(np.argmax(np.abs(vec)))
+        if vec[dom] < 0:  # sign convention: dominant coordinate positive
+            vec = -vec
+        rows.append(
+            (
+                rank,
+                float(vals[idx]),
+                float(vals[idx] / total),
+                dom + 1,
+                float(vec[dom]),
+                n,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "component bigint, eigenvalue double, explained_ratio double, "
+        "dominant_dim bigint, dominant_loading double, n_vectors bigint",
+    )

@@ -98,3 +98,40 @@ def test_truncated_prescreen_scores_are_exact_cosine(spark):
         key = (r.query_id, r.neighbor_id)
         if key in exact:
             assert r.cosine == exact[key], key
+
+
+def test_pca_matches_numpy_and_run_deterministic(spark):
+    import duckdb
+    import numpy as np
+
+    from kinesis_demo_spark.io import release_persisted
+    from kinesis_demo_spark.queries.similarity import (
+        PCA_TOP_COMPONENTS,
+        pca_embedding_components,
+    )
+
+    vecs = np.array(
+        duckdb.sql(f"SELECT embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id").fetchnumpy()[
+            "embedding"
+        ].tolist(),
+        dtype=np.float64,
+    )
+    cov = np.cov(vecs, rowvar=False, ddof=1)
+    vals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    want_ratios = vals[:PCA_TOP_COMPONENTS] / vals.sum()
+
+    got = sorted(pca_embedding_components(spark, SF).collect(), key=lambda r: r.component)
+    release_persisted()
+    for r, wv, wr in zip(got, vals, want_ratios):
+        # the engine folds float32-cast-to-double sequentially while numpy
+        # sums pairwise over the same doubles — identical mathematical
+        # covariance, last-ulp summation differences only
+        assert abs(r.eigenvalue - wv) < 1e-9 * max(1.0, abs(wv)), r
+        assert abs(r.explained_ratio - wr) < 1e-9, r
+    # spectra are positive and ordered; ratios bounded
+    assert all(g.eigenvalue > 0 for g in got)
+    assert [g.component for g in got] == list(range(1, PCA_TOP_COMPONENTS + 1))
+    # byte-identical across runs (ordered folds)
+    again = sorted(pca_embedding_components(spark, SF).collect(), key=lambda r: r.component)
+    release_persisted()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]

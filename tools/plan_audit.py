@@ -55,6 +55,8 @@ STREAM_DRAINS = {
     "bpe_train_merges",
     "pagerank_copurchase",
     "python_datasource_stream_events",
+    # driver-side eigensolve consumes collected moments on construction
+    "pca_embedding_components",
 }
 
 PY_STAGES = (

@@ -1675,6 +1675,10 @@ def trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT arithmetic: x = whole seconds since the corpus's first event
     (global-min rebase keeps x small enough that sum(x*x) stays far below
     2^63 — raw epoch seconds squared would overflow), y = exact cents.
+    Bound condition: span_seconds^2 x max-rows-per-key must stay under
+    2^63 (a decade's span supports ~90k rows/key at second resolution);
+    coarser x units (minutes/hours) buy 3-4 orders of magnitude when a
+    deployment exceeds it, changing only the slope's unit.
     Slope and intercept are then a fixed handful of IEEE ops on identical
     integers, so both engines produce bit-identical doubles. Degenerate
     users (a single event, or zero time variance) are excluded by an

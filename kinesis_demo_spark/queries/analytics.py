@@ -1941,9 +1941,16 @@ def temporal_join_orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("version"),
         "o_orderkey",
     )
+    # version as the tertiary sort key: two CONSECUTIVE intervals can share
+    # valid_from when their boundary events carry the identical timestamp —
+    # the containment oracle then deterministically assigns the LATER
+    # version (v's valid_to == t makes "t < valid_to" false), so the window
+    # must order equal-(t, tag) interval rows by version for last() to pick
+    # the same one. No fixture exhibits the tie; the ordering closes the
+    # hazard for data that does.
     w = (
         Window.partitionBy("k")
-        .orderBy("t", "tag")
+        .orderBy("t", "tag", "version")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = intervals.unionByName(probes).select(

@@ -348,3 +348,35 @@ def test_pagerank_is_deterministic_across_runs(spark):
     r2 = {r.part: r.pagerank for r in pagerank_copurchase(spark, sf).collect()}
     release_persisted()
     assert r1 == r2  # byte-identical, the DECIMAL-arithmetic guarantee
+
+
+def test_temporal_join_equal_timestamp_interval_boundary(spark, tmp_path_factory):
+    """When consecutive state intervals share valid_from (boundary events at
+    the identical timestamp), a probe at that instant must see the LATER
+    version — the containment rule (valid_from <= t < valid_to) makes the
+    earlier interval zero-length at the boundary."""
+    import datetime as dt
+
+    from kinesis_demo_spark.queries.analytics import temporal_join_orders_state
+    from kinesis_demo_spark.queries.relational import CUSTKEY_MOD
+
+    out = tmp_path_factory.mktemp("tjtie")
+    user = 5
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    t1 = dt.datetime(2024, 1, 1, 13, 0, 0)
+    events = [
+        (1, t0, user, "view", 1.0, "{}"),      # version 1: view @ t0
+        (2, t1, user, "click", 1.0, "{}"),     # version 2: click @ t1
+        (3, t1, user, "purchase", 1.0, "{}"),  # version 3: purchase @ t1 (tie!)
+    ]
+    spark.createDataFrame(
+        events,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    ).write.parquet(str(out / "events.parquet"))
+    orders = [(100, user + CUSTKEY_MOD, "O", 1.0, t1, "1-URGENT")]  # probe AT the tie
+    spark.createDataFrame(
+        orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(out / "orders.parquet"))
+    row = temporal_join_orders_state(spark, str(out)).collect()[0]
+    assert row.state_at_order == "purchase" and row.state_version == 3

@@ -181,6 +181,7 @@ HEADLINE = (
     "table_checksums",
     "null_safe_join_semantics",
     "join_size_prediction",
+    "recursive_hierarchy_rollup",
 )
 
 

@@ -2446,3 +2446,59 @@ def join_size_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("predicted") == F.col("actual")).cast("long").alias("identity_holds"),
         )
     )
+
+
+# --- recursive CTE hierarchy rollup (Spark 4 WITH RECURSIVE) ------------------------
+
+
+@register(
+    "recursive_hierarchy_rollup",
+    oracle="""
+WITH RECURSIVE anc AS (
+  SELECT p_partkey AS leaf, p_partkey AS node,
+         CAST(p_retailprice AS DECIMAL(18,2)) AS price, 0 AS depth
+  FROM part
+  UNION ALL
+  SELECT leaf, node // 10, price, depth + 1
+  FROM anc WHERE node >= 10
+)
+SELECT node AS ancestor,
+       count(*) AS n_parts,
+       CAST(sum(price) AS DOUBLE) AS subtree_value,
+       CAST(max(depth) AS BIGINT) AS max_depth
+FROM anc GROUP BY node
+""",
+)
+def recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE, SPARK-24497) walking a
+    part hierarchy — each part's ancestor chain by repeated key division —
+    and rolling subtree value and size up to EVERY ancestor: the
+    BOM-explosion / org-chart aggregation that previously required the
+    engine's hand-written iterative loops (dedup_clusters' label
+    propagation). Data-dependent recursion depth, declarative text, and
+    DuckDB executes the equivalent recursion natively, so the traversal
+    itself is value-hash checked. The iterative forms remain the scale
+    path for huge graphs (recursion materializes the full frontier per
+    step); this row pins that the DECLARATIVE surface exists and agrees.
+
+    Scale: each recursion step is a narrow projection+filter over the
+    previous frontier (no joins here), depth is log10(maxkey); the final
+    rollup is one grouped aggregate."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("rec_part")
+    return spark.sql(
+        """
+WITH RECURSIVE anc AS (
+  SELECT p_partkey AS leaf, p_partkey AS node,
+         CAST(p_retailprice AS DECIMAL(18,2)) AS price, 0 AS depth
+  FROM rec_part
+  UNION ALL
+  SELECT leaf, node DIV 10, price, depth + 1
+  FROM anc WHERE node >= 10
+)
+SELECT node AS ancestor,
+       count(*) AS n_parts,
+       CAST(sum(price) AS DOUBLE) AS subtree_value,
+       CAST(max(depth) AS BIGINT) AS max_depth
+FROM anc GROUP BY node
+"""
+    )

@@ -182,6 +182,7 @@ HEADLINE = (
     "null_safe_join_semantics",
     "join_size_prediction",
     "recursive_hierarchy_rollup",
+    "sql_modern_surfaces",
 )
 
 

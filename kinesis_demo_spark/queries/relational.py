@@ -2502,3 +2502,58 @@ SELECT node AS ancestor,
 FROM anc GROUP BY node
 """
     )
+
+
+# --- Spark 4 modern SQL front-end battery -------------------------------------------
+
+
+@register(
+    "sql_modern_surfaces",
+    oracle="""
+SELECT lower(CASE WHEN l_linenumber % 2 = 0 THEN upper(l_returnflag)
+                  ELSE lower(l_returnflag) END) AS flag_ci,
+       count(*) AS n,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc_revenue
+FROM lineitem
+WHERE l_quantity <= 30
+GROUP BY 1
+""",
+)
+def sql_modern_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four Spark 4 SQL front-end surfaces in one hash-checked flow:
+    a SQL-defined scalar function (CREATE FUNCTION ... RETURN, carrying
+    the engine's DECIMAL discount-revenue idiom), a session VARIABLE as
+    the predicate parameter (DECLARE/SET VAR — the SQL-native
+    parameterization BI tools emit), case-insensitive COLLATE UTF8_LCASE
+    grouping over a deliberately mixed-case label (upper/lower variants
+    of the same flag must land in one group), and SQL pipe syntax (|>)
+    driving the whole flow. The oracle is the classic-SQL equivalent —
+    lower() normalization, inline arithmetic — so the row pins that the
+    ergonomic surfaces change NOTHING semantically.
+
+    Scale: identical plan to the classic form — the UDF inlines, the
+    variable folds to a pushed literal, collation is a grouping-key
+    property; Catalyst compiles all four away."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("msf_lineitem")
+    spark.sql(
+        """
+CREATE OR REPLACE TEMPORARY FUNCTION msf_disc_revenue(p DOUBLE, d DOUBLE)
+RETURNS DECIMAL(37,4)
+RETURN CAST(p AS DECIMAL(18,2)) * CAST(1 - d AS DECIMAL(18,2))
+"""
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE msf_qty_cap DOUBLE DEFAULT 30.0")
+    return spark.sql(
+        """
+FROM msf_lineitem
+|> WHERE l_quantity <= msf_qty_cap
+|> SELECT CASE WHEN l_linenumber % 2 = 0 THEN upper(l_returnflag)
+               ELSE lower(l_returnflag) END AS flag,
+          l_extendedprice, l_discount
+|> AGGREGATE count(*) AS n,
+             CAST(sum(msf_disc_revenue(l_extendedprice, l_discount)) AS DOUBLE) AS disc_revenue
+   GROUP BY flag COLLATE UTF8_LCASE AS flag_grp
+|> SELECT lower(flag_grp) AS flag_ci, n, disc_revenue
+"""
+    )

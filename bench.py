@@ -183,6 +183,7 @@ HEADLINE = (
     "join_size_prediction",
     "recursive_hierarchy_rollup",
     "sql_modern_surfaces",
+    "sql_table_function_summary",
 )
 
 

@@ -2557,3 +2557,47 @@ FROM msf_lineitem
 |> SELECT lower(flag_grp) AS flag_ci, n, disc_revenue
 """
     )
+
+
+# --- SQL table function (parameterized view) ---------------------------------------
+
+
+@register(
+    "sql_table_function_summary",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+""",
+)
+def sql_table_function_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined TABLE function (CREATE FUNCTION ... RETURNS TABLE — the
+    parameterized view, Spark 4's SQL UDTF sibling of the scalar SQL UDF
+    in sql_modern_surfaces) applied LATERALLY to every user: each key row
+    invokes the function with itself as the argument, and Catalyst
+    decorrelates the whole construct back to the plain grouped aggregate
+    the oracle states — pinning that the reusable-SQL packaging surface
+    is free. This is the form warehouse teams publish curated metrics in:
+    one governed definition, callable per key, no plan penalty.
+
+    Scale: identical plan to GROUP BY user_id — one map-side-combinable
+    aggregate; the table function and lateral both compile away."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("tfs_events")
+    spark.sql(
+        """
+CREATE OR REPLACE TEMPORARY FUNCTION tfs_user_summary(u BIGINT)
+RETURNS TABLE(n_events BIGINT, total_value DOUBLE)
+RETURN SELECT count(*) AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       FROM tfs_events WHERE user_id = u
+"""
+    )
+    return spark.sql(
+        """
+SELECT u.user_id, s.n_events, s.total_value
+FROM (SELECT DISTINCT user_id FROM tfs_events) u,
+     LATERAL tfs_user_summary(u.user_id) s
+"""
+    )

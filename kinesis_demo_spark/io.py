@@ -130,15 +130,26 @@ def release_persisted() -> int:
 
 
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition before compute-heavy per-row stages.
+    """Round-robin repartition before compute-heavy per-row stages — but ONLY
+    when the input is under-parallel (fewer partitions than
+    defaultParallelism).
 
     The local fixtures are single small parquet files — one input split, so
-    without this every expression-heavy derivation (shingling, hashing,
-    vector folds, pandas UDFs) runs on ONE core of local[32]. On a real
-    cluster the lake has many splits and this exchange is a cheap fan-out of
-    a small table; for compute-bound stages the shuffle cost is noise next to
-    the per-row work it parallelizes."""
-    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    without the exchange every expression-heavy derivation (shingling,
+    hashing, vector folds, pandas UDFs) runs on ONE core of local[32]. On a
+    real cluster a lake scan already has thousands of splits, and an
+    unconditional repartition would round-robin-shuffle the entire raw corpus
+    before any pruning AND cap parallelism at defaultParallelism (VERDICT r5
+    #2) — so a scan that is already at-or-above defaultParallelism passes
+    through untouched (identity, no Exchange in the plan; pinned in
+    tests/test_sources.py). Explicit ``partitions`` still repartitions
+    unconditionally — callers use it to pin a layout, not to fan out."""
+    if partitions is not None:
+        return df.repartition(partitions)
+    n = df.sparkSession.sparkContext.defaultParallelism
+    # Plan-only inspection: .rdd translates the physical plan but runs no job.
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)
 
 

@@ -2,12 +2,16 @@
 frame-sample over opaque ``binary`` payloads with typed metadata.
 
 The Spark-side plumbing is real — Arrow-batched ``mapInPandas`` with declared
-output schemas, binary columns kept opaque end-to-end — while the actual
-codec work is STUBBED: this container has no image/audio libraries, so
-``decode_image_real`` raises ``NotImplementedError`` and the queries use
-``fake_decode_features``, a deterministic arithmetic "decode" whose outputs a
-SQL oracle can replicate. Swapping the fake for a real decoder changes ONE
-function; schemas, batching, and partitioning are production-shaped already.
+output schemas, binary columns kept opaque end-to-end. Codec status (r6): the
+container has no imaging libraries, so there are TWO decode paths behind the
+same seam: ``decode_image_real`` is a GENUINE from-bytes codec for 24-bit
+uncompressed BMP implemented on numpy alone (header parse, row padding,
+bottom-up order, BGR swizzle — see ``encode_bmp`` for the matching fixture
+encoder), raising ``NotImplementedError`` for formats that need external
+libraries (PNG/JPEG/audio — in production a PIL/libvips call slots in here);
+``fake_decode_features`` remains the deterministic arithmetic stand-in used
+where the oracle needs text-derived payloads. Schemas, batching, and
+partitioning are production-shaped for both.
 
 Scale notes: mapInPandas streams Arrow batches executor-side (no driver
 involvement, no per-row Python overhead); payload bytes cross the JVM<->Python
@@ -47,19 +51,116 @@ FRAMES_SCHEMA = T.StructType(
 )
 
 
-def decode_image_real(payload: bytes) -> object:
-    """STUB — real image decode. The container ships no imaging libraries;
-    in production this is `PIL.Image.open(io.BytesIO(payload))` (or a
-    libvips/ffmpeg call for audio/video) behind the same mapInPandas shape."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:
+def encode_bmp(img) -> bytes:
+    """Pure-numpy 24-bit uncompressed BMP encoder (BITMAPINFOHEADER,
+    bottom-up rows, BGR byte order, 4-byte row padding) — used by the
+    fixture side of the REAL decode path to synthesize genuine image files
+    without any external codec. ``img`` is an (h, w, 3) uint8 RGB array."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    # logical RGB top-down -> stored BGR bottom-up with padded rows
+    bgr = img[::-1, :, ::-1]
+    rows = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+    rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+    pixel_data = rows.tobytes()
+    data_offset = 14 + 40
+    file_size = data_offset + len(pixel_data)
+    u16 = lambda v: int(v).to_bytes(2, "little")  # noqa: E731
+    u32 = lambda v: int(v).to_bytes(4, "little")  # noqa: E731
+    header = (
+        b"BM" + u32(file_size) + u32(0) + u32(data_offset)
+        + u32(40) + u32(w) + u32(h) + u16(1) + u16(24)
+        + u32(0) + u32(len(pixel_data)) + u32(2835) + u32(2835) + u32(0) + u32(0)
+    )
+    return header + pixel_data
+
+
+def decode_image_real(payload: bytes):
+    """REAL image decode for 24-bit uncompressed BMP — a genuine from-bytes
+    codec implemented on numpy alone (this container ships no imaging
+    libraries, so BMP's spec-simple layout is the honest real path; PNG/JPEG
+    still raise, and in production a PIL/libvips call slots in behind this
+    same seam). Returns an (h, w, 3) uint8 RGB array.
+
+    Parses the BITMAPFILEHEADER + BITMAPINFOHEADER, validates magic /
+    bpp / compression, then undoes the storage transforms: 4-byte row
+    padding, bottom-up row order, BGR channel order."""
+    import numpy as np
+
+    buf = bytes(payload)
+    if len(buf) < 2 or buf[:2] != b"BM":
         raise NotImplementedError(
-            "real image decode requires an imaging library not present in "
-            "this environment; use fake_decode_features for the deterministic "
-            "test path"
-        ) from exc
-    raise NotImplementedError("real decode path not wired in this build")
+            "decode_image_real handles 24-bit BMP only in this environment; "
+            "other codecs require imaging libraries not present here"
+        )
+    if len(buf) < 54:
+        raise ValueError("truncated BMP header")
+    i32 = lambda o: int.from_bytes(buf[o:o + 4], "little", signed=True)  # noqa: E731
+    u16_at = lambda o: int.from_bytes(buf[o:o + 2], "little")  # noqa: E731
+    data_offset = i32(10)
+    w, h = i32(18), i32(22)
+    bpp, compression = u16_at(28), i32(30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"decode_image_real supports 24-bit uncompressed BMP, got "
+            f"bpp={bpp} compression={compression}"
+        )
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h}")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    need = data_offset + stride * h
+    if len(buf) < need:
+        raise ValueError(f"truncated BMP pixel data: {len(buf)} < {need}")
+    rows = np.frombuffer(
+        buf, dtype=np.uint8, count=stride * h, offset=data_offset
+    ).reshape(h, stride)[:, :row_bytes]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if bottom_up:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+REAL_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("n_pixels", T.LongType(), False),
+        T.StructField("r_sum", T.LongType(), False),
+        T.StructField("g_sum", T.LongType(), False),
+        T.StructField("b_sum", T.LongType(), False),
+    ]
+)
+
+
+def real_decode_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """REAL decode + feature-extract: parse each BMP payload back to pixels
+    and compute exact integer channel statistics. Decode is inherently
+    per-payload; all pixel math inside a payload is vectorized numpy.
+    Input columns: doc_id, payload (binary BMP)."""
+    for pdf in batches:
+        out: dict[str, list] = {k.name: [] for k in REAL_FEATURES_SCHEMA}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            img = decode_image_real(bytes(payload))
+            h, w = img.shape[:2]
+            sums = img.reshape(-1, 3).sum(axis=0, dtype="int64")
+            out["doc_id"].append(doc_id)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_pixels"].append(w * h)
+            out["r_sum"].append(int(sums[0]))
+            out["g_sum"].append(int(sums[1]))
+            out["b_sum"].append(int(sums[2]))
+        yield pd.DataFrame(out)
 
 
 def fake_decode_features(

@@ -1843,14 +1843,14 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     damping = F.lit(PAGERANK_DAMPING).cast(RANK_DEC)
     init = F.lit(f"{1.0 / n_nodes:.18f}").cast(RANK_DEC)
     ranks = nodes.select("part", init.alias("rank"))
-    for _ in range(PAGERANK_ITERS):
+    for it in range(PAGERANK_ITERS):
         contrib = (
             edges.join(ranks, edges.src == ranks.part)
             .select("dst", (F.col("p") * F.col("rank")).cast(RANK_DEC).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").cast(RANK_DEC).alias("in_rank"))
         )
-        nxt = track_persist(
+        nxt = (
             nodes.join(contrib, nodes.part == contrib.dst, "left_outer")
             .select(
                 "part",
@@ -1861,7 +1861,17 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast(RANK_DEC).alias("rank"),
             )
         )
-        nxt.count()  # materialize before the next round reuses it
+        if (it + 1) % 4 == 0:
+            # Lineage truncation every 4 rounds (VERDICT r5 #3): the rank
+            # DataFrame otherwise unrolls every prior join into one growing
+            # plan, so an evicted cache block recomputes from round 0.
+            # localCheckpoint is eager — it IS the per-round materialization
+            # (on a real cluster, checkpoint() to the lake for executor-loss
+            # tolerance).
+            nxt = nxt.localCheckpoint()
+        else:
+            nxt = track_persist(nxt)
+            nxt.count()  # materialize before the next round reuses it
         ranks = nxt
     # caches stay tracked; the CALLER releases them after its action (the
     # io.track_persist contract) — the returned plan reads the final

@@ -734,7 +734,12 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges: list[tuple[int, str, str, str, int]] = []
     current = docs
     for rnd in range(1, BPE_ROUNDS + 1):
-        pairs = current.select(
+        # Re-filter EVERY round (ADVICE r5): a 2-token doc whose pair was the
+        # previous round's best merge collapses to 1 token, and sequence(1,
+        # size-1) would then yield the descending [1, 0] -> element_at index-0
+        # error. The doc stays in `current` (rewrite is a no-op) — only the
+        # pair scan must skip it.
+        pairs = current.filter(F.size("toks") >= 2).select(
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.size("toks") - 1),

@@ -930,6 +930,10 @@ def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MAX_CC_ITERATIONS = 20
+# Lineage-truncation cadence for iterative loops: any round whose number is a
+# multiple of this localCheckpoints its state, bounding both plan size and
+# the recompute blast radius to O(CC_CHECKPOINT_EVERY) rounds.
+CC_CHECKPOINT_EVERY = 4
 
 
 @register(
@@ -980,7 +984,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = track_persist(docs.select("doc_id", F.col("doc_id").alias("cluster_id")))
     labels.count()
     changed = -1
-    for _ in range(MAX_CC_ITERATIONS):
+    for rnd in range(MAX_CC_ITERATIONS):
         neighbor_min = (
             edges.join(labels, edges.v == labels.doc_id)
             .groupBy(F.col("u").alias("doc_id"))
@@ -995,7 +999,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("cluster_id"),
             )
         )
-        new_labels = track_persist(new_labels)
+        if (rnd + 1) % CC_CHECKPOINT_EVERY == 0:
+            # Truncate lineage (VERDICT r5 #3): without this, round r's
+            # logical plan unrolls every prior join back to the shingle scan
+            # — one evicted cache block recomputes from the root, and plan
+            # compilation itself grows per round. localCheckpoint
+            # materializes the labels and cuts the plan to a leaf; on a real
+            # cluster swap for checkpoint() to the lake so executor loss
+            # cannot orphan the truncated lineage.
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = track_persist(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -1204,17 +1218,33 @@ def dedup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bands, rows) config stopped covering the corpus's similarity regime.
 
     Scale: both pair sets are the existing operators' plans (inverted
-    index, band join); the metrics join |pairs|-sized outputs — the report
-    costs two counts and one equi-join over result sets, not a new scan
-    shape."""
-    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    approx = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    tp = approx.join(truth, ["doc_a", "doc_b"]).count()
-    n_truth = truth.count()
-    n_approx = approx.count()
-    row = [(n_truth, n_approx, tp,
-            (tp / n_approx) if n_approx else None,
-            (tp / n_truth) if n_truth else None)]
-    return spark.createDataFrame(
-        row, "n_truth bigint, n_approx bigint, tp bigint, precision double, recall double"
+    index, band join); the metrics are ONE full-outer join of the two
+    |pairs|-sized result sets plus one conditional aggregate — a single
+    Spark action in a single Catalyst DAG (VERDICT r5 #4 folded the former
+    three driver-side counts into the plan), not a new scan shape."""
+    truth = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("t", F.lit(1))
+    )
+    approx = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("a", F.lit(1))
+    )
+    counts = (
+        truth.join(approx, ["doc_a", "doc_b"], "full_outer")
+        .agg(
+            F.count("t").alias("n_truth"),
+            F.count("a").alias("n_approx"),
+            F.count(F.when(F.col("t").isNotNull() & F.col("a").isNotNull(), 1)).alias("tp"),
+        )
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return counts.select(
+        "n_truth",
+        "n_approx",
+        "tp",
+        F.when(F.col("n_approx") > 0, dbl("tp") / dbl("n_approx")).alias("precision"),
+        F.when(F.col("n_truth") > 0, dbl("tp") / dbl("n_truth")).alias("recall"),
     )

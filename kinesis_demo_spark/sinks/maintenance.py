@@ -19,13 +19,65 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 # below this; the point is an order-of-magnitude file-count reduction, not an
 # exact on-disk size.
 TARGET_FILE_BYTES = 64 * 1024 * 1024
-_STAGING_SUFFIX = "__compact_staging"
+
+# Staging/backup siblings are dot-prefixed so they can NEVER be parsed as live
+# partitions: Hadoop/Spark directory listings skip `.`/`_`-prefixed paths and
+# `_partition_dirs` matches only the `col=` prefix. (A bare `day=X__old` name
+# would re-surface purged rows as a bogus partition value after a crash.)
+_STAGING_PREFIX = ".staging__"
+_BACKUP_PREFIX = ".old__"
 
 
 def _partition_dirs(path: str, partition_col: str) -> list[str]:
     return sorted(
         d for d in os.listdir(path) if d.startswith(partition_col + "=")
     )
+
+
+def _recover_incomplete(path: str) -> dict:
+    """Sweep leftover staging/backup dirs from a crashed maintenance pass and
+    restore the invariant "only live partitions exist". Rules, per partition
+    name X derived from a `.old__X` / `.staging__X` sibling:
+
+    - live X present + `.old__X` present -> the swap completed; finish the
+      interrupted cleanup (drop the backup).
+    - live X absent + `.old__X` present -> crash between the two renames;
+      ROLL BACK (rename the backup to X, drop any staging). The maintenance
+      op simply didn't happen and an idempotent re-run redoes it.
+    - orphan `.staging__X` -> the write finished but the swap never started;
+      drop it (old layout intact).
+
+    Returns {rolled_back: [...], cleaned: [...]} for audit logs."""
+    rolled_back, cleaned = [], []
+    for d in sorted(os.listdir(path)):
+        if d.startswith(_BACKUP_PREFIX):
+            live = os.path.join(path, d[len(_BACKUP_PREFIX):])
+            backup = os.path.join(path, d)
+            if os.path.isdir(live):
+                shutil.rmtree(backup)
+                cleaned.append(d)
+            else:
+                os.rename(backup, live)
+                rolled_back.append(d)
+    for d in sorted(os.listdir(path)):
+        if d.startswith(_STAGING_PREFIX):
+            shutil.rmtree(os.path.join(path, d))
+            cleaned.append(d)
+    return {"rolled_back": rolled_back, "cleaned": cleaned}
+
+
+def _swap_in(path: str, part_name: str, write_staging) -> None:
+    """Stage-write then rename-swap one partition. `write_staging(dst)` must
+    materialize the new layout at dst. Crash at any point is recoverable by
+    `_recover_incomplete` (old or new layout, never a mix, never a bogus
+    partition name)."""
+    part_dir = os.path.join(path, part_name)
+    staging = os.path.join(path, _STAGING_PREFIX + part_name)
+    backup = os.path.join(path, _BACKUP_PREFIX + part_name)
+    write_staging(staging)
+    os.rename(part_dir, backup)
+    os.rename(staging, part_dir)
+    shutil.rmtree(backup)
 
 
 def compact_partition(
@@ -48,7 +100,9 @@ def compact_partition(
     shuffle unless ``sort_col`` asks for clustering. Returns
     {files_before, files_after, rows}.
     """
-    part_dir = os.path.join(path, f"{partition_col}={partition_value}")
+    _recover_incomplete(path)
+    part_name = f"{partition_col}={partition_value}"
+    part_dir = os.path.join(path, part_name)
     if not os.path.isdir(part_dir):
         raise FileNotFoundError(part_dir)
     files_before = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
@@ -62,12 +116,7 @@ def compact_partition(
         out = df.repartitionByRange(n_out, F.col(sort_col)).sortWithinPartitions(sort_col)
     else:
         out = df.coalesce(n_out)
-    staging = part_dir + _STAGING_SUFFIX
-    out.write.mode("overwrite").parquet(staging)
-    backup = part_dir + "__old"
-    os.rename(part_dir, backup)
-    os.rename(staging, part_dir)
-    shutil.rmtree(backup)
+    _swap_in(path, part_name, lambda dst: out.write.mode("overwrite").parquet(dst))
     files_after = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
     return {
         "files_before": len(files_before),
@@ -118,25 +167,27 @@ def purge_subject(
     metadata-cheap scan and zero writes; rewrites are per-partition units a
     scheduler parallelizes over. A lake format with deletion vectors would
     make this a metadata operation; on plain parquet the rewrite-only-
-    touched-partitions shape is the best possible cost."""
-    import os
-    import shutil
+    touched-partitions shape is the best possible cost.
 
+    NULL safety: hit counting and the kept filter both use eqNullSafe — a
+    plain `!=` evaluates to NULL for NULL-keyed rows, which would silently
+    destroy unrelated rows in every rewritten partition (and undercount the
+    loss). Pinned in tests/test_maintenance.py."""
+    _recover_incomplete(path)
     scanned = rewritten = purged = 0
     for part_name in _partition_dirs(path, partition_col):
         part_dir = os.path.join(path, part_name)
         scanned += 1
         df = spark.read.parquet(part_dir)
-        hits = df.filter(F.col(subject_col) == subject_value).count()
+        is_subject = F.col(subject_col).eqNullSafe(F.lit(subject_value))
+        hits = df.filter(is_subject).count()
         if hits == 0:
             continue
-        kept = df.filter(F.col(subject_col) != subject_value)
-        staging = part_dir + _STAGING_SUFFIX
-        kept.write.mode("overwrite").parquet(staging)
-        backup = part_dir + "__old"
-        os.rename(part_dir, backup)
-        os.rename(staging, part_dir)
-        shutil.rmtree(backup)
+        kept = df.filter(~is_subject)
+        _swap_in(
+            path, part_name,
+            lambda dst, kept=kept: kept.write.mode("overwrite").parquet(dst),
+        )
         rewritten += 1
         purged += hits
     return {

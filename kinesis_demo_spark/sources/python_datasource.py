@@ -176,15 +176,49 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         return _FileCommit(fname, n)
 
     def commit(self, messages, batchId) -> None:
+        """Replay-idempotent (ADVICE r5): a driver crash mid-commit makes the
+        engine re-run write+commit for the same batchId, so commit (a) sweeps
+        staging files that are not part of THIS commit (micro-batches run
+        sequentially per query, so anything else staged is a dead prior
+        attempt), (b) drops visible files a crashed attempt already renamed
+        for this batch, and (c) REPLACES the manifest line for batchId via
+        temp+rename instead of appending — totals are never double-counted
+        and the manifest is never torn."""
         import os
 
+        keep = {m.path for m in messages if m is not None}
+        staging_dir = os.path.join(self.path, "_staging")
+        if os.path.isdir(staging_dir):
+            for f in os.listdir(staging_dir):
+                p = os.path.join(staging_dir, f)
+                if p not in keep:
+                    try:
+                        os.remove(p)
+                    except FileNotFoundError:
+                        pass
+        prefix = f"batch-{batchId:05d}-"
+        for f in os.listdir(self.path):
+            if f.startswith(prefix) and f.endswith(".jsonl"):
+                os.remove(os.path.join(self.path, f))
         total = 0
         for i, m in enumerate(m for m in messages if m is not None):
             final = os.path.join(self.path, f"batch-{batchId:05d}-{i:04d}.jsonl")
             os.replace(m.path, final)
             total += m.n
-        with open(os.path.join(self.path, "_manifest"), "a") as f:
-            f.write(f"{batchId}\t{total}\n")
+        manifest = os.path.join(self.path, "_manifest")
+        lines: list[str] = []
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                lines = [
+                    line
+                    for line in f.read().splitlines()
+                    if line and line.split("\t", 1)[0] != str(batchId)
+                ]
+        lines.append(f"{batchId}\t{total}")
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.replace(tmp, manifest)
 
     def abort(self, messages, batchId) -> None:
         import os

@@ -268,3 +268,29 @@ def test_bpe_merge_application_is_leftmost_nonoverlapping(spark):
     assert out[0] == ["a+a", "a"]          # no overlap reuse
     assert out[1] == ["a", "b", "a+a", "b"]
     assert out[2] == ["x"]
+
+
+def test_bpe_trainer_survives_docs_collapsing_to_one_token(spark, tmp_path):
+    """ADVICE r5: a 2-token doc whose pair is the round's best merge collapses
+    to 1 token; the next round's pair scan must skip it (sequence(1, size-1)
+    on size=1 yields descending [1,0] -> element_at index-0 job failure)."""
+    import duckdb
+
+    from kinesis_demo_spark.queries.corpus import BPE_ROUNDS, BPE_SEP, bpe_train_merges
+
+    sf = str(tmp_path)
+    # "a b" dominates round 1, collapsing the 2-token docs to ["a__b"]; the
+    # remaining rounds must still run over the survivors.
+    texts = ["a b"] * 10 + ["c d e c d"] * 3 + ["x"]
+    duckdb.sql(
+        "COPY (SELECT CAST(i AS BIGINT) AS doc_id, t AS text, 'web' AS source, "
+        "'en' AS lang FROM (SELECT unnest(range(14)) AS i, "
+        f"unnest({texts!r}) AS t)) TO '{sf}/documents.parquet' (FORMAT PARQUET)"
+    )
+    got = [
+        (r.round, r.sym_a, r.sym_b, r.n)
+        for r in bpe_train_merges(spark, sf).orderBy("round").collect()
+    ]
+    expected = _py_bpe(texts, BPE_ROUNDS, BPE_SEP)
+    assert got == [(r, a, b, n) for (r, a, b, _m, n) in expected]
+    assert got[0] == (1, "a", "b", 10)

@@ -110,3 +110,74 @@ def test_purge_subject_removes_only_that_subject(spark, tmp_path):
     for d, files in untouched_parts.items():
         assert sorted(os.listdir(os.path.join(store, d))) == files, d
     assert report["partitions_rewritten"] < report["partitions_scanned"] or not untouched_parts
+
+
+def test_purge_subject_keeps_null_keyed_rows(spark, tmp_path):
+    """ADVICE r5: a plain `!=` kept-filter evaluates to NULL for NULL-keyed
+    rows, silently destroying them in every rewritten partition. eqNullSafe
+    must keep them (and purging a NULL subject must remove exactly them)."""
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [("0", 1, "a"), ("0", None, "n0"), ("0", 2, "b"),
+         ("1", 1, "c"), ("1", None, "n1")],
+        "day string, user_id int, payload string",
+    )
+    df.write.partitionBy("day").parquet(store)
+    from kinesis_demo_spark.sinks.maintenance import purge_subject
+
+    report = purge_subject(spark, store, "day", "user_id", 1)
+    after = spark.read.parquet(store)
+    assert report["rows_purged"] == 2
+    # NULL-keyed rows survived both rewritten partitions
+    assert sorted(r.payload for r in after.collect()) == ["b", "n0", "n1"]
+
+    # purging the NULL subject itself removes exactly the NULL-keyed rows
+    report2 = purge_subject(spark, store, "day", "user_id", None)
+    assert report2["rows_purged"] == 2
+    assert sorted(r.payload for r in spark.read.parquet(store).collect()) == ["b"]
+
+
+def test_maintenance_crash_recovery_never_fakes_partitions(spark, tmp_path):
+    """ADVICE r5: a crash between the two swap renames must not leave a dir
+    that parses as a live partition (day=X__old would resurface purged rows
+    under a bogus value). Staging/backup are dot-prefixed and the recovery
+    sweep rolls back or finishes the swap."""
+    import shutil
+
+    from kinesis_demo_spark.sinks.maintenance import (
+        _BACKUP_PREFIX,
+        _STAGING_PREFIX,
+        _recover_incomplete,
+        purge_subject,
+    )
+
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [("0", 1, "a"), ("0", 2, "b"), ("1", 2, "c")],
+        "day string, user_id int, payload string",
+    )
+    df.write.partitionBy("day").parquet(store)
+    baseline = sorted(r.payload for r in spark.read.parquet(store).collect())
+
+    # Simulate a crash after rename #1 (live gone, backup + staging present).
+    part = os.path.join(store, "day=0")
+    backup = os.path.join(store, _BACKUP_PREFIX + "day=0")
+    staging = os.path.join(store, _STAGING_PREFIX + "day=0")
+    os.rename(part, backup)
+    shutil.copytree(backup, staging)
+    # Dot-prefixed names are invisible to the reader even mid-crash.
+    assert sorted(
+        r.payload for r in spark.read.parquet(store).collect()
+    ) == ["c"]
+
+    out = _recover_incomplete(store)
+    assert out["rolled_back"] == [_BACKUP_PREFIX + "day=0"]
+    assert sorted(r.payload for r in spark.read.parquet(store).collect()) == baseline
+
+    # Simulate a crash after rename #2 (swap done, backup left behind) and
+    # verify the next maintenance op self-heals before doing its own work.
+    shutil.copytree(part, backup)
+    report = purge_subject(spark, store, "day", "user_id", 2)
+    assert not os.path.exists(backup)
+    assert report["rows_purged"] == 2
+    assert sorted(r.payload for r in spark.read.parquet(store).collect()) == ["a"]

@@ -1,6 +1,7 @@
 """Multimodal plumbing: the Arrow/mapInPandas boundary is real (schemas,
-batch shapes, row expansion) even though the codec itself is a deterministic
-stub."""
+batch shapes, row expansion). As of r6 the BMP path is a REAL codec
+(pure-numpy encode/decode, round-trip-exact below); formats needing external
+imaging libraries still raise loudly."""
 
 from __future__ import annotations
 
@@ -49,3 +50,58 @@ def test_frame_sample_expands_rows(spark):
 def test_payload_is_opaque_binary(spark):
     media = media_table(spark, SF)
     assert dict(media.dtypes)["payload"] == "binary"
+
+
+def test_bmp_codec_roundtrip_exact():
+    """The pure-numpy BMP encoder/decoder pair is exact for every padding
+    case (w*3 % 4 in {0,1,2,3} -> widths 4,5,6,7) including 1-pixel rows."""
+    import numpy as np
+
+    from kinesis_demo_spark.operators.multimodal import decode_image_real, encode_bmp
+
+    rng = np.random.default_rng(7)
+    for w in (1, 4, 5, 6, 7, 32):
+        for h in (1, 2, 9):
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            buf = encode_bmp(img)
+            assert buf[:2] == b"BM"
+            assert int.from_bytes(buf[2:6], "little") == len(buf)
+            out = decode_image_real(buf)
+            assert out.shape == (h, w, 3)
+            assert np.array_equal(out, img)
+
+
+def test_bmp_decoder_rejects_what_it_cannot_parse():
+    import numpy as np
+    import pytest
+
+    from kinesis_demo_spark.operators.multimodal import decode_image_real, encode_bmp
+
+    with pytest.raises(NotImplementedError):  # not a BMP -> codec gap, loud
+        decode_image_real(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    buf = bytearray(encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8)))
+    with pytest.raises(ValueError):  # truncated pixel data
+        decode_image_real(bytes(buf[:-5]))
+    buf[28] = 8  # claim 8bpp
+    with pytest.raises(NotImplementedError):
+        decode_image_real(bytes(buf))
+
+
+def test_multimodal_decode_real_matches_closed_form(spark):
+    """End-to-end real-codec path at smoke scale: every per-doc channel sum
+    equals the pixel ramp's direct numpy evaluation (independent of the SQL
+    oracle, which the parity harness checks separately)."""
+    import numpy as np
+
+    from kinesis_demo_spark.queries.multimodal import multimodal_decode_real
+
+    rows = {r.doc_id: r for r in multimodal_decode_real(spark, SF).collect()}
+    assert len(rows) > 0
+    for doc_id in list(rows)[:25]:
+        r = rows[doc_id]
+        w, h, seed = (doc_id % 7 + 1) * 4, (doc_id % 5 + 1) * 2, (doc_id * 131) % 256
+        vals = (seed + 7 * np.arange(w * h * 3, dtype=np.int64)) % 256
+        assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+        assert r.r_sum == int(vals[0::3].sum())
+        assert r.g_sum == int(vals[1::3].sum())
+        assert r.b_sum == int(vals[2::3].sum())

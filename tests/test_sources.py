@@ -321,3 +321,71 @@ def test_observe_metrics_ride_the_action(spark):
     assert got["n_rows"] == want.n_rows
     assert got["value_mass"] == want.value_mass
     assert got["n_errors"] == want.n_errors
+
+
+def test_spread_is_identity_for_already_parallel_input(spark):
+    """VERDICT r5 #2: spread must NOT inject an Exchange when the input
+    already has >= defaultParallelism partitions — at 100 TB an unconditional
+    repartition would full-shuffle the raw corpus and CAP parallelism at
+    defaultParallelism. Under-parallel inputs (the single-split local
+    fixtures) still get the fan-out."""
+    from kinesis_demo_spark.io import spread
+
+    n = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10_000).repartition(n * 2)
+    assert spread(wide) is wide  # identity: no plan change at all
+
+    narrow = spark.range(0, 10_000).coalesce(1)
+    out = spread(narrow)
+    assert out is not narrow
+    assert out.rdd.getNumPartitions() == n
+
+    # explicit partition count is a layout pin -> always honored
+    assert spread(wide, 7).rdd.getNumPartitions() == 7
+
+
+def test_jsonl_sink_commit_is_replay_idempotent(tmp_path):
+    """ADVICE r5: a driver crash between the renames and the checkpoint
+    commit replays write+commit for the same batchId. The replay must not
+    double-count the manifest, must drop the crashed attempt's visible and
+    staged leftovers, and must leave exactly one manifest line per batch."""
+    import json
+    import os
+
+    from kinesis_demo_spark.sources.python_datasource import (
+        JsonlStreamWriter,
+        _FileCommit,
+    )
+
+    out = tmp_path / "sink"
+    out.mkdir()
+    w = JsonlStreamWriter({"path": str(out)})
+
+    class Row:
+        def __init__(self, i):
+            self.i = i
+
+        def asDict(self):
+            return {"event_id": self.i}
+
+    def stage(ids):
+        return w.write(iter([Row(i) for i in ids]))
+
+    # batch 0 commits cleanly
+    w.commit([stage([0, 1])], 0)
+    # crashed attempt of batch 1: files renamed, manifest written, but the
+    # checkpoint commit was lost -> engine replays write+commit for batch 1
+    w.commit([stage([2, 3, 4])], 1)
+    orphan = stage([99])  # staged by the crashed attempt, message lost
+    replay = stage([2, 3, 4])
+    w.commit([replay], 1)
+
+    manifest = [l.split("\t") for l in open(out / "_manifest") if l.strip()]
+    assert [(b, int(n)) for b, n in manifest] == [("0", 2), ("1", 3)]
+    assert not os.listdir(out / "_staging")  # orphan swept
+    assert not os.path.exists(orphan.path)
+    got = []
+    for f in sorted(os.listdir(out)):
+        if f.endswith(".jsonl"):
+            got += [json.loads(line)["event_id"] for line in open(out / f)]
+    assert sorted(got) == [0, 1, 2, 3, 4]  # exactly once despite the replay

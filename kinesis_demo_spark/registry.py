@@ -53,91 +53,83 @@ DRIVER_CORRECTNESS_CAP = 50
 # Queries whose PLANS CHANGED this round always stay/return in-cap so the
 # change is externally re-verified.
 #
-# Round-6 promotion pool (registered below the cap this round, all green in
-# the driver-faithful local harness at sf0.001 AND sf0.01 plus the hostile
-# non-UTC drive): the r5-continuation registrations listed in COVERAGE.md —
-# the nine TPC-H completions, winnowing pair, freq quality, truncated ANN,
-# bag set ops, NOT IN semantics, bigram LM, DQ gate, PIT join, trend
-# regression, fuzzy matching, source drift, rolling active users, outer
-# stream join, BPE trainer (rows-only). Rotate these in for r6 and demote
-# long-green rows whose plans are untouched.
+# Round-6 rotation (VERDICT r5 #1: burn the 90-query never-driver-checked
+# backlog): 48 of the 50 slots are FIRST driver rows — the full 18-query
+# TPC-H completion set, the complex never-checked plans the verdict named
+# (PQ/truncated ANN, recursive CTE, Python DataSource batch+stream, SQL
+# modern surfaces + table function, PIT/temporal joins, the outer stream
+# join), the r5 LLM-pipeline continuation (winnowing, BM25/RRF, mixture/
+# curriculum/BPE, containment/canonical/boilerplate dedup, bucketed
+# time-series similarity, snapshot diff, incremental agg, z-order), the two
+# changed-plan rows-only iteratives (pagerank, BPE trainer), and the new
+# r6 real-codec query multimodal_decode_real. The other 2 slots re-verify
+# pass(r2) queries whose plans r6 touched (lineage checkpointing):
+# dedup_clusters, kmeans_embeddings. After this round the never-checked
+# count drops 91 -> 43.
 #
-# Round-5 rotation:
-# Promoted (first driver row): multimodal_frame_sample,
-#   posexplode_document_tokens, sql_frontend_revenue_by_nation,
-#   stats_argminmax_value, stats_mode_event_type_per_user, text_token_count,
-#   text_chunk_documents, text_repetition_score, timeseries_hourly_gapfill,
-#   full_outer_join_supplier_customer_nations, sessionize_builtin_window,
-#   text_vocab_topk, doc_length_histogram, timeseries_user_similarity,
-#   ann_cosine_topk_ivf (pass(r2), re-verified after the r5 LSH retune).
-# Rotated out (all green r4, plans untouched in r5): serving_forward_poll,
-#   last10_per_user, json_extract_props, tpch_q1_pricing_summary,
-#   text_lang_id, text_quality_score, pandas_udf_text_normalize,
-#   pivot_value_by_type_per_user, unpivot_order_amounts, dedup_minhash_lsh,
-#   dedup_simhash, sessionize_events, asof_join_orders_events,
-#   stats_moments_percentiles_by_type, agg_collect_set_event_types.
-# Stay in-cap because r5 touches their plans: dedup_embedding_cosine_lsh,
-#   dedup_ngram_jaccard_prefix, ann_cosine_topk_lsh, map_in_arrow_vector_norms,
-#   pipeline_training_manifest, timeseries_user_similarity.
+# Rotated out (ALL green in r4 or r5, plans untouched in r6; ledger in
+# COVERAGE.md, re-verified every round by tests/test_oracle_parity.py):
+# every r5 in-cap row — the serving/scalar/§2 core, the r5 promotions, the
+# r4-continuing family representatives. Families whose members are all
+# long-green keep their pass(rN) standing; tests/test_registry_priority.py
+# now encodes exactly that invariant (in-cap rep OR past driver row).
 PRIORITY_ORDER = (
-    # r5 first-driver-row promotions
-    "multimodal_frame_sample",
-    "posexplode_document_tokens",
-    "sql_frontend_revenue_by_nation",
-    "stats_argminmax_value",
-    "stats_mode_event_type_per_user",
-    "text_token_count",
-    "text_chunk_documents",
-    "text_repetition_score",
-    "timeseries_hourly_gapfill",
-    "full_outer_join_supplier_customer_nations",
-    "sessionize_builtin_window",
-    "text_vocab_topk",
-    "doc_length_histogram",
-    "timeseries_user_similarity",
-    "ann_cosine_topk_ivf",
-    # plans touched in r5 — external re-verification required
-    "dedup_embedding_cosine_lsh",
-    "dedup_ngram_jaccard_prefix",
-    "ann_cosine_topk_lsh",
-    "map_in_arrow_vector_norms",
-    "pipeline_training_manifest",
-    # family representatives continuing from r4
-    "text_pii_redact",
-    "multimodal_decode_features",
-    "phash_image_neardup",
-    "streaming_window_counts",
-    "sessionize_stateful_streaming",
-    "heavy_hitters_cms",
-    "ewma_value_per_user",
-    "window_functions_battery",
-    "scalar_extended_battery",
-    "json_wire_roundtrip",
-    "salted_sum_by_user",
-    "grouped_pandas_user_stats",
-    "dedup_simhash_wide",
-    "text_tfidf",
-    "sample_k_per_group",
-    "sequence_packing",
-    "embedding_quantize_int8",
-    "dedup_contamination_check",
-    "streaming_interval_join",
-    # SURVEY §2 reference-parity core (S/Q/A/W/F rows). agg_window_count sits
-    # below the cap: its entire output (user, window, cnt) is a projection of
-    # agg_window_movs_stats' columns over the same movement_aggregates plan,
-    # so A1/W1 keep a hard-signal row without spending two slots.
-    "agg_window_movs_stats",
-    "serving_reverse_limit",
-    "serving_poll_sum",
-    "serving_cursor_bootstrap",
-    "heatmap_rollup",
-    "locf_impute_value",
-    "scalar_functions_parity",
-    # relational family representatives
-    "star_join_revenue_by_region",
-    "set_ops_nations",
-    "range_join_events_before_orders",
-    "orders_above_customer_avg",
+    # TPC-H completion set — first driver rows
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipclass_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_diversity",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_inactive_wealthy",
+    # complex never-checked plans named by the r5 verdict
+    "ann_pq_adc_topk",
+    "ann_cosine_topk_truncated",
+    "dedup_quality_report",
+    "recursive_hierarchy_rollup",
+    "python_datasource_events",
+    "python_datasource_stream_events",
+    "sql_modern_surfaces",
+    "sql_table_function_summary",
+    "pit_feature_join_orders",
+    "temporal_join_orders_state",
+    "streaming_outer_interval_join",
+    # r6 real-codec debut
+    "multimodal_decode_real",
+    # r5 LLM-pipeline continuation — first driver rows
+    "dedup_shingle_containment",
+    "dedup_canonical_selection",
+    "text_winnowing_fingerprints",
+    "dedup_winnowing_overlap",
+    "text_bm25_topk",
+    "retrieval_rank_fusion",
+    "corpus_mixture_report",
+    "dedup_boilerplate_paragraphs",
+    "bpe_merge_candidates",
+    "sample_mixture_weighted",
+    "curriculum_quality_buckets",
+    "timeseries_user_similarity_bucketed",
+    "snapshot_diff_user_state",
+    "incremental_agg_union_merge",
+    "zorder_heatmap_locality",
+    "fuzzy_match_blocked_pairs",
+    # changed-plan iteratives (rows-only) — first driver rows
+    "pagerank_copurchase",
+    "bpe_train_merges",
+    # plans touched in r6 (lineage checkpoints) — external re-verification
+    "dedup_clusters",
+    "kmeans_embeddings",
 )
 
 

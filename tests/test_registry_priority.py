@@ -13,7 +13,11 @@ from kinesis_demo_spark.registry import (
     all_queries,
 )
 
-# family -> names of which at least one must sit inside the driver cap
+# family -> member names; each family needs a member inside the driver cap
+# OR a member with a recorded driver CORRECTNESS row from a past round (the
+# rotation ledger — below-cap members stay verified every round by
+# tests/test_oracle_parity.py). This is the r6 form of the invariant: the
+# cap is a rotation window for first-time evidence, not a permanent home.
 FAMILY_REPRESENTATIVES = {
     "text": ("text_lang_id", "text_quality_score", "text_token_count", "text_fingerprint"),
     "tfidf": ("text_tfidf",),
@@ -66,9 +70,37 @@ FAMILY_REPRESENTATIVES = {
     "relational_join": ("star_join_revenue_by_region",),
     "set_ops": ("set_ops_nations",),
     "asof_range_join": ("asof_join_orders_events", "range_join_events_before_orders"),
-    "dedup": ("dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine_lsh"),
-    "ann": ("ann_cosine_topk_lsh",),
+    "dedup": ("dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine_lsh", "dedup_quality_report", "dedup_clusters"),
+    "ann": ("ann_cosine_topk_lsh", "ann_pq_adc_topk", "ann_cosine_topk_truncated"),
+    # families that debut in the r6 cap
+    "tpch": ("tpch_q1_pricing_summary", "tpch_q9_product_profit", "tpch_q21_waiting_suppliers"),
+    "recursive": ("recursive_hierarchy_rollup",),
+    "python_datasource": ("python_datasource_events", "python_datasource_stream_events"),
+    "sql_surfaces": ("sql_modern_surfaces", "sql_table_function_summary"),
+    "temporal_join": ("pit_feature_join_orders", "temporal_join_orders_state"),
+    "retrieval": ("text_bm25_topk", "retrieval_rank_fusion"),
+    "corpus_mixture": ("corpus_mixture_report", "sample_mixture_weighted", "curriculum_quality_buckets"),
+    "bpe": ("bpe_merge_candidates", "bpe_train_merges"),
+    "real_codec": ("multimodal_decode_real",),
+    "iterative_graph": ("pagerank_copurchase", "dedup_clusters"),
+    "kmeans": ("kmeans_embeddings", "embedding_centroid_by_label"),
 }
+
+
+def _past_driver_rows() -> set[str]:
+    """Query names with at least one recorded driver CORRECTNESS row."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        try:
+            seen |= set(json.load(open(f)))
+        except Exception:
+            pass
+    return seen
 
 
 def test_priority_is_exactly_cap_sized():
@@ -87,14 +119,18 @@ def test_registry_leads_with_priority_order():
     assert names[:DRIVER_CORRECTNESS_CAP] == list(PRIORITY_ORDER)
 
 
-def test_every_family_has_a_representative_inside_the_cap():
+def test_every_family_has_driver_evidence():
+    """Every family has a member inside the current cap OR a member with a
+    past driver CORRECTNESS row (whose plan the rotation policy requires to
+    be untouched while below-cap — see registry.py)."""
     window = set(list(all_queries())[:DRIVER_CORRECTNESS_CAP])
+    past = _past_driver_rows()
     uncovered = {
         fam: reps
         for fam, reps in FAMILY_REPRESENTATIVES.items()
-        if not any(r in window for r in reps)
+        if not any(r in window or r in past for r in reps)
     }
-    assert not uncovered, f"families with no driver-checked representative: {uncovered}"
+    assert not uncovered, f"families with no driver evidence at all: {uncovered}"
 
 
 def test_oracle_order_is_a_subsequence_of_query_order():

@@ -55,6 +55,12 @@ PROBES = (
     "tpch_q21_waiting_suppliers",     # decorrelated exists/not-exists
     "pit_feature_join_orders",        # tagged-union cumulative window
     "rolling_active_users",           # coverage-expansion distinct count
+    # r6: the remaining heavies with no measured alpha (VERDICT r5 #7)
+    "pagerank_copurchase",            # iterative rank propagation (checkpointed)
+    "bpe_train_merges",               # driver-sequenced full-corpus rounds
+    "streaming_outer_interval_join",  # watermark-evicted stream-stream outer
+    "recursive_hierarchy_rollup",     # recursive-CTE hierarchy aggregation
+    "multimodal_decode_real",         # BMP encode->decode mapInPandas pair
 )
 
 SF_SMALL = "/root/testdata/sf0.01"

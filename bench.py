@@ -99,6 +99,7 @@ HEADLINE = (
     "timeseries_hourly_gapfill",
     "timeseries_user_similarity",
     "multimodal_decode_features",
+    "multimodal_decode_real",
     "pipeline_training_corpus",
     "pipeline_training_manifest",
     "dedup_contamination_check",

@@ -933,7 +933,7 @@ MAX_CC_ITERATIONS = 20
 # Lineage-truncation cadence for iterative loops: any round whose number is a
 # multiple of this localCheckpoints its state, bounding both plan size and
 # the recompute blast radius to O(CC_CHECKPOINT_EVERY) rounds.
-CC_CHECKPOINT_EVERY = 4
+CC_CHECKPOINT_EVERY = 2
 
 
 @register(
@@ -979,10 +979,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n^2) rows per component, min-label state stays O(n))."""
     jp = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     fwd = jp.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    edges = track_persist(fwd.union(jp.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))))
+    # localCheckpoint, not persist (VERDICT r5 #3): EVERY round's plan
+    # references the edge set, so an un-truncated edges lineage re-embeds
+    # the whole inverted-index Jaccard pipeline once per round in the final
+    # plan (that alone was ~200 audited shuffles), and an evicted cache
+    # block would recompute near-dup from the shingle scan. The checkpoint
+    # materializes the same rows the persist did and cuts the plan to a
+    # leaf. Checkpointed DataFrames are deliberately NOT unpersisted inside
+    # the loop — truncated lineage cannot be recomputed, so their blocks
+    # must outlive every descendant still in flight (GC reclaims them).
+    edges = fwd.union(
+        jp.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    ).localCheckpoint()
     docs = _docs(spark, sf_dir).select("doc_id")
     labels = track_persist(docs.select("doc_id", F.col("doc_id").alias("cluster_id")))
     labels.count()
+    labels_is_ckpt = False
     changed = -1
     for rnd in range(MAX_CC_ITERATIONS):
         neighbor_min = (
@@ -1000,27 +1012,31 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         if (rnd + 1) % CC_CHECKPOINT_EVERY == 0:
-            # Truncate lineage (VERDICT r5 #3): without this, round r's
-            # logical plan unrolls every prior join back to the shingle scan
-            # — one evicted cache block recomputes from the root, and plan
-            # compilation itself grows per round. localCheckpoint
-            # materializes the labels and cuts the plan to a leaf; on a real
-            # cluster swap for checkpoint() to the lake so executor loss
-            # cannot orphan the truncated lineage.
+            # Truncate label lineage every CC_CHECKPOINT_EVERY rounds: the
+            # returned plan then carries at most that many rounds of joins
+            # over checkpoint leaves instead of the whole history, bounding
+            # both plan compilation and the recompute blast radius of an
+            # evicted block. On a real cluster swap for checkpoint() to the
+            # lake so executor loss cannot orphan the truncated lineage.
             new_labels = new_labels.localCheckpoint()
+            new_is_ckpt = True
         else:
             new_labels = track_persist(new_labels)
+            new_is_ckpt = False
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
-        labels.unpersist()
-        labels = new_labels
+        if not labels_is_ckpt:
+            # persisted intermediates can be dropped (lineage re-derives
+            # them); checkpointed ones cannot — descendants reference their
+            # blocks as leaves, so those are left for GC.
+            labels.unpersist()
+        labels, labels_is_ckpt = new_labels, new_is_ckpt
         if changed == 0:
             break
-    edges.unpersist()
     if changed != 0:
         # A component with diameter > MAX_CC_ITERATIONS has not reached its
         # fixpoint; silently returning partial labels would diverge from the

@@ -143,14 +143,32 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     #2) — so a scan that is already at-or-above defaultParallelism passes
     through untouched (identity, no Exchange in the plan; pinned in
     tests/test_sources.py). Explicit ``partitions`` still repartitions
-    unconditionally — callers use it to pin a layout, not to fan out."""
+    unconditionally — callers use it to pin a layout, not to fan out.
+
+    ONLY call this on scan-head DataFrames (no shuffle upstream): the
+    partition-count inspection goes through ``df.rdd``, and under AQE that
+    EAGERLY EXECUTES any upstream query stages — a full extra job for a
+    mid-plan input. Mid-plan fan-outs (post-shuffle, pre-compute-heavy
+    stage) must use ``fan_out`` instead, which repartitions unconditionally
+    without inspecting the plan."""
     if partitions is not None:
         return df.repartition(partitions)
     n = df.sparkSession.sparkContext.defaultParallelism
-    # Plan-only inspection: .rdd translates the physical plan but runs no job.
+    # Plan-only for a scan: .rdd translates the physical plan but runs no
+    # job when the plan has no query stages to materialize.
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n)
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Unconditional round-robin repartition to defaultParallelism — the
+    mid-plan fan-out for a size-coalesced exchange feeding a compute-bound
+    stage (AQE coalesces slim shuffle outputs to a handful of partitions by
+    BYTES; a downstream per-row-expensive stage then runs near-serial).
+    Unlike ``spread`` this never inspects the plan, so it is safe after
+    shuffles under AQE."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -41,7 +41,7 @@ from ..functions.hashing import (
     h60,
     h60_sql,
 )
-from ..io import load_table, spread, track_persist
+from ..io import fan_out, load_table, spread, track_persist
 from ..registry import register
 
 JACCARD_THRESHOLD = 0.2
@@ -287,16 +287,16 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # spread before the verify: the distinct's output rows are two bare
+    # fan_out before the verify: the distinct's output rows are two bare
     # longs, so AQE's partition coalescing collapses them to a handful of
     # partitions by SIZE — and the expensive stage downstream (per-pair
     # array_intersect Jaccard) inherits that near-serial parallelism
     # (measured: 3 tasks on 32 cores, 7.3 s warm; with the spread, full
     # fan-out, 2.0 s). Round-robin on slim rows is noise next to the
-    # verify work it parallelizes — same reasoning as io.spread's docstring,
-    # applied mid-plan where a size-coalesced exchange meets a compute-bound
-    # stage.
-    return _jaccard_verified(spread(cands), sh, JACCARD_THRESHOLD)
+    # verify work it parallelizes. Must be io.fan_out, not spread: spread's
+    # partition-count inspection goes through .rdd, which under AQE eagerly
+    # executes the candidate-generation stages as an extra job.
+    return _jaccard_verified(fan_out(cands), sh, JACCARD_THRESHOLD)
 
 
 # --- MinHash + LSH ------------------------------------------------------------------

@@ -35,7 +35,7 @@ from ..functions.vectors import (
     sign_bucket_band,
     sign_bucket_band_sql,
 )
-from ..io import load_table, spread
+from ..io import fan_out, load_table, spread
 from ..registry import register
 
 N_QUERIES = 5  # vec_id < 5 at every scale factor
@@ -211,11 +211,12 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("cn"),
     )
     scored = (
-        # spread: the distinct's bare-long pair rows get size-coalesced by
-        # AQE to a few partitions; without the round-robin fan-out the exact
-        # scoring fold would run near-serial (the dedup_ngram_jaccard_prefix
-        # failure mode).
-        spread(cand).join(qv, "query_id")
+        # fan_out (NOT spread — .rdd inspection would eagerly execute the
+        # candidate stages under AQE): the distinct's bare-long pair rows get
+        # size-coalesced by AQE to a few partitions; without the round-robin
+        # fan-out the exact scoring fold would run near-serial (the
+        # dedup_ngram_jaccard_prefix failure mode).
+        fan_out(cand).join(qv, "query_id")
         .join(cv, "neighbor_id")
         .select(
             "query_id",

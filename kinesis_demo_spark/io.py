@@ -114,10 +114,28 @@ def track_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def track_checkpoint(df: DataFrame) -> DataFrame:
+    """localCheckpoint() + register for release_persisted(), so iterative
+    loops' lineage-truncation blocks are freed deterministically by the same
+    ledger as persists instead of waiting for JVM GC (a ~190-query session
+    would otherwise accumulate every edge set / label snapshot / rank round
+    as unreclaimed executor storage). NOTE the release-timing caveat in
+    release_persisted: unlike a persist, a checkpointed block CANNOT be
+    recomputed after release — callers must release only after their action
+    completes (which is how bench.py / the parity harness already call it)."""
+    df = df.localCheckpoint()
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
 def release_persisted() -> int:
-    """Unpersist every tracked cache; returns how many were released. Safe to
-    call at any time — releasing between a query's build and its action only
-    costs recomputation, never correctness."""
+    """Unpersist every tracked cache; returns how many were released.
+
+    For plain persists this is safe at any time — releasing between a
+    query's build and its action only costs recomputation. Tracked
+    localCheckpoints (track_checkpoint) are freed here too, and those have
+    NO lineage to recompute from: release them only after the consuming
+    action has completed, never between build and action."""
     n = 0
     while _TRACKED_PERSISTS:
         df = _TRACKED_PERSISTS.pop()

@@ -111,6 +111,10 @@ def decode_image_real(payload: bytes):
         )
     if w <= 0 or h == 0:
         raise ValueError(f"bad BMP dimensions {w}x{h}")
+    if data_offset < 54 or data_offset > len(buf):
+        # a corrupt offset pointing inside the header would otherwise decode
+        # header bytes as pixels silently
+        raise ValueError(f"bad BMP pixel-data offset {data_offset}")
     bottom_up = h > 0
     h = abs(h)
     row_bytes = w * 3

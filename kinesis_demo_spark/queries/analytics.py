@@ -1818,7 +1818,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, the textbook distributed PageRank round. Ranks persist per
     round (lineage O(iters), not O(iters^2)); only the iteration counter
     lives on the driver."""
-    from ..io import track_persist
+    from ..io import track_checkpoint, track_persist
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
@@ -1868,7 +1868,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             # localCheckpoint is eager — it IS the per-round materialization
             # (on a real cluster, checkpoint() to the lake for executor-loss
             # tolerance).
-            nxt = nxt.localCheckpoint()
+            nxt = track_checkpoint(nxt)
         else:
             nxt = track_persist(nxt)
             nxt.count()  # materialize before the next round reuses it

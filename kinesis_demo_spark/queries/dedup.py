@@ -41,7 +41,7 @@ from ..functions.hashing import (
     h60,
     h60_sql,
 )
-from ..io import fan_out, load_table, spread, track_persist
+from ..io import fan_out, load_table, spread, track_checkpoint, track_persist
 from ..registry import register
 
 JACCARD_THRESHOLD = 0.2
@@ -988,9 +988,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # leaf. Checkpointed DataFrames are deliberately NOT unpersisted inside
     # the loop — truncated lineage cannot be recomputed, so their blocks
     # must outlive every descendant still in flight (GC reclaims them).
-    edges = fwd.union(
-        jp.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-    ).localCheckpoint()
+    edges = track_checkpoint(
+        fwd.union(jp.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    )
     docs = _docs(spark, sf_dir).select("doc_id")
     labels = track_persist(docs.select("doc_id", F.col("doc_id").alias("cluster_id")))
     labels.count()
@@ -1018,7 +1018,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             # both plan compilation and the recompute blast radius of an
             # evicted block. On a real cluster swap for checkpoint() to the
             # lake so executor loss cannot orphan the truncated lineage.
-            new_labels = new_labels.localCheckpoint()
+            new_labels = track_checkpoint(new_labels)
             new_is_ckpt = True
         else:
             new_labels = track_persist(new_labels)

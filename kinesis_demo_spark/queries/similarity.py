@@ -35,7 +35,7 @@ from ..functions.vectors import (
     sign_bucket_band,
     sign_bucket_band_sql,
 )
-from ..io import fan_out, load_table, spread
+from ..io import fan_out, load_table, spread, track_checkpoint
 from ..registry import register
 
 N_QUERIES = 5  # vec_id < 5 at every scale factor
@@ -557,7 +557,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         # otherwise per-iteration-growing lineage (VERDICT r5 #3) for the
         # cost of materializing K rows — the next round's plan starts from a
         # leaf instead of replaying every prior assign+update.
-        cents = _recompute_centroids(vecs, assign).localCheckpoint()
+        cents = track_checkpoint(_recompute_centroids(vecs, assign))
     final = _assign(vecs, cents)
     return final.select("vec_id", F.col("cid").alias("cluster_id"), "dist")
 

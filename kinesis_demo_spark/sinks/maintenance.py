@@ -34,7 +34,7 @@ def _partition_dirs(path: str, partition_col: str) -> list[str]:
     )
 
 
-def _recover_incomplete(path: str) -> dict:
+def _recover_incomplete(path: str, part_name: str | None = None) -> dict:
     """Sweep leftover staging/backup dirs from a crashed maintenance pass and
     restore the invariant "only live partitions exist". Rules, per partition
     name X derived from a `.old__X` / `.staging__X` sibling:
@@ -47,10 +47,21 @@ def _recover_incomplete(path: str) -> dict:
     - orphan `.staging__X` -> the write finished but the swap never started;
       drop it (old layout intact).
 
+    ``part_name`` SCOPES the sweep to one partition's dirs. Every caller
+    recovers only the partitions it is about to touch — a global sweep would
+    destroy the in-flight staging of a CONCURRENT per-partition maintenance
+    job on the same store (the scheduler-parallelizes-per-partition contract
+    in compact_partition's docstring). Concurrent ops on the SAME partition
+    remain the caller's responsibility to serialize, as with any
+    single-writer-per-partition lake protocol.
+
     Returns {rolled_back: [...], cleaned: [...]} for audit logs."""
+    def in_scope(name: str) -> bool:
+        return part_name is None or name == part_name
+
     rolled_back, cleaned = [], []
     for d in sorted(os.listdir(path)):
-        if d.startswith(_BACKUP_PREFIX):
+        if d.startswith(_BACKUP_PREFIX) and in_scope(d[len(_BACKUP_PREFIX):]):
             live = os.path.join(path, d[len(_BACKUP_PREFIX):])
             backup = os.path.join(path, d)
             if os.path.isdir(live):
@@ -60,10 +71,26 @@ def _recover_incomplete(path: str) -> dict:
                 os.rename(backup, live)
                 rolled_back.append(d)
     for d in sorted(os.listdir(path)):
-        if d.startswith(_STAGING_PREFIX):
+        if d.startswith(_STAGING_PREFIX) and in_scope(d[len(_STAGING_PREFIX):]):
             shutil.rmtree(os.path.join(path, d))
             cleaned.append(d)
     return {"rolled_back": rolled_back, "cleaned": cleaned}
+
+
+def _all_partition_names(path: str, partition_col: str) -> list[str]:
+    """Every partition name present in ANY form — live, crashed backup, or
+    orphan staging — so sweeping callers cannot miss a partition whose only
+    remnant is a `.old__X` left by a crash."""
+    prefix = partition_col + "="
+    names = set()
+    for d in os.listdir(path):
+        for p in (_BACKUP_PREFIX, _STAGING_PREFIX):
+            if d.startswith(p):
+                d = d[len(p):]
+                break
+        if d.startswith(prefix):
+            names.add(d)
+    return sorted(names)
 
 
 def _swap_in(path: str, part_name: str, write_staging) -> None:
@@ -100,8 +127,8 @@ def compact_partition(
     shuffle unless ``sort_col`` asks for clustering. Returns
     {files_before, files_after, rows}.
     """
-    _recover_incomplete(path)
     part_name = f"{partition_col}={partition_value}"
+    _recover_incomplete(path, part_name)
     part_dir = os.path.join(path, part_name)
     if not os.path.isdir(part_dir):
         raise FileNotFoundError(part_dir)
@@ -134,16 +161,26 @@ def expire_partitions(
     serving store partitions on a numeric UTC day). Directory-level deletes
     only — O(expired partitions), the data files are never read.
 
+    Crash remnants are handled per partition value: an expired partition's
+    leftover `.old__X`/`.staging__X` dirs are deleted along with it (a later
+    recovery must NOT be able to resurrect retention-expired — or
+    purge-crashed — rows), and a KEPT partition whose only remnant is a
+    backup is rolled back first so retention never discards live data.
+
     Returns {expired: [...], kept: [...]}.
     """
     expired, kept = [], []
     prefix = partition_col + "="
-    for d in _partition_dirs(path, partition_col):
+    for d in _all_partition_names(path, partition_col):
         value = d[len(prefix):]
         if value < keep_from:
-            shutil.rmtree(os.path.join(path, d))
+            for form in (d, _BACKUP_PREFIX + d, _STAGING_PREFIX + d):
+                full = os.path.join(path, form)
+                if os.path.isdir(full):
+                    shutil.rmtree(full)
             expired.append(value)
         else:
+            _recover_incomplete(path, d)
             kept.append(value)
     return {"expired": expired, "kept": kept}
 
@@ -173,10 +210,16 @@ def purge_subject(
     plain `!=` evaluates to NULL for NULL-keyed rows, which would silently
     destroy unrelated rows in every rewritten partition (and undercount the
     loss). Pinned in tests/test_maintenance.py."""
-    _recover_incomplete(path)
     scanned = rewritten = purged = 0
-    for part_name in _partition_dirs(path, partition_col):
+    # _all_partition_names so a partition whose only remnant is a crashed
+    # backup is recovered and then scanned like any other; recovery is
+    # scoped per partition as each is visited (concurrent maintenance on
+    # OTHER partitions is never touched).
+    for part_name in _all_partition_names(path, partition_col):
+        _recover_incomplete(path, part_name)
         part_dir = os.path.join(path, part_name)
+        if not os.path.isdir(part_dir):
+            continue  # staging-only remnant: swept, nothing live to scan
         scanned += 1
         df = spark.read.parquet(part_dir)
         is_subject = F.col(subject_col).eqNullSafe(F.lit(subject_value))

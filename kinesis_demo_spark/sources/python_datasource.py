@@ -181,9 +181,12 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         staging files that are not part of THIS commit (micro-batches run
         sequentially per query, so anything else staged is a dead prior
         attempt), (b) drops visible files a crashed attempt already renamed
-        for this batch, and (c) REPLACES the manifest line for batchId via
-        temp+rename instead of appending — totals are never double-counted
-        and the manifest is never torn."""
+        for this batch, and (c) records the batch total as ONE PER-BATCH
+        manifest file (`_manifest.d/b-<batchId>`) published via temp+rename —
+        a replay atomically overwrites the same file, so totals are never
+        double-counted, the manifest is never torn, and commit cost stays
+        O(this batch) instead of rewriting an ever-growing single file
+        (O(total batches) per commit)."""
         import os
 
         keep = {m.path for m in messages if m is not None}
@@ -205,20 +208,29 @@ class JsonlStreamWriter(DataSourceStreamWriter):
             final = os.path.join(self.path, f"batch-{batchId:05d}-{i:04d}.jsonl")
             os.replace(m.path, final)
             total += m.n
-        manifest = os.path.join(self.path, "_manifest")
-        lines: list[str] = []
-        if os.path.exists(manifest):
-            with open(manifest) as f:
-                lines = [
-                    line
-                    for line in f.read().splitlines()
-                    if line and line.split("\t", 1)[0] != str(batchId)
-                ]
-        lines.append(f"{batchId}\t{total}")
-        tmp = manifest + ".tmp"
+        manifest_dir = os.path.join(self.path, "_manifest.d")
+        os.makedirs(manifest_dir, exist_ok=True)
+        entry = os.path.join(manifest_dir, f"b-{batchId:05d}")
+        tmp = entry + ".tmp"
         with open(tmp, "w") as f:
-            f.write("\n".join(lines) + "\n")
-        os.replace(tmp, manifest)
+            f.write(f"{batchId}\t{total}\n")
+        os.replace(tmp, entry)
+
+    @staticmethod
+    def read_manifest(path: str) -> list[tuple[int, int]]:
+        """(batchId, rows) per committed batch, sorted — the audit view the
+        tests and any consumer use instead of parsing the directory."""
+        import os
+
+        manifest_dir = os.path.join(path, "_manifest.d")
+        out = []
+        if os.path.isdir(manifest_dir):
+            for f in sorted(os.listdir(manifest_dir)):
+                if f.startswith("b-") and not f.endswith(".tmp"):
+                    with open(os.path.join(manifest_dir, f)) as fh:
+                        b, n = fh.read().split("\t")
+                        out.append((int(b), int(n)))
+        return out
 
     def abort(self, messages, batchId) -> None:
         import os

@@ -181,3 +181,58 @@ def test_maintenance_crash_recovery_never_fakes_partitions(spark, tmp_path):
     assert not os.path.exists(backup)
     assert report["rows_purged"] == 2
     assert sorted(r.payload for r in spark.read.parquet(store).collect()) == ["a"]
+
+
+def test_recovery_is_scoped_to_the_touched_partition(spark, tmp_path):
+    """Code-review r6: per-partition maintenance jobs run concurrently, so
+    recovery must never sweep ANOTHER partition's in-flight staging dir."""
+    import shutil
+
+    from kinesis_demo_spark.sinks.maintenance import (
+        _STAGING_PREFIX,
+        compact_partition,
+    )
+
+    path = _store(spark, tmp_path)
+    # day=3: a concurrent compaction mid-write (staging exists, live intact)
+    other_staging = os.path.join(path, _STAGING_PREFIX + "day=3")
+    shutil.copytree(os.path.join(path, "day=3"), other_staging)
+
+    compact_partition(spark, path, "day", "1", sort_col="k")
+
+    assert os.path.isdir(other_staging)  # untouched by day=1's recovery
+    assert spark.read.parquet(path).count() == 4000
+
+
+def test_expire_handles_crash_remnants(spark, tmp_path):
+    """Code-review r6: a crashed swap's `.old__X` must not let retention
+    skip X (the backup would later be rolled back, resurrecting expired —
+    or purged — rows); a KEPT partition's backup is rolled back instead."""
+    import shutil
+
+    from kinesis_demo_spark.sinks.maintenance import (
+        _BACKUP_PREFIX,
+        _STAGING_PREFIX,
+        expire_partitions,
+    )
+
+    path = _store(spark, tmp_path)
+    # day=0 crashed between renames: live gone, only the backup remains
+    os.rename(os.path.join(path, "day=0"), os.path.join(path, _BACKUP_PREFIX + "day=0"))
+    # day=1 crashed mid-write: live + orphan staging
+    shutil.copytree(os.path.join(path, "day=1"), os.path.join(path, _STAGING_PREFIX + "day=1"))
+    # day=2 crashed between renames but is KEPT: must be rolled back
+    os.rename(os.path.join(path, "day=2"), os.path.join(path, _BACKUP_PREFIX + "day=2"))
+
+    out = expire_partitions(path, "day", keep_from="2")
+    assert out["expired"] == ["0", "1"]
+    assert out["kept"] == ["2", "3"]
+    leftovers = [
+        d
+        for d in os.listdir(path)
+        if d.startswith((_BACKUP_PREFIX, _STAGING_PREFIX))
+    ]
+    assert leftovers == []
+    left = spark.read.parquet(path)
+    assert sorted(str(r.day) for r in left.select("day").distinct().collect()) == ["2", "3"]
+    assert left.count() == 2000

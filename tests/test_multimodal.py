@@ -85,6 +85,10 @@ def test_bmp_decoder_rejects_what_it_cannot_parse():
     buf[28] = 8  # claim 8bpp
     with pytest.raises(NotImplementedError):
         decode_image_real(bytes(buf))
+    buf2 = bytearray(encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8)))
+    buf2[10] = 14  # corrupt data_offset pointing inside the header
+    with pytest.raises(ValueError):
+        decode_image_real(bytes(buf2))
 
 
 def test_multimodal_decode_real_matches_closed_form(spark):

@@ -288,10 +288,12 @@ def test_python_datasource_jsonl_sink_two_phase_commit(spark, tmp_path):
     assert sample["user_id"] == h % N_USERS
     assert sample["event_type"] == TYPES[h % N_TYPES]
     assert sample["ts_epoch_s"] == BASE_EPOCH_S + 7
-    # staging dir drained; manifest has one line per committed batch
+    # staging dir drained; manifest has one entry per committed batch
     assert not os.listdir(out / "_staging")
-    manifest = [l.split("\t") for l in open(out / "_manifest")]
-    assert sum(int(x[1]) for x in manifest) == n
+    from kinesis_demo_spark.sources.python_datasource import JsonlStreamWriter
+
+    manifest = JsonlStreamWriter.read_manifest(str(out))
+    assert sum(x[1] for x in manifest) == n
 
 
 def test_observe_metrics_ride_the_action(spark):
@@ -380,8 +382,8 @@ def test_jsonl_sink_commit_is_replay_idempotent(tmp_path):
     replay = stage([2, 3, 4])
     w.commit([replay], 1)
 
-    manifest = [l.split("\t") for l in open(out / "_manifest") if l.strip()]
-    assert [(b, int(n)) for b, n in manifest] == [("0", 2), ("1", 3)]
+    manifest = JsonlStreamWriter.read_manifest(str(out))
+    assert manifest == [(0, 2), (1, 3)]
     assert not os.listdir(out / "_staging")  # orphan swept
     assert not os.path.exists(orphan.path)
     got = []

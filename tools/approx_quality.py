@@ -15,6 +15,10 @@ Reported:
   - simhash_vs_jaccard_overlap: SimHash hamming<=3 pairs that are also exact
     Jaccard duplicates (different similarity definitions — overlap, not
     recall).
+  - df_capped_pair_recall / precision: corpus-relative hot-shingle-capped
+    index vs the exact inverted index (precision = 1 by construction —
+    candidates are exactness-verified; recall < 1 only when a true pair's
+    every shared shingle crosses the 0.5%-of-docs cap).
 
 Usage: python tools/approx_quality.py [sf_dir]   (default sf0.01)
 Prints ONE JSON line.
@@ -61,6 +65,8 @@ def main() -> None:
     release_persisted()
     sh_dup = _pairs(q["dedup_simhash"](spark, sf_dir), "doc_a", "doc_b")
     release_persisted()
+    dfcap_dup = _pairs(q["dedup_ngram_jaccard_df_capped"](spark, sf_dir), "doc_a", "doc_b")
+    release_persisted()
 
     def ratio(n, d):
         return round(n / d, 4) if d else None
@@ -76,6 +82,8 @@ def main() -> None:
                 "minhash_pair_recall": ratio(len(mh_dup & exact_dup), len(exact_dup)),
                 "minhash_pair_precision": ratio(len(mh_dup & exact_dup), len(mh_dup)),
                 "simhash_vs_jaccard_overlap": ratio(len(sh_dup & exact_dup), len(sh_dup)),
+                "df_capped_pair_recall": ratio(len(dfcap_dup & exact_dup), len(exact_dup)),
+                "df_capped_pair_precision": ratio(len(dfcap_dup & exact_dup), len(dfcap_dup)),
                 "n_exact_ann_pairs": len(exact_ann),
                 "n_exact_dup_pairs": len(exact_dup),
             }

@@ -89,6 +89,7 @@ HEADLINE = (
     "dedup_embedding_cosine_lsh",
     "ann_cosine_topk",
     "ann_cosine_topk_lsh",
+    "mine_hard_negatives",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",

@@ -125,52 +125,12 @@ ANN_LSH_BAND_BITS = 4
 ANN_LSH_TABLES = 16
 
 
-@register(
-    "ann_cosine_topk_lsh",
-    oracle=f"""
-WITH vb AS (
-  SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm
-  FROM embeddings
-),
-bands AS (
-  SELECT vb.*, t.tbl,
-         CASE t.tbl {" ".join(f"WHEN {t} THEN {sign_bucket_band_sql('embedding', t * ANN_LSH_BAND_BITS, ANN_LSH_BAND_BITS)}" for t in range(ANN_LSH_TABLES))} END AS bucket
-  FROM vb CROSS JOIN (SELECT unnest(range({ANN_LSH_TABLES})) AS tbl) t
-),
-scored AS (
-  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         {dot_fold_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS score
-  FROM bands q JOIN bands c
-    ON q.tbl = c.tbl AND q.bucket = c.bucket
-   AND q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
-),
-ranked AS (
-  SELECT query_id, neighbor_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
-  FROM scored
-)
-SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, score
-FROM ranked WHERE rnk <= {TOP_K}
-""",
-)
-def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table sign-LSH ANN: {ANN_LSH_TABLES} tables, each bucketing on
-    the hyperplane signs of its own {ANN_LSH_BAND_BITS}-dim band; a candidate
-    is any corpus vector sharing ANY table's bucket with the query, scored
-    exactly and ranked. The band join is an equi-join on (table, bucket) —
-    at 100 TB the corpus shuffles once by band key (or is written bucketed),
-    and recall/cost tune with (b, L) as constants, not plan changes:
-    measured recall@10 vs the exact baseline is 0.88 at 4 bits x 16 tables
-    on the fixtures (tools/lsh_frontier.py sweeps the whole (bits, tables)
-    frontier: no config with fewer/wider bands reaches 0.85 at either sf —
-    the fixtures' near-random embeddings make true neighbors only moderately
-    aligned, so the wide-table config is the measured optimum, not a guess).
-    Plan shape: only SLIM (vec_id, table, bucket) rows travel through the
-    band join (the {ANN_LSH_TABLES}x-replicated embedding payload never
-    does); candidate (query, neighbor) pairs are DISTINCT'd before scoring
-    so a pair colliding in several tables is scored exactly once; the
-    embeddings are then fetched by key (queries stay a broadcast — the
-    corpus side never shuffles its vectors for the join)."""
+def _lsh_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared multi-table sign-LSH candidate generation + exact scoring
+    (the plan body of ann_cosine_topk_lsh, reused verbatim by the
+    hard-negative miner): slim (vec_id, table, bucket) band join ->
+    DISTINCT candidate pairs -> exact cosine via broadcast-fetched
+    embeddings."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
     bands = F.explode(
@@ -224,6 +184,113 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dot_fold(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("score"),
         )
     )
+    return scored
+
+
+@register(
+    "ann_cosine_topk_lsh",
+    oracle=f"""
+WITH vb AS (
+  SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm
+  FROM embeddings
+),
+bands AS (
+  SELECT vb.*, t.tbl,
+         CASE t.tbl {" ".join(f"WHEN {t} THEN {sign_bucket_band_sql('embedding', t * ANN_LSH_BAND_BITS, ANN_LSH_BAND_BITS)}" for t in range(ANN_LSH_TABLES))} END AS bucket
+  FROM vb CROSS JOIN (SELECT unnest(range({ANN_LSH_TABLES})) AS tbl) t
+),
+scored AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {dot_fold_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS score
+  FROM bands q JOIN bands c
+    ON q.tbl = c.tbl AND q.bucket = c.bucket
+   AND q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, score
+FROM ranked WHERE rnk <= {TOP_K}
+""",
+)
+def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH ANN: {ANN_LSH_TABLES} tables, each bucketing on
+    the hyperplane signs of its own {ANN_LSH_BAND_BITS}-dim band; a candidate
+    is any corpus vector sharing ANY table's bucket with the query, scored
+    exactly and ranked. The band join is an equi-join on (table, bucket) —
+    at 100 TB the corpus shuffles once by band key (or is written bucketed),
+    and recall/cost tune with (b, L) as constants, not plan changes:
+    measured recall@10 vs the exact baseline is 0.88 at 4 bits x 16 tables
+    on the fixtures (tools/lsh_frontier.py sweeps the whole (bits, tables)
+    frontier: no config with fewer/wider bands reaches 0.85 at either sf —
+    the fixtures' near-random embeddings make true neighbors only moderately
+    aligned, so the wide-table config is the measured optimum, not a guess).
+    Plan shape: only SLIM (vec_id, table, bucket) rows travel through the
+    band join (the {ANN_LSH_TABLES}x-replicated embedding payload never
+    does); candidate (query, neighbor) pairs are DISTINCT'd before scoring
+    so a pair colliding in several tables is scored exactly once; the
+    embeddings are then fetched by key (queries stay a broadcast — the
+    corpus side never shuffles its vectors for the join)."""
+    return _topk(_lsh_scored(spark, sf_dir))
+
+
+# --- Hard-negative mining (contrastive-training data prep) -------------------------
+
+# Close-but-not-duplicate window: candidates scoring at or above the
+# duplicate threshold are positives/near-dups (the dedup family's
+# COSINE_DUP_THRESHOLD), anything far below carries no gradient signal —
+# the miner keeps the top-K most-similar NON-duplicate neighbors per anchor,
+# the ANCE/DPR-style hard-negative recipe drawn from an ANN shortlist
+# rather than an exhaustive scan.
+HARD_NEG_MAX_SCORE = 0.40
+
+
+@register(
+    "mine_hard_negatives",
+    oracle=f"""
+WITH vb AS (
+  SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm
+  FROM embeddings
+),
+bands AS (
+  SELECT vb.*, t.tbl,
+         CASE t.tbl {" ".join(f"WHEN {t} THEN {sign_bucket_band_sql('embedding', t * ANN_LSH_BAND_BITS, ANN_LSH_BAND_BITS)}" for t in range(ANN_LSH_TABLES))} END AS bucket
+  FROM vb CROSS JOIN (SELECT unnest(range({ANN_LSH_TABLES})) AS tbl) t
+),
+scored AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {dot_fold_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS score
+  FROM bands q JOIN bands c
+    ON q.tbl = c.tbl AND q.bucket = c.bucket
+   AND q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+  FROM scored
+  WHERE score < {HARD_NEG_MAX_SCORE}
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, score
+FROM ranked WHERE rnk <= {TOP_K}
+""",
+)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training (the
+    ANCE/DPR data-prep recipe): per anchor query, the top-{TOP_K}
+    most-similar corpus vectors whose cosine is still BELOW the
+    near-duplicate threshold ({HARD_NEG_MAX_SCORE}) — close enough to be
+    hard, far enough to be true negatives. Candidates come from the SAME
+    multi-table sign-LSH shortlist as ann_cosine_topk_lsh (shared plan
+    body, _lsh_scored), so at 100 TB mining cost = one band equi-join per
+    epoch, never an exhaustive score pass; the exclusion window composes
+    with the dedup family's duplicate threshold so mined negatives can
+    never be unlabeled positives from the near-dup set.
+
+    Deterministic and value-hash-checked like every ANN variant: exact
+    sequential-fold cosine, id-tie-broken ranks."""
+    scored = _lsh_scored(spark, sf_dir).filter(F.col("score") < HARD_NEG_MAX_SCORE)
     return _topk(scored)
 
 

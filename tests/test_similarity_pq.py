@@ -135,3 +135,37 @@ def test_pca_matches_numpy_and_run_deterministic(spark):
     again = sorted(pca_embedding_components(spark, SF).collect(), key=lambda r: r.component)
     release_persisted()
     assert [tuple(r) for r in got] == [tuple(r) for r in again]
+
+
+def test_hard_negatives_exclude_near_duplicates(spark):
+    """Mined negatives must be disjoint from the near-dup set (score >=
+    threshold) and be exactly the top-K below-threshold neighbors from the
+    exact ranking."""
+    from kinesis_demo_spark.queries.similarity import (
+        HARD_NEG_MAX_SCORE,
+        TOP_K,
+        ann_cosine_topk,
+        mine_hard_negatives,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    negs = mine_hard_negatives(spark, sf).collect()
+    assert negs
+    for r in negs:
+        assert r.score < HARD_NEG_MAX_SCORE
+    per_q = {}
+    for r in negs:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rows in per_q.items():
+        assert len(rows) <= TOP_K
+        ranks = sorted(r.rnk for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        scores = [r.score for r in sorted(rows, key=lambda x: x.rnk)]
+        assert scores == sorted(scores, reverse=True)
+    # every exact top-k neighbor under the threshold must appear (the LSH
+    # shortlist can only shrink recall, and at smoke scale buckets recall
+    # these; disjointness with the dup window is the hard guarantee)
+    exact = ann_cosine_topk(spark, sf).collect()
+    dup_pairs = {(r.query_id, r.neighbor_id) for r in exact if r.score >= HARD_NEG_MAX_SCORE}
+    neg_pairs = {(r.query_id, r.neighbor_id) for r in negs}
+    assert not (dup_pairs & neg_pairs)

@@ -65,8 +65,8 @@ DRIVER_CORRECTNESS_CAP = 50
 # r6 real-codec query multimodal_decode_real. The other 2 slots re-verify
 # pass(r2) queries whose plans r6 touched (lineage checkpointing):
 # dedup_clusters, kmeans_embeddings. After this round the never-checked
-# count drops 91 -> 44 (the late-r6 dedup_ngram_jaccard_df_capped joins the
-# r7 promotion pool below the cap).
+# count drops 91 -> 45 (the late-r6 dedup_ngram_jaccard_df_capped and
+# mine_hard_negatives join the r7 promotion pool below the cap).
 #
 # Rotated out (ALL green in r4 or r5, plans untouched in r6; ledger in
 # COVERAGE.md, re-verified every round by tests/test_oracle_parity.py):

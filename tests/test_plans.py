@@ -295,3 +295,35 @@ def test_variant_parses_once(spark):
     plan = _plan(Q["variant_props_extract"](spark, SF), mode="simple")
     # one parse_json feeding N typed extractions — the point of VARIANT
     assert plan.count("parse_json") <= 1
+
+
+def test_df_capped_jaccard_broadcasts_only_the_cap_scalar(spark):
+    """The ONLY forced broadcast in the df-capped index is the 1-row corpus
+    count feeding the cap filter; the shingle/df tables (which grow with the
+    corpus) carry no hint, so AQE keeps strategy authority at scale."""
+    analyzed = _analyzed(Q["dedup_ngram_jaccard_df_capped"](spark, SF))
+    # the capped index feeds both self-join sides, so the single 1-row cap
+    # broadcast appears once per branch of the analyzed tree — exactly 2,
+    # and nothing else carries a hint
+    assert analyzed.count("ResolvedHint") == 2
+    plan = _plan(Q["dedup_ngram_jaccard_df_capped"](spark, SF))
+    assert "CartesianProduct" not in plan  # 1-row cap join is a BNL broadcast
+
+
+def test_hard_negatives_broadcast_queries_not_corpus(spark):
+    """Hard-negative mining shares the LSH plan body: the anchor/query side
+    (bounded) is broadcast, the corpus embedding side never is — and the
+    sub-threshold filter must sit between scoring and ranking, not after the
+    top-k (or near-dup exclusion would eat into the K)."""
+    analyzed = _analyzed(Q["mine_hard_negatives"](spark, SF))
+    # two forced broadcasts: the slim query bands and the query vectors
+    assert analyzed.count("ResolvedHint") == 2
+    from kinesis_demo_spark.queries.similarity import HARD_NEG_MAX_SCORE, TOP_K
+
+    rows = Q["mine_hard_negatives"](spark, SF).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rs in per_q.items():
+        assert len(rs) == min(TOP_K, len(rs))
+        assert all(r.score < HARD_NEG_MAX_SCORE for r in rs)

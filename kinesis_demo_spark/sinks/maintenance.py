@@ -174,14 +174,26 @@ def expire_partitions(
     for d in _all_partition_names(path, partition_col):
         value = d[len(prefix):]
         if value < keep_from:
+            # Report as expired only if LIVE data existed (a backup counts:
+            # recovery would have restored it). A staging-only remnant is an
+            # orphan from a crashed first write — swept, but never data, so
+            # it must not appear in the audit report (ADVICE r6).
+            had_live = any(
+                os.path.isdir(os.path.join(path, form))
+                for form in (d, _BACKUP_PREFIX + d)
+            )
             for form in (d, _BACKUP_PREFIX + d, _STAGING_PREFIX + d):
                 full = os.path.join(path, form)
                 if os.path.isdir(full):
                     shutil.rmtree(full)
-            expired.append(value)
+            if had_live:
+                expired.append(value)
         else:
             _recover_incomplete(path, d)
-            kept.append(value)
+            # After recovery, a staging-only orphan has been swept and no
+            # live dir exists — that value was never committed data.
+            if os.path.isdir(os.path.join(path, d)):
+                kept.append(value)
     return {"expired": expired, "kept": kept}
 
 

@@ -225,11 +225,15 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         manifest_dir = os.path.join(path, "_manifest.d")
         out = []
         if os.path.isdir(manifest_dir):
-            for f in sorted(os.listdir(manifest_dir)):
+            for f in os.listdir(manifest_dir):
                 if f.startswith("b-") and not f.endswith(".tmp"):
                     with open(os.path.join(manifest_dir, f)) as fh:
                         b, n = fh.read().split("\t")
                         out.append((int(b), int(n)))
+        # Sort by the parsed integer batchId, not the filename: the zero
+        # padding in b-{batchId:05d} overflows at 100000 and lexicographic
+        # order would put b-100000 before b-99999.
+        out.sort()
         return out
 
     def abort(self, messages, batchId) -> None:

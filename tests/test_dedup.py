@@ -228,3 +228,62 @@ def test_df_capped_jaccard_is_subset_with_full_recall_at_fixture(spark):
     # (3 of 28 pairs share only df>3 shingles); at sf0.01 — the driver
     # gate's scale — measured recall is 1.0. Pin the floor, not the hope.
     assert len(capped) / len(exact) >= 0.85
+
+
+# --- exact substring runs (r7) ------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def substring_dir(spark, tmp_path_factory):
+    """Docs sharing one long verbatim substring at DIFFERENT offsets, plus a
+    hot substring planted in many docs (df-cap fodder), plus unrelated
+    filler."""
+    shared = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "violinists rehearse a complicated passage from the late quartets"
+    )  # 124 chars
+    hot = "this exact banner sentence appears in every single crawled page here"
+    rows = [
+        (0, "intro text before anything. " + shared + " and a unique tail zero."),
+        (1, "a much longer and different preamble comes first here so that the "
+            "alignment differs. " + shared + " closing words one."),
+        (2, "completely unrelated content about maritime navigation charts and "
+            "the tides of the northern atlantic shelf region in autumn."),
+    ] + [
+        (10 + i, f"distinct lead-in number {i} with words. " + hot + f" tail {i}.")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = str(tmp_path_factory.mktemp("substr") / "documents.parquet")
+    df.write.parquet(out)
+    return out.rsplit("/documents.parquet", 1)[0]
+
+
+def test_substring_runs_find_shared_substring_at_any_alignment(spark, substring_dir):
+    runs = D.dedup_substring_runs(spark, substring_dir).collect()
+    pair_runs = [r for r in runs if (r.doc_a, r.doc_b) == (0, 1)]
+    assert pair_runs, "shared 124-char substring not detected"
+    best = max(pair_runs, key=lambda r: r.span)
+    # Different preamble lengths -> nonzero diagonal; the run must sit inside
+    # the planted copies and span most of the 124 chars (anchor selection
+    # trims up to ~SUB_ANCHOR_MOD chars + SUB_W at each end).
+    assert best.diag != 0
+    assert best.span >= 80
+    # Anchor truth: the gram at the reported start matches exactly.
+    texts = {r.doc_id: r.text for r in spark.read.parquet(
+        substring_dir + "/documents.parquet").collect()}
+    ga = texts[0][best.start_a - 1 : best.start_a - 1 + D.SUB_W]
+    gb = texts[1][best.start_b - 1 : best.start_b - 1 + D.SUB_W]
+    assert ga == gb
+    # And no run involves the unrelated doc 2.
+    assert not [r for r in runs if 2 in (r.doc_a, r.doc_b)]
+
+
+def test_substring_runs_df_cap_drops_corpus_hot_substrings(spark, substring_dir):
+    """The banner sentence sits in 8 of 11 docs — every one of its grams has
+    df 8 > cap (=3 at this corpus size), so NO run may be emitted among the
+    banner docs: the df-cap approximation is one-sided by design (hot
+    verbatim text is the boilerplate operator's job)."""
+    runs = D.dedup_substring_runs(spark, substring_dir).collect()
+    banner_pairs = [r for r in runs if r.doc_a >= 10 and r.doc_b >= 10]
+    assert banner_pairs == []

@@ -236,3 +236,29 @@ def test_expire_handles_crash_remnants(spark, tmp_path):
     left = spark.read.parquet(path)
     assert sorted(str(r.day) for r in left.select("day").distinct().collect()) == ["2", "3"]
     assert left.count() == 2000
+
+
+def test_expire_audit_ignores_staging_only_orphans(spark, tmp_path):
+    """ADVICE r6: a staging-only remnant (first write crashed before any
+    commit — no live dir, no backup) is swept but must NOT be reported as a
+    real partition in either `expired` or `kept`: the audit would otherwise
+    claim data that never existed."""
+    import shutil
+
+    from kinesis_demo_spark.sinks.maintenance import (
+        _STAGING_PREFIX,
+        expire_partitions,
+    )
+
+    path = _store(spark, tmp_path)
+    # Fabricate staging-only orphans on BOTH sides of the retention cut, for
+    # partition values that were never committed (day=7 expired-side, day=9
+    # kept-side).
+    shutil.copytree(os.path.join(path, "day=1"), os.path.join(path, _STAGING_PREFIX + "day=0.5"))
+    shutil.copytree(os.path.join(path, "day=1"), os.path.join(path, _STAGING_PREFIX + "day=9"))
+
+    out = expire_partitions(path, "day", keep_from="2")
+    assert out["expired"] == ["0", "1"]
+    assert out["kept"] == ["2", "3"]
+    leftovers = [d for d in os.listdir(path) if d.startswith(_STAGING_PREFIX)]
+    assert leftovers == []

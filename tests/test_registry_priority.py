@@ -97,9 +97,17 @@ def _past_driver_rows() -> set[str]:
     seen: set[str] = set()
     for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         try:
-            seen |= set(json.load(open(f)))
+            rows = json.load(open(f))
         except Exception:
-            pass
+            continue
+        # Only GREEN rows count as driver evidence: a hash match, or a
+        # rows-only match for the sanctioned oracle-None iteratives. Red rows
+        # and err='no_oracle' placeholders don't verify anything (ADVICE r6).
+        for name, row in rows.items():
+            if isinstance(row, dict) and (
+                row.get("hash_match") is True or row.get("rows_match") is True
+            ):
+                seen.add(name)
     return seen
 
 

@@ -391,3 +391,22 @@ def test_jsonl_sink_commit_is_replay_idempotent(tmp_path):
         if f.endswith(".jsonl"):
             got += [json.loads(line)["event_id"] for line in open(out / f)]
     assert sorted(got) == [0, 1, 2, 3, 4]  # exactly once despite the replay
+
+
+def test_manifest_sorts_by_integer_batch_id(tmp_path):
+    """ADVICE r6: b-{batchId:05d} zero padding overflows at 100000, so a
+    lexicographic filename sort would put b-100000 before b-99999. The audit
+    view must sort by the parsed integer batchId."""
+    import os
+
+    from kinesis_demo_spark.sources.python_datasource import JsonlStreamWriter
+
+    mdir = tmp_path / "_manifest.d"
+    os.makedirs(mdir)
+    for batch_id, rows in ((99999, 7), (100000, 11), (5, 3)):
+        (mdir / f"b-{batch_id:05d}").write_text(f"{batch_id}\t{rows}\n")
+    assert JsonlStreamWriter.read_manifest(str(tmp_path)) == [
+        (5, 3),
+        (99999, 7),
+        (100000, 11),
+    ]

@@ -703,27 +703,84 @@ def _apply_merge(toks: F.Column, a: F.Column, b: F.Column) -> F.Column:
     )
 
 
-@register("bpe_train_merges")  # iterative, driver-sequenced -> no SQL oracle;
-# differential vs a pure-Python reference implementation in tests/test_corpus.py
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL iterative BPE tokenizer training, distributed: {BPE_ROUNDS}
-    rounds of (count adjacent pairs corpus-wide -> pick the most frequent
-    pair, ties to the lexicographically smallest -> rewrite every document
-    with the merge applied). ``bpe_merge_candidates`` is one round's scan;
-    this is the whole training loop, the part that genuinely needs a
-    driver-sequenced iteration because round r's counts depend on round
-    r-1's rewrite. Exactly ONE row (the argmax pair) is collected per
-    round — the merge table is driver-side by design, as in any
-    distributed tokenizer trainer; the corpus itself never leaves the
-    executors.
+# Unrolled-SQL oracle for the iterative trainer: iteration with a FIXED
+# round count is SQL-expressible after all — each round becomes one CTE
+# block (pair counts -> argmax -> positional leftmost-non-overlapping
+# rewrite via gaps-and-islands + selection parity), chained BPE_ROUNDS deep.
+# MATERIALIZED is load-bearing: without it DuckDB inlines every CTE
+# reference and the evaluation tree grows 2^rounds (measured 30 s -> 0.4 s
+# at sf0.01). The greedy-left overlap rule (runs of matched positions pick
+# even offsets — only possible when sym_a == sym_b) is exactly the
+# ``_apply_merge`` fold's pending-symbol semantics.
 
-    Scale: each round is one explode -> pair count (map-side combined) ->
-    TakeOrdered(1), then a lazy per-row fold rewriting the arrays. The
-    working set is persisted per round and the previous round's cache
-    released (lineage would otherwise recompute all prior rewrites every
-    round — O(R^2) corpus passes; with the checkpointing it is O(R)). At
-    100 TB each round is a single shuffle of pair partials, and the
-    rewrite is embarrassingly parallel codegen."""
+
+def _bpe_round_ctes(r: int) -> str:
+    s_in = f"s{r - 1}"
+    return f"""
+pc{r} AS (
+  SELECT tok AS a, nxt AS b, count(*) AS n FROM (
+    SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM {s_in}
+  ) WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+b{r} AS MATERIALIZED (SELECT a, b, a || '{BPE_SEP}' || b AS merged, n
+                      FROM pc{r} ORDER BY n DESC, a, b LIMIT 1),
+m{r} AS (
+  SELECT s.doc_id, s.pos, s.tok,
+         coalesce(s.tok = b{r}.a AND
+                  lead(s.tok) OVER (PARTITION BY s.doc_id ORDER BY s.pos) = b{r}.b,
+                  FALSE) AS matched
+  FROM {s_in} s, b{r}
+),
+g{r} AS (
+  SELECT doc_id, pos, tok, matched,
+         CASE WHEN matched
+              THEN pos - row_number() OVER (PARTITION BY doc_id, matched ORDER BY pos)
+         END AS grp
+  FROM m{r}
+),
+sel{r} AS (
+  SELECT doc_id, pos, tok,
+         matched AND (row_number() OVER (PARTITION BY doc_id, grp ORDER BY pos) % 2 = 1)
+           AS selected
+  FROM g{r}
+),
+rw{r} AS (
+  SELECT s.doc_id, s.pos,
+         CASE WHEN s.selected THEN b{r}.merged ELSE s.tok END AS tok,
+         coalesce(lag(s.selected) OVER (PARTITION BY s.doc_id ORDER BY s.pos), FALSE)
+           AS consumed
+  FROM sel{r} s, b{r}
+),
+s{r} AS MATERIALIZED (
+  SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS pos, tok
+  FROM rw{r} WHERE NOT consumed
+)"""
+
+
+def _bpe_unrolled_ctes() -> str:
+    """WITH-clause body: tokenized corpus s0 plus BPE_ROUNDS round blocks.
+    s0 keeps ALL docs (single-token docs yield no pairs, so the argmax per
+    round is identical to the trainer's >= 2-token corpus — and the encode
+    oracle needs them passed through)."""
+    head = """s0 AS MATERIALIZED (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos, string_split(text, ' ')[CAST(pos AS INT)] AS tok
+  FROM (SELECT doc_id, text, unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        FROM documents)
+)"""
+    return head + "".join("," + _bpe_round_ctes(r) for r in range(1, BPE_ROUNDS + 1))
+
+
+_BPE_TRAIN_ORACLE = f"""
+WITH {_bpe_unrolled_ctes()}
+SELECT * FROM (
+{" UNION ALL ".join(f"SELECT CAST({r} AS BIGINT) AS round, a AS sym_a, b AS sym_b, merged, n FROM b{r}" for r in range(1, BPE_ROUNDS + 1))}
+)
+"""
+
+
+def _train_bpe(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, str, int]]:
+    """The driver-sequenced training loop shared by ``bpe_train_merges``
+    (returns the merge table) and ``bpe_encode_corpus`` (applies it)."""
     docs = (
         _docs(spark, sf_dir)
         .select("doc_id", _tokens().alias("toks"))
@@ -772,6 +829,76 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             cached.unpersist()
         except Exception:
             pass  # session already stopped — nothing to release
+    return merges
+
+
+@register("bpe_train_merges", oracle=_BPE_TRAIN_ORACLE)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL iterative BPE tokenizer training, distributed: {BPE_ROUNDS}
+    rounds of (count adjacent pairs corpus-wide -> pick the most frequent
+    pair, ties to the lexicographically smallest -> rewrite every document
+    with the merge applied). ``bpe_merge_candidates`` is one round's scan;
+    this is the whole training loop, the part that needs a driver-sequenced
+    iteration because round r's counts depend on round r-1's rewrite.
+    Exactly ONE row (the argmax pair) is collected per round — the merge
+    table is driver-side by design, as in any distributed tokenizer
+    trainer; the corpus itself never leaves the executors.
+
+    Value-hash checked since r7: a FIXED round count makes the iteration
+    SQL-expressible after all — the oracle unrolls all {BPE_ROUNDS} rounds
+    as MATERIALIZED CTE blocks (see ``_bpe_round_ctes``), replacing the
+    r5-era rows-only registration. The pure-Python differential in
+    tests/test_corpus.py stays as the third, engine-free reference.
+
+    Scale: each round is one explode -> pair count (map-side combined) ->
+    TakeOrdered(1), then a lazy per-row fold rewriting the arrays. The
+    working set is persisted per round and the previous round's cache
+    released (lineage would otherwise recompute all prior rewrites every
+    round — O(R^2) corpus passes; with the checkpointing it is O(R)). At
+    100 TB each round is a single shuffle of pair partials, and the
+    rewrite is embarrassingly parallel codegen."""
     return spark.createDataFrame(
-        merges, "round bigint, sym_a string, sym_b string, merged string, n bigint"
+        _train_bpe(spark, sf_dir),
+        "round bigint, sym_a string, sym_b string, merged string, n bigint",
+    )
+
+
+_BPE_ENCODE_ORACLE = f"""
+WITH {_bpe_unrolled_ctes()}
+SELECT doc_id, count(*) AS n_tokens, string_agg(tok, ' ' ORDER BY pos) AS toks_str
+FROM s{BPE_ROUNDS} GROUP BY doc_id
+"""
+
+
+@register("bpe_encode_corpus", oracle=_BPE_ENCODE_ORACLE)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale — the step a training pipeline
+    actually runs nightly: take the trained merge table and re-encode every
+    document with the merges applied in priority order. Training happens
+    once ({BPE_ROUNDS} driver-collected argmax rows via ``_train_bpe``);
+    the ENCODE is then a SINGLE embarrassingly parallel pass — all
+    {BPE_ROUNDS} merge folds composed into one projection (Catalyst
+    collapses the chained selects), zero shuffles, no iteration over the
+    corpus. Output per doc: token count + the encoded token stream, both
+    value-hash checked against the unrolled-SQL oracle's final state.
+
+    Scale: the merge table is a driver-side constant baked into the plan
+    (the broadcast-a-tiny-table degenerate case); encode cost is O(corpus)
+    regardless of vocabulary size, which is why production tokenizers ship
+    the merge list to every worker and stream the corpus through exactly
+    once. n_tokens is derived from the joined string (tokens cannot
+    contain the split character), keeping the fold evaluated once per row
+    instead of twice."""
+    merges = _train_bpe(spark, sf_dir)
+    col = _tokens()
+    for _rnd, a, b, _m, _n in merges:
+        col = _apply_merge(col, F.lit(a), F.lit(b))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.array_join(col, " ").alias("toks_str"))
+        .select(
+            "doc_id",
+            F.size(F.split(F.col("toks_str"), " ")).cast("long").alias("n_tokens"),
+            "toks_str",
+        )
     )

@@ -126,9 +126,9 @@ PRIORITY_ORDER = (
     # remaining slots as the round progresses; placeholders below are
     # long-green rows harmlessly re-verified if never swapped out.
     "dedup_substring_runs",
+    "bpe_train_merges",  # first HASH row — oracle upgraded from rows-only in r7
+    "bpe_encode_corpus",
     "streaming_outer_interval_join",
-    "heatmap_rollup",
-    "json_wire_roundtrip",
     "dedup_exact_text",
     "scalar_functions_parity",
     "tpch_q1_pricing_summary",

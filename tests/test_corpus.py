@@ -294,3 +294,44 @@ def test_bpe_trainer_survives_docs_collapsing_to_one_token(spark, tmp_path):
     expected = _py_bpe(texts, BPE_ROUNDS, BPE_SEP)
     assert got == [(r, a, b, n) for (r, a, b, _m, n) in expected]
     assert got[0] == (1, "a", "b", 10)
+
+
+def test_bpe_encode_matches_python_reference_encoding(spark):
+    """Corpus-wide encode == applying the Python-reference merge table in
+    priority order to every doc (leftmost non-overlapping per merge)."""
+    import duckdb
+
+    from kinesis_demo_spark.queries.corpus import (
+        BPE_ROUNDS,
+        BPE_SEP,
+        bpe_encode_corpus,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    merges = _py_bpe([t for _, t in rows], BPE_ROUNDS, BPE_SEP)
+
+    def encode(text):
+        toks = text.split(" ")
+        for _rnd, a, b, m, _n in merges:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(m)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return toks
+
+    expected = {doc_id: encode(text) for doc_id, text in rows}
+    got = {
+        r.doc_id: (r.n_tokens, r.toks_str)
+        for r in bpe_encode_corpus(spark, sf).collect()
+    }
+    assert set(got) == set(expected)  # every doc encoded, incl. single-token
+    for doc_id, toks in expected.items():
+        assert got[doc_id] == (len(toks), " ".join(toks)), doc_id

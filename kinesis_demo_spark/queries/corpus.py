@@ -778,9 +778,38 @@ SELECT * FROM (
 """
 
 
+# Trained merge tables memoized per corpus file identity (path + mtime +
+# size): the trainer and the encoder both need the table, and a pipeline
+# session runs both — training twice would double the only driver-sequenced
+# cost in the module. The file-identity key invalidates on any rewrite of
+# documents.parquet, so a changed corpus always retrains.
+_BPE_MEMO: dict[tuple, list[tuple[int, str, str, str, int]]] = {}
+
+
+def _corpus_identity(sf_dir: str) -> tuple:
+    import os
+
+    p = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    try:
+        if os.path.isdir(p):  # Spark-written table: identity = its data files
+            parts = tuple(
+                (f, os.stat(os.path.join(p, f)).st_mtime_ns, os.stat(os.path.join(p, f)).st_size)
+                for f in sorted(os.listdir(p))
+                if not f.startswith((".", "_"))
+            )
+            return (p, parts)
+        st = os.stat(p)
+        return (p, (st.st_mtime_ns, st.st_size))
+    except OSError:
+        return (p, None)  # unreadable: never memoized
+
+
 def _train_bpe(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, str, int]]:
     """The driver-sequenced training loop shared by ``bpe_train_merges``
     (returns the merge table) and ``bpe_encode_corpus`` (applies it)."""
+    key = _corpus_identity(sf_dir)
+    if key[1] is not None and key in _BPE_MEMO:
+        return _BPE_MEMO[key]
     docs = (
         _docs(spark, sf_dir)
         .select("doc_id", _tokens().alias("toks"))
@@ -829,6 +858,8 @@ def _train_bpe(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, st
             cached.unpersist()
         except Exception:
             pass  # session already stopped — nothing to release
+    if key[1] is not None:
+        _BPE_MEMO[key] = merges
     return merges
 
 

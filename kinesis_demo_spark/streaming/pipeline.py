@@ -22,11 +22,41 @@ query, where the input is finite) would be the one non-scalable choice at
 from __future__ import annotations
 
 import re
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from ..io import ensure_runtime_confs
+
+
+@contextmanager
+def _drain_state_partitions(spark: SparkSession, n: int = 8):
+    """Scope ``spark.sql.shuffle.partitions`` down for a bounded drain.
+
+    A stateful streaming query fixes its state-store partition count at
+    query start from this conf, and EVERY micro-batch then commits a delta
+    per partition per state store — for the outer interval join that is 4
+    stores x partitions x batches of pure file I/O, which dominates a small
+    finite drain (measured at sf0.1: 19 s at 32 partitions, 5.4 s at 8 —
+    identical results; state partitioning never affects values). Production
+    streaming jobs size this explicitly per query for the same reason. The
+    previous value is restored on exit; a session whose conf is locked
+    (hostile driver harness) just runs at its own setting."""
+    prev = None
+    try:
+        prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    except Exception:
+        prev = None  # locked conf — drain at the session's own setting
+    try:
+        yield
+    finally:
+        if prev is not None:
+            try:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            except Exception:
+                pass
 
 # File-source schema for the events fixtures. Streaming readers require an
 # explicit schema, and the right one for ``ts`` depends on the fixture's
@@ -663,17 +693,21 @@ def run_stream_outer_join(spark: SparkSession, sf_dir: str, name: str | None = N
         F.col("click_user").alias("user_id"),
         (F.unix_millis("view_ts") - F.unix_millis("click_ts")).alias("lag_ms"),
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    # 4 join state stores x partitions x 3 micro-batches of delta commits
+    # dominate this bounded drain — scope the state partition count down
+    # (values are partitioning-independent; see _drain_state_partitions).
+    with _drain_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     # the memory sink holds the drained rows in the driver's relation —
     # nothing references the scratch dir after q.stop(), so no checkpoint
     # is needed to delete it

@@ -187,6 +187,13 @@ HEADLINE = (
     "recursive_hierarchy_rollup",
     "sql_modern_surfaces",
     "sql_table_function_summary",
+    # r7 additions
+    "dedup_substring_runs",
+    "bpe_encode_corpus",
+    "filter_gopher_rules",
+    "lm_fluency_score",
+    "dsir_importance_resample",
+    "training_order_shuffle",
 )
 
 

@@ -1,0 +1,463 @@
+"""Data-selection and filtering passes for training-corpus curation — the
+rule-based and importance-based document selection layer that sits between
+raw ingest and the dedup/mixture stages (SURVEY.md §7 Phase 5 north star):
+
+- ``filter_gopher_rules``   — Gopher-style rule battery (Rae et al. 2021):
+  per-document structural-quality flags (word count band, mean word length
+  band, stopword presence, alphabetic-word fraction, single-token
+  repetition cap) plus the conjunctive keep decision.
+- ``lm_fluency_score``      — CCNet-style LM fluency filter: score each
+  document under the corpus's own bigram LM (the ``text_bigram_lm`` table)
+  and flag the least-fluent tail; exact BIGINT probability mass keeps the
+  cross-engine hash bit-exact without a single libm call.
+- ``dsir_importance_resample`` — DSIR (Xie et al. 2023): hashed-bigram
+  importance weights against a target domain (here: the ``en`` slice),
+  normalized by the corpus max, with the h60-salted keep decision — data
+  selection as one corpus pass plus a 4096-row broadcast dim.
+- ``training_order_shuffle`` — deterministic epoch shuffle: h60 sort key →
+  shard assignment → per-shard position → exact global position via the
+  tiny per-shard offset table. The artifact a trainer actually consumes
+  (shard files read in order), computed without a single global window.
+
+Every float in a hash-checked output is either a single division of exact
+BIGINTs or a comparison of identically-computed doubles — no libm, no
+order-dependent folds (the corpus.py discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import h60, h60_sql
+from ..io import load_table, spread
+from ..registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spread(load_table(spark, sf_dir, "documents"))
+
+
+# --- Gopher rule filter ------------------------------------------------------
+
+# Canonical published thresholds (Gopher / MassiveText, Rae et al. 2021 §A1.1;
+# the stopword rule there requires >= 2 hits from a short function-word list).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in", "that", "with", "be", "have")
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MAX_TOP_TOK_FRAC = 0.20
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+
+
+@register(
+    "filter_gopher_rules",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(n_chars - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+         CAST(len(list_intersect(list_distinct(toks), {_STOP_SQL})) AS BIGINT) AS stop_hits,
+         CAST(list_max(list_transform(list_distinct(toks),
+              w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS top_tok_frac,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS alpha_frac
+  FROM t
+),
+f AS (
+  SELECT *,
+    CAST(CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} THEN 1 ELSE 0 END AS BIGINT) AS r_words,
+    CAST(CASE WHEN mean_word_len >= {GOPHER_MIN_MEAN_LEN} AND mean_word_len <= {GOPHER_MAX_MEAN_LEN} THEN 1 ELSE 0 END AS BIGINT) AS r_mean_len,
+    CAST(CASE WHEN stop_hits >= {GOPHER_MIN_STOP_HITS} THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+    CAST(CASE WHEN alpha_frac >= {GOPHER_MIN_ALPHA_FRAC} THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+    CAST(CASE WHEN top_tok_frac <= {GOPHER_MAX_TOP_TOK_FRAC} THEN 1 ELSE 0 END AS BIGINT) AS r_rep
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len, stop_hits, top_tok_frac, alpha_frac,
+       r_words, r_mean_len, r_stop, r_alpha, r_rep,
+       CAST(r_words * r_mean_len * r_stop * r_alpha * r_rep AS BIGINT) AS keep
+FROM f
+""",
+)
+def filter_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule battery: per-document structural flags and the
+    conjunctive keep decision. Unlike ``text_quality_score`` (a scalar
+    heuristic), this is the RULE layer — each published threshold gets its
+    own auditable flag so the filter report explains every drop.
+
+    Every metric is per-row array arithmetic: mean word length from the
+    exact char/token identity (chars = sum(len) + separators), stopword
+    hits via array_intersect against the fixed function-word list, the
+    repetition cap from the max single-token count (the worst-case
+    O(|vocab|*n_tokens) scan is bounded per row and embarrassingly
+    parallel). Zero shuffles: the plan is scan -> project. Every division
+    is a single BIGINT/BIGINT -> DOUBLE op, identical in both engines."""
+    toks = F.split("text", " ")
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        "n_chars",
+        toks.alias("toks"),
+        F.size(toks).cast("long").alias("n_words"),
+    )
+    distinct_toks = F.array_distinct("toks")
+    top_tok_n = F.array_max(
+        F.transform(distinct_toks, lambda w: F.size(F.filter(F.col("toks"), lambda x: x == w)))
+    )
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    m = t.select(
+        "doc_id",
+        "n_words",
+        (
+            (F.col("n_chars") - (F.col("n_words") - F.lit(1))).cast("double")
+            / F.col("n_words").cast("double")
+        ).alias("mean_word_len"),
+        F.size(F.array_intersect(distinct_toks, stop_arr)).cast("long").alias("stop_hits"),
+        (top_tok_n.cast("double") / F.col("n_words").cast("double")).alias("top_tok_frac"),
+        (
+            F.size(F.filter(F.col("toks"), lambda x: x.rlike("[a-z]"))).cast("double")
+            / F.col("n_words").cast("double")
+        ).alias("alpha_frac"),
+    )
+    r_words = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS).cast("long").alias("r_words")
+    )
+    r_mean_len = (
+        (
+            (F.col("mean_word_len") >= GOPHER_MIN_MEAN_LEN)
+            & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_LEN)
+        )
+        .cast("long")
+        .alias("r_mean_len")
+    )
+    r_stop = (F.col("stop_hits") >= GOPHER_MIN_STOP_HITS).cast("long").alias("r_stop")
+    r_alpha = (F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC).cast("long").alias("r_alpha")
+    r_rep = (F.col("top_tok_frac") <= GOPHER_MAX_TOP_TOK_FRAC).cast("long").alias("r_rep")
+    f = m.select("*", r_words, r_mean_len, r_stop, r_alpha, r_rep)
+    return f.select(
+        "*",
+        (
+            F.col("r_words") * F.col("r_mean_len") * F.col("r_stop") * F.col("r_alpha") * F.col("r_rep")
+        )
+        .cast("long")
+        .alias("keep"),
+    )
+
+
+# --- CCNet-style bigram-LM fluency filter -----------------------------------
+
+# Integer probability scale: p_scaled = pair_n * LM_SCALE DIV ctx_n. The
+# product must stay under 2^63: LM_SCALE = 1e9 supports corpus pair counts up
+# to ~9.2e9 occurrences of a single bigram; for larger corpora halve the
+# scale (the score keeps 9 significant digits either way).
+LM_SCALE = 1_000_000_000
+# Keep threshold on the mean conditional probability (the head of the CCNet
+# split): documents whose tokens the corpus LM finds predictable.
+LM_KEEP_MIN_FLUENCY = 0.02
+
+
+@register(
+    "lm_fluency_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS ctx,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS nxt
+  FROM t
+),
+pc AS (
+  SELECT ctx, nxt, count(*) AS pair_n FROM bg GROUP BY ctx, nxt
+),
+cc AS (
+  SELECT ctx, sum(pair_n) AS ctx_n FROM pc GROUP BY ctx
+),
+scored AS (
+  SELECT bg.doc_id,
+         CAST(pc.pair_n * {LM_SCALE} AS BIGINT) // CAST(cc.ctx_n AS BIGINT) AS p_scaled
+  FROM bg JOIN pc ON bg.ctx = pc.ctx AND bg.nxt = pc.nxt
+          JOIN cc ON bg.ctx = cc.ctx
+),
+d AS (
+  SELECT doc_id, count(*) AS n_bigrams, sum(p_scaled) AS mass FROM scored GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, CAST(mass AS BIGINT) AS mass,
+       CAST(mass AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * {LM_SCALE}.0) AS fluency,
+       CAST(CASE WHEN CAST(mass AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * {LM_SCALE}.0)
+                      >= {LM_KEEP_MIN_FLUENCY} THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM d
+""",
+)
+def lm_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM fluency filter (Wenzek et al. 2020 use a KenLM
+    perplexity split; the statistic here is the mean bigram conditional
+    probability under the corpus's own LM — same ranking intent, computable
+    without libm): every adjacent pair scores P(next|ctx) from the
+    ``text_bigram_lm`` counts, a document's fluency is the mean.
+
+    Bit-exactness: the geometric mean behind true perplexity needs log();
+    instead each probability becomes the exact BIGINT
+    ``pair_n * {LM_SCALE} DIV ctx_n`` (integer floor division — identical
+    in both engines), per-document mass is an exact BIGINT sum, and the
+    single closing division yields the double. No float fold anywhere.
+
+    Scale: one explode -> pair-keyed count with map-side partials (the
+    same vocabulary-bounded shape as ``text_bigram_lm``) -> join the
+    bigram stream back to the two count dims (broadcast while the
+    vocabulary fits; keyed shuffle with AQE skew-split beyond that —
+    Zipf-head contexts are the textbook skew case) -> one doc-keyed
+    aggregate. Never materializes more than vocabulary² count rows."""
+    toks = F.split("text", " ")
+    t = (
+        _docs(spark, sf_dir)
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("ctx"),
+                    F.element_at("toks", i + 1).alias("nxt"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.ctx", "p.nxt")
+    pc = bg.groupBy("ctx", "nxt").agg(F.count(F.lit(1)).alias("pair_n"))
+    cc = pc.groupBy("ctx").agg(F.sum("pair_n").alias("ctx_n"))
+    scored = (
+        bg.join(F.broadcast(pc), ["ctx", "nxt"])
+        .join(F.broadcast(cc), "ctx")
+        .select(
+            "doc_id",
+            # Spark's `/` on longs is float division; integer floor-div DIV
+            # matches DuckDB's `//` exactly for these positive operands.
+            F.expr(f"CAST(pair_n * {LM_SCALE} AS BIGINT) DIV CAST(ctx_n AS BIGINT)").alias(
+                "p_scaled"
+            ),
+        )
+    )
+    d = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("p_scaled").alias("mass")
+    )
+    fluency = F.col("mass").cast("double") / (
+        F.col("n_bigrams").cast("double") * F.lit(float(LM_SCALE))
+    )
+    return d.select(
+        "doc_id",
+        "n_bigrams",
+        F.col("mass").cast("long").alias("mass"),
+        fluency.alias("fluency"),
+        (fluency >= LM_KEEP_MIN_FLUENCY).cast("long").alias("keep"),
+    )
+
+
+# --- DSIR hashed-bigram importance resampling --------------------------------
+
+DSIR_BUCKETS = 4096       # hashed feature space (the DSIR paper uses 10^4)
+DSIR_TARGET_LANG = "en"   # target domain: the English slice of the corpus
+DSIR_SALT = "dsir"        # decorrelates the keep coin from other h60 samplers
+DSIR_PPM = 1_000_000
+
+
+@register(
+    "dsir_importance_resample",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+pairs AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS pair
+  FROM t
+),
+b AS (
+  SELECT doc_id, lang, {h60_sql("pair")} % {DSIR_BUCKETS} AS bucket FROM pairs
+),
+stats AS (
+  SELECT bucket, count(*) AS raw_n,
+         sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS tgt_n
+  FROM b GROUP BY bucket
+),
+d AS (
+  SELECT b.doc_id, count(*) AS n_bigrams,
+         sum(s.tgt_n) AS tgt_mass, sum(s.raw_n) AS raw_mass
+  FROM b JOIN stats s USING (bucket) GROUP BY b.doc_id
+),
+w AS (
+  SELECT *, CAST(tgt_mass AS DOUBLE) / CAST(raw_mass AS DOUBLE) AS weight FROM d
+),
+mx AS (SELECT max(weight) AS wmax FROM w)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(tgt_mass AS BIGINT) AS tgt_mass, CAST(raw_mass AS BIGINT) AS raw_mass,
+       weight,
+       CAST(CASE WHEN CAST({h60_sql(f"'{DSIR_SALT}' || CAST(doc_id AS VARCHAR)")} % {DSIR_PPM} AS DOUBLE) * wmax
+                      < {DSIR_PPM}.0 * weight THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM w, mx
+""",
+)
+def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS 2023): importance-weight
+    every raw document toward a target domain using hashed-bigram feature
+    counts, then resample with probability proportional to the weight.
+    Target here is the corpus's ``{DSIR_TARGET_LANG}`` slice — "select raw
+    data that looks like the target" as one corpus pass.
+
+    The paper's weight is a product of per-feature probability ratios
+    (needs log-space); the cross-engine-exact surrogate keeps the same
+    ordering intent: per document, ``tgt_mass / raw_mass`` where each mass
+    is the exact BIGINT sum over the document's bigram instances of the
+    corpus-wide (target, all) bucket counts. One division per doc; the
+    keep coin is the h60-salted uniform against the max-normalized weight,
+    compared by cross-multiplication of identically-computed doubles.
+
+    Scale: bucket stats are a {DSIR_BUCKETS}-row aggregate (map-side
+    combinable, broadcast back — the dim never grows with the corpus);
+    per-doc masses are one doc-keyed aggregate. The whole selection is two
+    passes over the bigram stream and O({DSIR_BUCKETS}) driver-free state,
+    exactly the property that makes DSIR viable at 100 TB."""
+    toks = F.split("text", " ")
+    t = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    b = t.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat(
+                    F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("pair"),
+    ).select("doc_id", "lang", (h60(F.col("pair")) % DSIR_BUCKETS).alias("bucket"))
+    stats = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_n"),
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)).alias("tgt_n"),
+    )
+    d = (
+        b.join(F.broadcast(stats), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("tgt_n").alias("tgt_mass"),
+            F.sum("raw_n").alias("raw_mass"),
+        )
+    )
+    w = d.select(
+        "*", (F.col("tgt_mass").cast("double") / F.col("raw_mass").cast("double")).alias("weight")
+    )
+    mx = w.agg(F.max("weight").alias("wmax"))
+    coin = (
+        h60(F.concat(F.lit(DSIR_SALT), F.col("doc_id").cast("string"))) % DSIR_PPM
+    ).cast("double")
+    return w.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        "n_bigrams",
+        F.col("tgt_mass").cast("long").alias("tgt_mass"),
+        F.col("raw_mass").cast("long").alias("raw_mass"),
+        "weight",
+        (coin * F.col("wmax") < F.lit(float(DSIR_PPM)) * F.col("weight"))
+        .cast("long")
+        .alias("kept"),
+    )
+
+
+# --- deterministic training-order shuffle -------------------------------------
+
+SHUFFLE_SALT = "epoch0"  # one salt per epoch — changing it reshuffles everything
+SHUFFLE_SHARDS = 32      # trainer-visible shard count (shard files read in order)
+
+
+@register(
+    "training_order_shuffle",
+    oracle=f"""
+WITH k AS (
+  SELECT doc_id,
+         {h60_sql(f"'{SHUFFLE_SALT}|' || CAST(doc_id AS VARCHAR)")} AS sort_key
+  FROM documents
+),
+s AS (
+  SELECT doc_id, sort_key, sort_key % {SHUFFLE_SHARDS} AS shard,
+         row_number() OVER (PARTITION BY sort_key % {SHUFFLE_SHARDS}
+                            ORDER BY sort_key, doc_id) AS pos_in_shard
+  FROM k
+),
+off AS (
+  SELECT shard,
+         sum(cnt) OVER (ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS off
+  FROM (SELECT shard, count(*) AS cnt FROM s GROUP BY shard)
+)
+SELECT s.doc_id, CAST(s.sort_key AS BIGINT) AS sort_key,
+       CAST(s.shard AS BIGINT) AS shard,
+       CAST(s.pos_in_shard AS BIGINT) AS pos_in_shard,
+       CAST(COALESCE(off.off, 0) + s.pos_in_shard AS BIGINT) AS global_pos
+FROM s JOIN off USING (shard)
+""",
+)
+def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: the training-order artifact. Every
+    document gets an h60 sort key (salted by epoch — a new salt is a fresh
+    shuffle, reproducible across runs/retries/engines), a shard, a position
+    within its shard, and the exact global position.
+
+    Scale: the naive global ``row_number() OVER (ORDER BY key)`` collapses
+    to ONE task at 100 TB; this plan never builds a global window. Position
+    comes from per-SHARD windows (each shard is an independent partition of
+    the key space — {SHUFFLE_SHARDS} here, thousands in production), and
+    global_pos is reconstructed exactly from the {SHUFFLE_SHARDS}-row
+    cumulative shard-offset table joined back by broadcast. h60 keys are
+    uniform, so shards are balanced by construction — no skew handling
+    needed. A trainer consumes shard files in (shard, pos_in_shard) order
+    and sees precisely the global_pos order."""
+    docs = _docs(spark, sf_dir)
+    k = docs.select(
+        "doc_id",
+        h60(F.concat(F.lit(SHUFFLE_SALT + "|"), F.col("doc_id").cast("string"))).alias(
+            "sort_key"
+        ),
+    )
+    s = k.select(
+        "doc_id",
+        "sort_key",
+        (F.col("sort_key") % SHUFFLE_SHARDS).alias("shard"),
+    ).select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy("shard").orderBy("sort_key", "doc_id"))
+        .cast("long")
+        .alias("pos_in_shard"),
+    )
+    counts = s.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt"))
+    off = counts.select(
+        "shard",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    return s.join(F.broadcast(off), "shard").select(
+        "doc_id",
+        "sort_key",
+        F.col("shard").cast("long").alias("shard"),
+        "pos_in_shard",
+        (F.col("off") + F.col("pos_in_shard")).cast("long").alias("global_pos"),
+    )

@@ -34,6 +34,7 @@ _QUERY_MODULES = (
     "kinesis_demo_spark.queries.training_prep",
     "kinesis_demo_spark.queries.corpus",
     "kinesis_demo_spark.queries.runtime_filter",
+    "kinesis_demo_spark.queries.filtering",
 )
 
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries only
@@ -123,15 +124,17 @@ PRIORITY_ORDER = (
     "trimmed_mean_value_by_type",
     "table_checksums",
     # r7 new registrations + changed-plan re-verifications fill the
-    # remaining slots as the round progresses; placeholders below are
-    # long-green rows harmlessly re-verified if never swapped out.
+    # remaining slots.
     "dedup_substring_runs",
     "bpe_train_merges",  # first HASH row — oracle upgraded from rows-only in r7
     "bpe_encode_corpus",
-    "streaming_outer_interval_join",
-    "dedup_exact_text",
-    "scalar_functions_parity",
-    "tpch_q1_pricing_summary",
+    "streaming_outer_interval_join",  # drain harness re-scoped in r7 — re-verify
+    # r7 filtering/data-selection suite (queries/filtering.py) — first driver
+    # rows; lm_fluency_score stays below cap this round (cap is full at 50)
+    # and is the head of the r8 promotion pool.
+    "filter_gopher_rules",
+    "dsir_importance_resample",
+    "training_order_shuffle",
 )
 
 

@@ -141,3 +141,12 @@ def test_r6_additions_on_empty_documents(spark, empty_dir):
     assert (report[0].n_truth, report[0].n_approx, report[0].tp) == (0, 0, 0)
     assert report[0].precision is None and report[0].recall is None
     assert M.multimodal_decode_real(spark, empty_dir).count() == 0
+
+
+def test_filtering_suite_on_empty_documents(spark, empty_dir):
+    from kinesis_demo_spark.queries import filtering as FL
+
+    assert FL.filter_gopher_rules(spark, empty_dir).count() == 0
+    assert FL.lm_fluency_score(spark, empty_dir).count() == 0
+    assert FL.dsir_importance_resample(spark, empty_dir).count() == 0
+    assert FL.training_order_shuffle(spark, empty_dir).count() == 0

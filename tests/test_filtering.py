@@ -1,0 +1,125 @@
+"""Invariant tests for the r7 filtering/data-selection suite
+(kinesis_demo_spark/queries/filtering.py). Cross-engine value parity is
+covered by tests/test_oracle_parity.py; these pin the semantic invariants a
+hash can't explain."""
+
+from __future__ import annotations
+
+from kinesis_demo_spark.queries.filtering import (
+    GOPHER_MAX_TOP_TOK_FRAC,
+    GOPHER_MIN_STOP_HITS,
+    GOPHER_MIN_WORDS,
+    SHUFFLE_SHARDS,
+    dsir_importance_resample,
+    filter_gopher_rules,
+    lm_fluency_score,
+    training_order_shuffle,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_gopher_keep_is_conjunction_of_flags(spark):
+    rows = filter_gopher_rules(spark, SF_SMOKE).collect()
+    assert rows, "gopher filter returned no rows"
+    varied = set()
+    for r in rows:
+        flags = (r.r_words, r.r_mean_len, r.r_stop, r.r_alpha, r.r_rep)
+        assert all(f in (0, 1) for f in flags)
+        assert r.keep == (1 if all(flags) else 0)
+        # flag definitions re-derived from the reported metrics
+        assert r.r_words == (1 if GOPHER_MIN_WORDS <= r.n_words else 0) or r.n_words > GOPHER_MIN_WORDS
+        assert r.r_stop == (1 if r.stop_hits >= GOPHER_MIN_STOP_HITS else 0)
+        assert r.r_rep == (1 if r.top_tok_frac <= GOPHER_MAX_TOP_TOK_FRAC else 0)
+        varied.add(r.keep)
+    # the fixture corpus must exercise both branches or the rule battery
+    # degenerates into a constant column the hash can't distinguish
+    assert varied == {0, 1}, f"keep flag is constant ({varied}) — thresholds lost their signal"
+
+
+def test_gopher_no_data_shuffle(spark):
+    """Pure scan->project: the only exchange allowed is the scan-head
+    ``spread()`` fan-out (round-robin over the single fixture file, identity
+    at lake scale) — never a hash/aggregate shuffle."""
+    plan = filter_gopher_rules(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan, plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan, plan
+
+
+def test_lm_fluency_bounds_and_coverage(spark):
+    rows = lm_fluency_score(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # each scaled probability is <= LM_SCALE, so the mean is <= 1
+        assert 0.0 <= r.fluency <= 1.0, (r.doc_id, r.fluency)
+        assert r.mass <= r.n_bigrams * 1_000_000_000
+        assert r.keep in (0, 1)
+    # every multi-token document scores — the filter must not drop rows
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n_docs = docs.count()
+    assert len(rows) == n_docs, "every fixture doc has >= 2 tokens and must be scored"
+
+
+def test_dsir_weight_is_target_fraction_and_kept_varies(spark):
+    rows = dsir_importance_resample(spark, SF_SMOKE).collect()
+    assert rows
+    wmax = max(r.weight for r in rows)
+    for r in rows:
+        # bucket target counts can never exceed raw counts
+        assert 0 <= r.tgt_mass <= r.raw_mass, (r.doc_id, r.tgt_mass, r.raw_mass)
+        assert abs(r.weight - r.tgt_mass / r.raw_mass) == 0.0  # one exact division
+        assert r.weight <= wmax
+        assert r.kept in (0, 1)
+    # the max-weight doc is kept with probability ~1 (coin < PPM * 1 almost
+    # surely); more importantly the decision must vary across the corpus
+    assert {r.kept for r in rows} == {0, 1}, "DSIR keep decision is constant"
+
+
+def test_dsir_target_slice_outweighs_rest_on_average(spark):
+    """Sanity of the selection DIRECTION: English docs (the target domain)
+    must average a higher importance weight than non-English docs."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "lang").collect()
+    lang = {r.doc_id: r.lang for r in docs}
+    rows = dsir_importance_resample(spark, SF_SMOKE).collect()
+    en = [r.weight for r in rows if lang[r.doc_id] == "en"]
+    other = [r.weight for r in rows if lang[r.doc_id] != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_training_shuffle_is_exact_permutation(spark):
+    rows = training_order_shuffle(spark, SF_SMOKE).collect()
+    n = len(rows)
+    assert n > 0
+    # global positions are exactly 1..N with no gaps or repeats
+    assert sorted(r.global_pos for r in rows) == list(range(1, n + 1))
+    # global order == (shard-offset, in-shard) order: within a shard the
+    # global positions are consecutive and sorted by sort_key
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= set(range(SHUFFLE_SHARDS))
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.pos_in_shard)
+        for a, b in zip(shard_rows, shard_rows[1:]):
+            assert b.global_pos == a.global_pos + 1
+            assert (b.sort_key, b.doc_id) > (a.sort_key, a.doc_id)
+    # determinism: a second run produces the identical order
+    again = {r.doc_id: r.global_pos for r in training_order_shuffle(spark, SF_SMOKE).collect()}
+    assert again == {r.doc_id: r.global_pos for r in rows}
+
+
+def test_training_shuffle_no_global_window(spark):
+    """The scale guarantee: position comes from per-shard windows, never a
+    single-partition global window (which collapses to one task at 100 TB)."""
+    plan = (
+        training_order_shuffle(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the doc-grain row_number window must hash-partition by shard
+    assert "hashpartitioning(shard" in plan, "doc-grain window must partition by shard"
+    # the only SinglePartition exchange allowed is the one building the
+    # SHUFFLE_SHARDS-row offset table (tiny by construction, post-aggregate)
+    assert plan.count("Exchange SinglePartition") <= 1, plan

@@ -66,6 +66,10 @@ PROBES = (
     "mine_hard_negatives",            # LSH-shortlist negative mining
     "dedup_substring_runs",           # anchored byte-gram run merge
     "bpe_encode_corpus",              # broadcast merge-table fold encode
+    # r7: filtering/data-selection suite
+    "lm_fluency_score",               # bigram-LM join-back + doc agg (the heaviest of the suite)
+    "dsir_importance_resample",       # hashed-bucket dim + two bigram passes
+    "training_order_shuffle",         # per-shard windows + offset join
 )
 
 SF_SMALL = "/root/testdata/sf0.01"

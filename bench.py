@@ -247,6 +247,19 @@ def main() -> None:
     except Exception as exc:  # the bench headline must survive a serving hiccup
         serving = {"error": f"{type(exc).__name__}: {exc}"}
 
+    # Serving scaling step (VERDICT r6 #7): the same loop at sf1 (10x the
+    # bench's default scale) when the generated fixture is present —
+    # `python tools/gen_sf1_events.py` rebuilds it deterministically.
+    serving_sf1: dict | None = None
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+    if os.path.exists(os.path.join(sf1_dir, "events.parquet")):
+        try:
+            from tools.serving_loop import run_serving_loop as _loop_sf1
+
+            serving_sf1 = _loop_sf1(spark, sf1_dir, requests=80, clients=4)
+        except Exception as exc:
+            serving_sf1 = {"error": f"{type(exc).__name__}: {exc}"}
+
     sf = _sf_from_dir(sf_dir)
     detail = {
         "metric": "headline_detail",
@@ -256,6 +269,7 @@ def main() -> None:
         "queries_cold": cold,
         "cold_total": round(sum(cold.values()), 3),
         "serving": serving,
+        "serving_sf1": serving_sf1,
         "sf": sf,
     }
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),

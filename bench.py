@@ -194,6 +194,9 @@ HEADLINE = (
     "lm_fluency_score",
     "dsir_importance_resample",
     "training_order_shuffle",
+    "token_shard_assembly",
+    "ann_hamming_binary",
+    "dedup_clusters_star",
 )
 
 

@@ -18,6 +18,9 @@ raw ingest and the dedup/mixture stages (SURVEY.md §7 Phase 5 north star):
   shard assignment → per-shard position → exact global position via the
   tiny per-shard offset table. The artifact a trainer actually consumes
   (shard files read in order), computed without a single global window.
+- ``token_shard_assembly`` — fixed-token data-loader shards cut by global
+  token offset over the epoch order; the exact distributed two-level
+  prefix sum (per-shard window cumsum + tiny offset table).
 
 Every float in a hash-checked output is either a single division of exact
 BIGINTs or a comparison of identically-computed doubles — no libm, no
@@ -460,4 +463,95 @@ def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard").cast("long").alias("shard"),
         "pos_in_shard",
         (F.col("off") + F.col("pos_in_shard")).cast("long").alias("global_pos"),
+    )
+
+
+# --- token-budget shard assembly over the epoch order -------------------------
+
+SHARD_TOKENS = 2048  # data-loader shard size in tokens (fixed token budget)
+
+
+@register(
+    "token_shard_assembly",
+    oracle=f"""
+WITH k AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {h60_sql(f"'{SHUFFLE_SALT}|' || CAST(doc_id AS VARCHAR)")} AS sort_key
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens, sort_key, sort_key % {SHUFFLE_SHARDS} AS shard,
+         COALESCE(sum(n_tokens) OVER (PARTITION BY sort_key % {SHUFFLE_SHARDS}
+                                      ORDER BY sort_key, doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS tok_before_in_shard
+  FROM k
+),
+off AS (
+  SELECT shard,
+         COALESCE(sum(tok) OVER (ORDER BY shard
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS tok_off
+  FROM (SELECT shard, sum(n_tokens) AS tok FROM s GROUP BY shard)
+)
+SELECT s.doc_id, s.n_tokens,
+       CAST(s.shard AS BIGINT) AS shard,
+       CAST(off.tok_off + s.tok_before_in_shard AS BIGINT) AS tok_before,
+       CAST((off.tok_off + s.tok_before_in_shard) // {SHARD_TOKENS} AS BIGINT) AS data_shard
+FROM s JOIN off USING (shard)
+""",
+)
+def token_shard_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assembly: cut the epoch-shuffled corpus (the
+    ``training_order_shuffle`` order) into contiguous data-loader shards of
+    {SHARD_TOKENS} tokens by GLOBAL token offset — each document lands in
+    ``data_shard = floor(tokens_before_it / {SHARD_TOKENS})``. This is the
+    fixed-token sharding a trainer's data loader consumes (shards straddle
+    document boundaries by at most one document; ``sequence_packing`` is
+    the intra-sequence variant of the same problem).
+
+    The global token prefix sum never builds a global window: within each
+    shuffle shard a per-SHARD window cumsum runs in parallel, and the
+    {SHUFFLE_SHARDS}-row per-shard token-total table (cumulated into
+    offsets, broadcast back) lifts it to the exact global offset — the
+    textbook two-level distributed prefix sum. All BIGINT arithmetic;
+    the shard cut is one integer floor division."""
+    toks = F.split("text", " ")
+    k = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        h60(F.concat(F.lit(SHUFFLE_SALT + "|"), F.col("doc_id").cast("string"))).alias(
+            "sort_key"
+        ),
+    ).select("*", (F.col("sort_key") % SHUFFLE_SHARDS).alias("shard"))
+    in_shard = Window.partitionBy("shard").orderBy("sort_key", "doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    s = k.select(
+        "doc_id",
+        "n_tokens",
+        "sort_key",
+        "shard",
+        F.coalesce(F.sum("n_tokens").over(in_shard), F.lit(0)).alias("tok_before_in_shard"),
+    )
+    totals = s.groupBy("shard").agg(F.sum("n_tokens").alias("tok"))
+    off = totals.select(
+        "shard",
+        F.coalesce(
+            F.sum("tok").over(
+                Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("tok_off"),
+    )
+    tok_before = F.col("tok_off") + F.col("tok_before_in_shard")
+    return s.join(F.broadcast(off), "shard").select(
+        "doc_id",
+        "n_tokens",
+        F.col("shard").cast("long").alias("shard"),
+        tok_before.cast("long").alias("tok_before"),
+        F.expr(f"CAST(tok_off + tok_before_in_shard AS BIGINT) DIV {SHARD_TOKENS}").alias(
+            "data_shard"
+        ),
     )

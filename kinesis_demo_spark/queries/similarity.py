@@ -1101,3 +1101,162 @@ def pca_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component bigint, eigenvalue double, explained_ratio double, "
         "dominant_dim bigint, dominant_loading double, n_vectors bigint",
     )
+
+
+# --- binary-quantized Hamming ANN (1-bit embeddings) -------------------------
+#
+# Binary quantization: each 64-dim float vector collapses to a 64-bit sign
+# signature (two BIGINT words — one word per 32 dims keeps every packed value
+# positive and the arithmetic identical in both engines). Candidate screen is
+# Hamming distance = popcount(xor) over the words — 8 bytes/vector, 32x
+# compression, and the screen never touches the float column. The angular
+# distance between two vectors is monotonically estimated by the sign-
+# mismatch count (the same hyperplane argument behind sign LSH), so a
+# Hamming shortlist + exact cosine re-rank is the production recipe for
+# memory-bound corpora (binary embedding search).
+
+HAM_WORD_BITS = 32
+HAM_WORDS = 2           # HAM_WORDS * HAM_WORD_BITS == embedding dim 64
+# Hamming shortlist fed to the exact re-rank. Measured recall@10 vs the
+# exact baseline: 100 -> 0.88 (sf0.001) / 0.82 (sf0.01); 200 -> 1.0 at
+# sf0.01 (tools/approx_quality.py pattern; floor pinned in
+# tests/test_similarity_pq.py). In production the shortlist scales with the
+# corpus (like the df-cap lever) — a fixed absolute shortlist dilutes.
+HAM_SHORTLIST = 200
+
+
+def _sign_word(col, word: int):
+    """Packed sign bits d in [word*32, word*32+32) of ``col`` as a BIGINT."""
+    bits = [
+        F.when(
+            F.element_at(col, word * HAM_WORD_BITS + d + 1) >= 0, F.lit(1 << d)
+        ).otherwise(F.lit(0))
+        for d in range(HAM_WORD_BITS)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def _sign_word_sql(col: str, word: int) -> str:
+    return (
+        "("
+        + " + ".join(
+            f"(CASE WHEN {col}[{word * HAM_WORD_BITS + d + 1}] >= 0 THEN {1 << d} ELSE 0 END)"
+            for d in range(HAM_WORD_BITS)
+        )
+        + ")"
+    )
+
+
+def _ham_oracle() -> str:
+    words = f"""
+  SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm,
+         {_sign_word_sql('embedding', 0)} AS w0,
+         {_sign_word_sql('embedding', 1)} AS w1
+  FROM embeddings
+"""
+    return f"""
+WITH v AS ({words}),
+screened AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming,
+         {dot_fold_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
+  FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+),
+short AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS srnk
+  FROM screened
+),
+ranked AS (
+  SELECT query_id, neighbor_id, hamming, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM short WHERE srnk <= {HAM_SHORTLIST}
+)
+SELECT query_id, neighbor_id, hamming, CAST(rnk AS BIGINT) AS rnk, cosine
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@register("ann_hamming_binary", oracle=_ham_oracle())
+def ann_hamming_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN: 1-bit sign signatures ({HAM_WORDS} BIGINT
+    words per vector = 32x compression), Hamming-distance candidate screen
+    (popcount over XOR — pure integer codegen, float column untouched),
+    top-{HAM_SHORTLIST} shortlist per query, exact cosine re-rank of the
+    shortlist only. Complements the LSH (bucket equi-join), IVF (partition
+    pruning), PQ (table lookup) and truncation (prefix fold) variants with
+    the memory-bound recipe: at 100 TB the signature table is 8 bytes/row
+    and scans at memory bandwidth, while raw vectors are read for
+    |queries| x {HAM_SHORTLIST} rows only.
+
+    Deterministic end to end: sign packing, XOR popcount, and id tie-breaks
+    are integer-exact in both engines, and the re-rank cosine is the shared
+    sequential fold — the approximate path carries a full value-hash
+    oracle. Measured recall@10 vs the exact baseline is pinned in
+    tests/test_similarity_pq.py."""
+    v = _vectors(spark, sf_dir).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        _sign_word(F.col("embedding"), 0).alias("w0"),
+        _sign_word(F.col("embedding"), 1).alias("w1"),
+    )
+    q = F.broadcast(
+        v.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("w0").alias("qw0"),
+            F.col("w1").alias("qw1"),
+        )
+    )
+    c = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("w0").alias("cw0"),
+        F.col("w1").alias("cw1"),
+    )
+    # the screen touches ONLY the packed words — the float column stays
+    # unread until the shortlist join below
+    screened = q.join(c, F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.bit_count(F.col("qw0").bitwiseXOR(F.col("cw0")))
+            + F.bit_count(F.col("qw1").bitwiseXOR(F.col("cw1")))
+        )
+        .cast("long")
+        .alias("hamming"),
+    )
+    sw = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    shortlist = (
+        screened.withColumn("srnk", F.row_number().over(sw))
+        .filter(F.col("srnk") <= HAM_SHORTLIST)
+        .select("query_id", "neighbor_id", "hamming")
+    )
+    # raw vectors are read here only, for |queries| x shortlist rows
+    qv = F.broadcast(
+        v.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    cv = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        shortlist.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            (dot_fold(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "hamming", "rnk", "cosine")
+    )

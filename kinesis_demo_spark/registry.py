@@ -130,8 +130,10 @@ PRIORITY_ORDER = (
     "bpe_encode_corpus",
     "streaming_outer_interval_join",  # drain harness re-scoped in r7 — re-verify
     # r7 filtering/data-selection suite (queries/filtering.py) — first driver
-    # rows; lm_fluency_score stays below cap this round (cap is full at 50)
-    # and is the head of the r8 promotion pool.
+    # rows. The cap is full at 50, so the round's remaining new registrations
+    # form the r8 promotion pool: lm_fluency_score, token_shard_assembly,
+    # ann_hamming_binary, dedup_clusters_star (each local-strict verified at
+    # sf0.001/sf0.01/sf0.1 + the hostile session).
     "filter_gopher_rules",
     "dsir_importance_resample",
     "training_order_shuffle",

@@ -287,3 +287,16 @@ def test_substring_runs_df_cap_drops_corpus_hot_substrings(spark, substring_dir)
     runs = D.dedup_substring_runs(spark, substring_dir).collect()
     banner_pairs = [r for r in runs if r.doc_a >= 10 and r.doc_b >= 10]
     assert banner_pairs == []
+
+
+def test_star_contraction_matches_label_propagation(spark):
+    """dedup_clusters_star must produce row-identical labels to
+    dedup_clusters — two algorithms, one fixpoint."""
+    from kinesis_demo_spark.queries.dedup import dedup_clusters, dedup_clusters_star
+
+    sf = "/root/testdata/sf0.001"
+    lp = {(r.doc_id, r.cluster_id) for r in dedup_clusters(spark, sf).collect()}
+    star = {(r.doc_id, r.cluster_id) for r in dedup_clusters_star(spark, sf).collect()}
+    assert lp == star
+    # sanity: the fixture corpus actually has non-singleton clusters
+    assert any(d != c for d, c in star), "no dup clusters in fixture — test is vacuous"

@@ -150,3 +150,12 @@ def test_filtering_suite_on_empty_documents(spark, empty_dir):
     assert FL.lm_fluency_score(spark, empty_dir).count() == 0
     assert FL.dsir_importance_resample(spark, empty_dir).count() == 0
     assert FL.training_order_shuffle(spark, empty_dir).count() == 0
+    assert FL.token_shard_assembly(spark, empty_dir).count() == 0
+
+
+def test_star_clusters_and_binary_ann_on_empty_inputs(spark, empty_dir):
+    from kinesis_demo_spark.queries.dedup import dedup_clusters_star
+    from kinesis_demo_spark.queries.similarity import ann_hamming_binary
+
+    assert dedup_clusters_star(spark, empty_dir).count() == 0
+    assert ann_hamming_binary(spark, empty_dir).count() == 0

@@ -123,3 +123,22 @@ def test_training_shuffle_no_global_window(spark):
     # the only SinglePartition exchange allowed is the one building the
     # SHUFFLE_SHARDS-row offset table (tiny by construction, post-aggregate)
     assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_token_shard_assembly_is_exact_prefix_sum(spark):
+    from kinesis_demo_spark.queries.filtering import SHARD_TOKENS, token_shard_assembly
+    from kinesis_demo_spark.queries.filtering import training_order_shuffle
+
+    rows = token_shard_assembly(spark, SF_SMOKE).collect()
+    order = {r.doc_id: r.global_pos for r in training_order_shuffle(spark, SF_SMOKE).collect()}
+    rows.sort(key=lambda r: order[r.doc_id])
+    # tok_before is the exact token prefix sum in epoch order
+    run = 0
+    for r in rows:
+        assert r.tok_before == run, (r.doc_id, r.tok_before, run)
+        assert r.data_shard == r.tok_before // SHARD_TOKENS
+        run += r.n_tokens
+    # shards are contiguous in epoch order and cover 0..max with no gaps
+    shards = [r.data_shard for r in rows]
+    assert shards == sorted(shards)
+    assert set(shards) == set(range(max(shards) + 1))

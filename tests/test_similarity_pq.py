@@ -169,3 +169,55 @@ def test_hard_negatives_exclude_near_duplicates(spark):
     dup_pairs = {(r.query_id, r.neighbor_id) for r in exact if r.score >= HARD_NEG_MAX_SCORE}
     neg_pairs = {(r.query_id, r.neighbor_id) for r in negs}
     assert not (dup_pairs & neg_pairs)
+
+
+def test_hamming_binary_recall_at_10_vs_exact(spark):
+    """Binary-quantized Hamming screen + exact re-rank; measured recall@10
+    1.0 at sf0.01 / 0.96+ at sf0.001 with the 200-shortlist. Pin a floor
+    with headroom — a packing or popcount regression collapses it."""
+    exact = _topk_sets(S.ann_cosine_topk(spark, SF).collect())
+    ham = _topk_sets(S.ann_hamming_binary(spark, SF).collect())
+    recalls = [len(exact[q] & ham[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_hamming_binary_scores_are_exact_cosine(spark):
+    """The screen may only affect WHICH pairs surface — emitted scores must
+    equal the exact brute-force cosine bit-for-bit."""
+    exact = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in S.ann_cosine_topk(spark, SF).collect()
+    }
+    for r in S.ann_hamming_binary(spark, SF).collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:
+            assert r.cosine == exact[key], key
+
+
+def test_hamming_signature_words_pack_all_64_dims(spark):
+    """Each sign word packs exactly 32 dims: flipping any single dimension's
+    sign flips exactly one bit of exactly one word (probe two dims per
+    word at the boundaries)."""
+    from pyspark.sql import functions as F
+
+    base = [1.0] * 64
+    rows = [(0, base)]
+    for probe in (1, 32, 33, 64):  # 1-based dim positions: word edges
+        vec = list(base)
+        vec[probe - 1] = -1.0
+        rows.append((probe, vec))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {
+        r.vec_id: (r.w0, r.w1)
+        for r in df.select(
+            "vec_id",
+            S._sign_word(F.col("embedding"), 0).alias("w0"),
+            S._sign_word(F.col("embedding"), 1).alias("w1"),
+        ).collect()
+    }
+    full = (1 << 32) - 1
+    assert out[0] == (full, full)
+    assert out[1] == (full - 1, full)            # dim 1 -> bit 0 of w0
+    assert out[32] == (full - (1 << 31), full)   # dim 32 -> bit 31 of w0
+    assert out[33] == (full, full - 1)           # dim 33 -> bit 0 of w1
+    assert out[64] == (full, full - (1 << 31))   # dim 64 -> bit 31 of w1

@@ -197,6 +197,7 @@ HEADLINE = (
     "token_shard_assembly",
     "ann_hamming_binary",
     "dedup_clusters_star",
+    "graph_triangle_clustering",
 )
 
 

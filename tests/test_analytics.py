@@ -380,3 +380,49 @@ def test_temporal_join_equal_timestamp_interval_boundary(spark, tmp_path_factory
     ).write.parquet(str(out / "orders.parquet"))
     row = temporal_join_orders_state(spark, str(out)).collect()[0]
     assert row.state_at_order == "purchase" and row.state_version == 3
+
+
+def test_triangle_counts_match_brute_force_and_conserve(spark):
+    """Per-node triangle counts from the degree-ordered enumeration must
+    equal a brute-force adjacency-set count, and sum to exactly 3x the
+    number of distinct triangles."""
+    from kinesis_demo_spark.queries.analytics import graph_triangle_clustering
+
+    sf = "/root/testdata/sf0.001"
+    li = {
+        (r.l_orderkey, r.l_partkey)
+        for r in spark.read.parquet(f"{sf}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    }
+    baskets: dict[int, set[int]] = {}
+    for k, p in li:
+        baskets.setdefault(k, set()).add(p)
+    adj: dict[int, set[int]] = {}
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1 :]:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+    expect_tri: dict[int, int] = {}
+    total = 0
+    for u, nb in adj.items():
+        for v in nb:
+            if v <= u:
+                continue
+            common = nb & adj[v]
+            for w in common:
+                if w > v:  # each triangle once at its id-ordered corners
+                    total += 1
+                    for n in (u, v, w):
+                        expect_tri[n] = expect_tri.get(n, 0) + 1
+    rows = graph_triangle_clustering(spark, sf).collect()
+    got = {r.part: r.triangles for r in rows}
+    degs = {r.part: r.degree for r in rows}
+    assert set(got) == set(adj)
+    for n in adj:
+        assert got[n] == expect_tri.get(n, 0), n
+        assert degs[n] == len(adj[n]), n
+    assert sum(got.values()) == 3 * total
+    assert total > 0, "fixture graph has no triangles — test is vacuous"

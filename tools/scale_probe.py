@@ -70,6 +70,10 @@ PROBES = (
     "lm_fluency_score",               # bigram-LM join-back + doc agg (the heaviest of the suite)
     "dsir_importance_resample",       # hashed-bucket dim + two bigram passes
     "training_order_shuffle",         # per-shard windows + offset join
+    # r7 second wave
+    "ann_hamming_binary",             # popcount screen + shortlist re-rank
+    "dedup_clusters_star",            # O(log^2 n) star contractions
+    "graph_triangle_clustering",      # degree-ordered wedge enumeration
 )
 
 SF_SMALL = "/root/testdata/sf0.01"

@@ -198,6 +198,7 @@ HEADLINE = (
     "ann_hamming_binary",
     "dedup_clusters_star",
     "graph_triangle_clustering",
+    "incremental_join_view_merge",
 )
 
 

@@ -2635,3 +2635,60 @@ def graph_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         tri_n.alias("triangles"),
         F.when(F.col("degree") >= 2, coeff).otherwise(F.lit(0.0)).alias("clustering_coeff"),
     )
+
+
+# --- incremental JOIN-view maintenance (delta-join merge == recompute) -----------
+
+
+@register(
+    "incremental_join_view_merge",
+    oracle="""
+SELECT c.c_nationkey AS nationkey,
+       CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS BIGINT) AS ym,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def incremental_join_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view, proven against full
+    recompute: the (nation, month) order-revenue view — a fact⋈dim join
+    plus aggregate — is maintained as base_view MERGE delta_view, where
+    the delta path joins ONLY the new fact rows (last third of orders by
+    o_orderkey) against the static customer dim. For insert-only fact
+    deltas over a static dim, ΔV = Δfact ⋈ dim — the view-maintenance
+    identity this query makes the value-hash gate prove (the oracle is the
+    direct full join+aggregate; any double-count or missed delta row
+    breaks the hash). The companion ``incremental_agg_union_merge`` proves
+    the aggregate-only case; together they are the nightly-refresh recipe:
+    never re-join the base fact table, join the delta and merge partials.
+
+    Scale: the dim side broadcasts (or bucket-joins at lake scale); both
+    partial views and the merge group on (nationkey, ym), so one hash
+    partitioning serves all three aggregates with map-side combine;
+    DECIMAL partials make the merge exact under any partitioning."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    mx = orders.agg(F.max("o_orderkey").alias("max_id"))
+    tagged = orders.crossJoin(F.broadcast(mx)).withColumn(
+        "is_old", F.col("o_orderkey") <= F.expr("(max_id * 2) DIV 3")
+    )
+    ym = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("long").alias("ym")
+    # the delta path and the base path are the SAME plan over disjoint
+    # slices — each joins its slice to the broadcast dim and pre-aggregates
+    partial = (
+        tagged.join(F.broadcast(customer), tagged.o_custkey == customer.c_custkey)
+        .select(F.col("c_nationkey").alias("nationkey"), ym, "is_old", "o_totalprice")
+        .groupBy("nationkey", "ym", "is_old")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("o_totalprice").cast(D2)).alias("ps"),
+        )
+    )
+    return partial.groupBy("nationkey", "ym").agg(
+        F.sum("pn").alias("n_orders"),
+        F.sum("ps").cast("double").alias("revenue"),
+    )

@@ -132,9 +132,9 @@ PRIORITY_ORDER = (
     # r7 filtering/data-selection suite (queries/filtering.py) — first driver
     # rows. The cap is full at 50, so the round's remaining new registrations
     # form the r8 promotion pool: lm_fluency_score, token_shard_assembly,
-    # ann_hamming_binary, dedup_clusters_star, graph_triangle_clustering
-    # (each local-strict verified at sf0.001/sf0.01/sf0.1 + the hostile
-    # session).
+    # ann_hamming_binary, dedup_clusters_star, graph_triangle_clustering,
+    # incremental_join_view_merge (each local-strict verified at
+    # sf0.001/sf0.01/sf0.1 + the hostile session).
     "filter_gopher_rules",
     "dsir_importance_resample",
     "training_order_shuffle",

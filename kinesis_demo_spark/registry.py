@@ -35,6 +35,7 @@ _QUERY_MODULES = (
     "kinesis_demo_spark.queries.corpus",
     "kinesis_demo_spark.queries.runtime_filter",
     "kinesis_demo_spark.queries.filtering",
+    "kinesis_demo_spark.queries.tokenizer",
 )
 
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries only
@@ -134,7 +135,9 @@ PRIORITY_ORDER = (
     # form the r8 promotion pool: lm_fluency_score, token_shard_assembly,
     # ann_hamming_binary, dedup_clusters_star, graph_triangle_clustering,
     # incremental_join_view_merge (each local-strict verified at
-    # sf0.001/sf0.01/sf0.1 + the hostile session).
+    # sf0.001/sf0.01/sf0.1 + the hostile session). The unigram tokenizer
+    # pair is rows-only by necessity (EM/Viterbi; independent-reference
+    # differential in tests/test_tokenizer.py) — never cap slots.
     "filter_gopher_rules",
     "dsir_importance_resample",
     "training_order_shuffle",

@@ -6,8 +6,9 @@ bit-exactly; this tool answers the other question: how much of the exact
 answer the approximate spec retains.)
 
 Reported:
-  - ann_lsh_recall_at_k / ann_ivf_recall_at_k: fraction of exact brute-force
-    top-k neighbor pairs the LSH / IVF variant returns.
+  - ann_{lsh,ivf,pq,truncated,hamming}_recall_at_k: fraction of exact
+    brute-force top-k neighbor pairs each ANN variant returns — the whole
+    frontier measured side by side.
   - minhash_pair_recall / precision: MinHash+LSH verified duplicate pairs vs
     the exact inverted-index Jaccard pairs (recall < 1 comes from signature
     collisions missed by banding; precision = 1 by construction since
@@ -53,6 +54,12 @@ def main() -> None:
     release_persisted()
     ivf_ann = _pairs(q["ann_cosine_topk_ivf"](spark, sf_dir), "query_id", "neighbor_id")
     release_persisted()
+    pq_ann = _pairs(q["ann_pq_adc_topk"](spark, sf_dir), "query_id", "neighbor_id")
+    release_persisted()
+    trunc_ann = _pairs(q["ann_cosine_topk_truncated"](spark, sf_dir), "query_id", "neighbor_id")
+    release_persisted()
+    ham_ann = _pairs(q["ann_hamming_binary"](spark, sf_dir), "query_id", "neighbor_id")
+    release_persisted()
 
     exact_emb = _pairs(q["dedup_embedding_cosine"](spark, sf_dir), "vec_a", "vec_b")
     release_persisted()
@@ -78,6 +85,9 @@ def main() -> None:
                 "sf_dir": sf_dir,
                 "ann_lsh_recall_at_k": ratio(len(lsh_ann & exact_ann), len(exact_ann)),
                 "ann_ivf_recall_at_k": ratio(len(ivf_ann & exact_ann), len(exact_ann)),
+                "ann_pq_recall_at_k": ratio(len(pq_ann & exact_ann), len(exact_ann)),
+                "ann_truncated_recall_at_k": ratio(len(trunc_ann & exact_ann), len(exact_ann)),
+                "ann_hamming_recall_at_k": ratio(len(ham_ann & exact_ann), len(exact_ann)),
                 "emb_lsh_pair_recall": ratio(len(lsh_emb & exact_emb), len(exact_emb)),
                 "minhash_pair_recall": ratio(len(mh_dup & exact_dup), len(exact_dup)),
                 "minhash_pair_precision": ratio(len(mh_dup & exact_dup), len(mh_dup)),

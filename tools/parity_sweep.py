@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Full-registry cross-engine parity sweep under a HOSTILE vanilla session
+(non-UTC timezone, default configs — the environment the driver harness
+actually provides), at any scale factor. Produces the PARITY artifact the
+round ledger cites: per-query {ok, problems, sec}.
+
+Usage:
+    python tools/parity_sweep.py [sf_dir] [out.json]
+Defaults: sf_dir=/root/testdata/sf0.1, out=PARITY_SF0.1.json (next to the
+repo root). Exit 1 iff any query fails.
+
+This is the 10x-scale complement to the driver's sf0.01 CORRECTNESS gate:
+bit-exactness that holds at two scale factors is scale-invariant, not
+fixture luck. Queries registered with oracle=None run rows-only (counted,
+marked "rows_only") — mirroring the driver's weaker path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "PARITY_SF0.1.json")
+    # hostile session: non-UTC, no engine configs — what the driver gives us
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from oracle_harness import compare, duckdb_conn  # noqa: E402
+
+    import __spark_entry__ as entry  # noqa: E402
+    from kinesis_demo_spark.io import release_persisted  # noqa: E402
+
+    qs, osql = entry.queries(), entry.oracle_sql()
+    con = duckdb_conn(sf_dir)
+    report: dict[str, dict] = {}
+    n_bad = 0
+    for name, fn in qs.items():
+        t0 = time.monotonic()
+        try:
+            sql = osql.get(name)
+            if sql:
+                problems = compare(fn(spark, sf_dir), con, sql, name)
+                ok = not problems
+                report[name] = {
+                    "ok": ok,
+                    "problems": problems or None,
+                    "sec": round(time.monotonic() - t0, 1),
+                }
+            else:
+                n = fn(spark, sf_dir).count()
+                report[name] = {
+                    "ok": n >= 0,
+                    "problems": None,
+                    "rows_only": True,
+                    "sec": round(time.monotonic() - t0, 1),
+                }
+                ok = True
+        except Exception as exc:  # noqa: BLE001 — the sweep must cover the rest
+            ok = False
+            report[name] = {
+                "ok": False,
+                "problems": [f"{type(exc).__name__}: {exc}"],
+                "sec": round(time.monotonic() - t0, 1),
+            }
+        release_persisted()  # no query's memory outlives it (bench.py discipline)
+        if not ok:
+            n_bad += 1
+        print(("ok   " if ok else "FAIL ") + name, file=sys.stderr, flush=True)
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
+    print(json.dumps({"n": len(report), "failed": n_bad, "sf_dir": sf_dir}))
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -199,6 +199,9 @@ HEADLINE = (
     "dedup_clusters_star",
     "graph_triangle_clustering",
     "incremental_join_view_merge",
+    "unigram_tokenizer_train",
+    "unigram_encode_corpus",
+    "dedup_rate_by_source",
 )
 
 

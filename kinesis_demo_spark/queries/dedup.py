@@ -1588,3 +1588,103 @@ def dedup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_approx") > 0, dbl("tp") / dbl("n_approx")).alias("precision"),
         F.when(F.col("n_truth") > 0, dbl("tp") / dbl("n_truth")).alias("recall"),
     )
+
+
+# --- per-source duplication-rate report ------------------------------------------
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+jp AS (
+  SELECT doc_a, doc_b FROM pairs
+  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+),
+ds AS (SELECT doc_id, source FROM documents),
+lab AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM jp JOIN ds a ON a.doc_id = jp.doc_a JOIN ds b ON b.doc_id = jp.doc_b
+),
+dupdocs AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM jp UNION ALL SELECT doc_b AS doc_id FROM jp
+  )
+),
+per AS (
+  SELECT d.source, count(*) AS n_docs,
+         sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_docs
+  FROM ds d LEFT JOIN dupdocs dd ON dd.doc_id = d.doc_id GROUP BY d.source
+),
+wp AS (SELECT sa AS source, count(*) AS n FROM lab WHERE sa = sb GROUP BY sa),
+cp AS (
+  SELECT source, count(*) AS n FROM (
+    SELECT sa AS source FROM lab WHERE sa <> sb
+    UNION ALL SELECT sb AS source FROM lab WHERE sa <> sb
+  ) GROUP BY source
+)
+SELECT per.source, CAST(per.n_docs AS BIGINT) AS n_docs,
+       CAST(per.n_dup_docs AS BIGINT) AS n_dup_docs,
+       CAST(per.n_dup_docs AS DOUBLE) / CAST(per.n_docs AS DOUBLE) AS dup_doc_rate,
+       CAST(COALESCE(wp.n, 0) AS BIGINT) AS n_pairs_within,
+       CAST(COALESCE(cp.n, 0) AS BIGINT) AS n_pairs_cross
+FROM per LEFT JOIN wp ON wp.source = per.source
+         LEFT JOIN cp ON cp.source = per.source
+""",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication diagnostics — the curation report that decides
+    which sources get down-weighted or re-crawled: for every source, how
+    many of its documents participate in at least one near-dup pair
+    (dup_doc_rate), how many pairs stay WITHIN the source (internal
+    redundancy — boilerplate, mirrors) vs CROSS sources (syndication,
+    scraping overlap; counted once per endpoint source). Consumes the exact
+    inverted-index Jaccard pairs, so the report inherits their candidate
+    bound; everything after is source-keyed aggregates over the pair list
+    (pairs << corpus) plus one doc-grain left join — at 100 TB the report
+    costs one corpus scan more than the dedup it audits."""
+    jp = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    ds = _docs(spark, sf_dir).select("doc_id", "source")
+    lab = (
+        jp.join(ds.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")), "doc_a")
+        .join(ds.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")), "doc_b")
+        .select("sa", "sb")
+    )
+    dupdocs = (
+        jp.select(F.col("doc_a").alias("doc_id"))
+        .union(jp.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    per = (
+        ds.join(dupdocs, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup_docs"),
+        )
+    )
+    wp = lab.filter(F.col("sa") == F.col("sb")).groupBy(F.col("sa").alias("source")).agg(
+        F.count(F.lit(1)).alias("n_within")
+    )
+    cross = lab.filter(F.col("sa") != F.col("sb"))
+    cp = (
+        cross.select(F.col("sa").alias("source"))
+        .union(cross.select(F.col("sb").alias("source")))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_cross"))
+    )
+    return (
+        per.join(F.broadcast(wp), "source", "left")
+        .join(F.broadcast(cp), "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_dup_docs").cast("long").alias("n_dup_docs"),
+            (F.col("n_dup_docs").cast("double") / F.col("n_docs").cast("double")).alias(
+                "dup_doc_rate"
+            ),
+            F.coalesce(F.col("n_within"), F.lit(0)).cast("long").alias("n_pairs_within"),
+            F.coalesce(F.col("n_cross"), F.lit(0)).cast("long").alias("n_pairs_cross"),
+        )
+    )

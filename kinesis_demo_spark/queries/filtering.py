@@ -240,9 +240,14 @@ def lm_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "p.ctx", "p.nxt")
     pc = bg.groupBy("ctx", "nxt").agg(F.count(F.lit(1)).alias("pair_n"))
     cc = pc.groupBy("ctx").agg(F.sum("pair_n").alias("ctx_n"))
+    # No broadcast hints on pc/cc: both grow with the VOCABULARY (bigram
+    # types / contexts), and the repo discipline is that AQE keeps strategy
+    # authority over any side that grows with the data — it broadcasts them
+    # while they fit and switches to a keyed shuffle join (with skew split
+    # for Zipf-head contexts) beyond that.
     scored = (
-        bg.join(F.broadcast(pc), ["ctx", "nxt"])
-        .join(F.broadcast(cc), "ctx")
+        bg.join(pc, ["ctx", "nxt"])
+        .join(cc, "ctx")
         .select(
             "doc_id",
             # Spark's `/` on longs is float division; integer floor-div DIV

@@ -2578,12 +2578,16 @@ def graph_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumeration order of the SAME triangle set, so results hash-match while
     the Spark plan keeps the skew bound. Coefficient = 2T / (deg*(deg-1)),
     one exact division."""
+    from ..io import track_persist
+
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    e = (
+    # the edge set feeds degree counting AND both orientation joins; as pure
+    # lineage the basket self-join would run three times
+    e = track_persist(
         li.alias("a")
         .join(li.alias("b"), "k")
         .filter(F.col("a.p") < F.col("b.p"))
@@ -2603,10 +2607,14 @@ def graph_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(dk.select(F.col("node").alias("u"), F.col("rkey").alias("ku")), "u")
         .join(dk.select(F.col("node").alias("v"), F.col("rkey").alias("kv")), "v")
     )
-    adj = ek.select(
-        F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("x"),
-        F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("y"),
-        F.greatest("ku", "kv").alias("ky"),
+    # the oriented adjacency feeds both wedge legs AND the closing join —
+    # three consumers, one materialization
+    adj = track_persist(
+        ek.select(
+            F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("x"),
+            F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("y"),
+            F.greatest("ku", "kv").alias("ky"),
+        )
     )
     w1 = adj.select(F.col("x"), F.col("y").alias("v"), F.col("ky").alias("kv2"))
     w2 = adj.select(F.col("x"), F.col("y").alias("w"), F.col("ky").alias("kw2"))

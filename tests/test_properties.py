@@ -283,3 +283,85 @@ def test_winnowing_matches_reference(spark, tokens):
     )
     got = {(r.pos, r.fp) for r in _winnow_fps(df).collect()}
     assert got == _winnow_reference(tokens, WINNOW_K, WINNOW_W)
+
+
+# --- unigram Viterbi: optimality by brute force -----------------------------------
+
+_vit_word = st.text(alphabet="ab", min_size=1, max_size=8)
+_vit_usages = st.dictionaries(
+    st.text(alphabet="ab", min_size=2, max_size=4),
+    st.integers(min_value=0, max_value=9),
+    max_size=6,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(word=_vit_word, extra=_vit_usages, ua=st.integers(1, 9), ub=st.integers(1, 9))
+def test_viterbi_is_optimal_by_brute_force(word, extra, ua, ub):
+    """viterbi_segment must return THE (score desc, fewer pieces, lex
+    smallest) optimum over every possible segmentation — checked by full
+    enumeration on small random vocabularies. Pure Python, no Spark."""
+    from fractions import Fraction
+
+    from kinesis_demo_spark.queries.tokenizer import UNI_MAX_PIECE, viterbi_segment
+
+    usage = {"a": ua, "b": ub, **extra}
+    total = sum(usage.values()) or 1
+
+    def all_segs(w):
+        if not w:
+            yield ()
+            return
+        for i in range(1, min(len(w), UNI_MAX_PIECE) + 1):
+            head = w[:i]
+            if head in usage:
+                for rest in all_segs(w[i:]):
+                    yield (head,) + rest
+
+    def score(seg):
+        s = Fraction(1)
+        for p in seg:
+            s *= Fraction(usage[p], total)
+        return s
+
+    best = min(all_segs(word), key=lambda seg: (-score(seg), len(seg), seg))
+    got = viterbi_segment(word, usage, total)
+    assert "".join(got) == word
+    assert (score(got), len(got), got) == (score(best), len(best), best)
+
+
+# --- binary-ANN sign packing vs a bit-twiddling reference -------------------------
+
+_vec = st.lists(
+    st.floats(min_value=-2.0, max_value=2.0, allow_nan=False, width=32),
+    min_size=64,
+    max_size=64,
+)
+
+
+@_settings
+@given(vecs=st.lists(_vec, min_size=1, max_size=8))
+def test_sign_words_match_python_reference(spark, vecs):
+    from pyspark.sql import functions as F
+
+    from kinesis_demo_spark.queries.similarity import _sign_word
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id bigint, embedding array<float>"
+    )
+    got = {
+        r.vec_id: (r.w0, r.w1)
+        for r in df.select(
+            "vec_id",
+            _sign_word(F.col("embedding"), 0).alias("w0"),
+            _sign_word(F.col("embedding"), 1).alias("w1"),
+        ).collect()
+    }
+    import numpy as np
+
+    for i, v in enumerate(vecs):
+        # reference packs the FLOAT32-cast values, matching the column type
+        v32 = np.array(v, dtype=np.float32)
+        w0 = sum((1 << d) for d in range(32) if v32[d] >= 0)
+        w1 = sum((1 << d) for d in range(32) if v32[32 + d] >= 0)
+        assert got[i] == (w0, w1), (i, got[i], (w0, w1))

@@ -202,6 +202,7 @@ HEADLINE = (
     "unigram_tokenizer_train",
     "unigram_encode_corpus",
     "dedup_rate_by_source",
+    "ab_test_stats",
 )
 
 

@@ -2700,3 +2700,133 @@ def incremental_join_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_orders"),
         F.sum("ps").cast("double").alias("revenue"),
     )
+
+
+# --- deterministic A/B experiment statistics --------------------------------------
+
+AB_SALT = "ab"  # decorrelates variant assignment from every other h60 coin
+
+# Shared formula text: the scalar statistics are derived doubles whose VALUE
+# depends on operation order, so both engines evaluate the IDENTICAL
+# expression tree over the same exact BIGINT inputs.
+_AB_STATS_SQL = """
+  CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 AS mean_a,
+  CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 AS mean_b,
+  CASE WHEN n_a <= 1 THEN 0.0 ELSE
+    (CAST(s2_a AS DOUBLE) - (CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE)) / CAST(n_a AS DOUBLE))
+      / CAST(n_a - 1 AS DOUBLE) END AS var_a,
+  CASE WHEN n_b <= 1 THEN 0.0 ELSE
+    (CAST(s2_b AS DOUBLE) - (CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE)) / CAST(n_b AS DOUBLE))
+      / CAST(n_b - 1 AS DOUBLE) END AS var_b
+"""
+_AB_T_SQL = """
+  (mean_a - mean_b) / sqrt(var_a / 10000.0 / CAST(n_a AS DOUBLE)
+                           + var_b / 10000.0 / CAST(n_b AS DOUBLE)) AS t_stat
+"""
+# A degenerate 2x2 margin (nobody / everybody converted, or an empty arm)
+# makes chi-squared undefined; both engines emit 0.0 for that case instead
+# of one erroring (Spark ANSI) while the other returns inf (DuckDB).
+_AB_CHI_SQL = """
+  CASE WHEN conv_a + conv_b = 0 OR (n_a - conv_a) + (n_b - conv_b) = 0
+            OR n_a = 0 OR n_b = 0 THEN 0.0 ELSE
+  CAST(n_a + n_b AS DOUBLE)
+    * (CAST(conv_a AS DOUBLE) * CAST(n_b - conv_b AS DOUBLE)
+       - CAST(n_a - conv_a AS DOUBLE) * CAST(conv_b AS DOUBLE))
+    * (CAST(conv_a AS DOUBLE) * CAST(n_b - conv_b AS DOUBLE)
+       - CAST(n_a - conv_a AS DOUBLE) * CAST(conv_b AS DOUBLE))
+    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+       * CAST(conv_a + conv_b AS DOUBLE)
+       * CAST((n_a - conv_a) + (n_b - conv_b) AS DOUBLE)) END AS chi2_conversion
+"""
+
+
+@register(
+    "ab_test_stats",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT {h60_sql(f"'{AB_SALT}' || CAST(user_id AS VARCHAR)")} % 2 AS variant,
+         cents, converted
+  FROM per_user
+),
+g AS (
+  SELECT variant, count(*) AS n, sum(cents) AS s1,
+         sum(cents * cents) AS s2, sum(converted) AS conv
+  FROM v GROUP BY variant
+),
+one AS (
+  SELECT
+    CAST(sum(CASE WHEN variant = 0 THEN n ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN variant = 1 THEN n ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN variant = 0 THEN s1 ELSE 0 END) AS BIGINT) AS s1_a,
+    CAST(sum(CASE WHEN variant = 1 THEN s1 ELSE 0 END) AS BIGINT) AS s1_b,
+    CAST(sum(CASE WHEN variant = 0 THEN s2 ELSE 0 END) AS BIGINT) AS s2_a,
+    CAST(sum(CASE WHEN variant = 1 THEN s2 ELSE 0 END) AS BIGINT) AS s2_b,
+    CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+    CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+  FROM g
+),
+stats AS (
+  SELECT *, {_AB_STATS_SQL} FROM one
+)
+SELECT n_a, n_b, conv_a, conv_b, mean_a, mean_b, var_a, var_b,
+       {_AB_T_SQL},
+       {_AB_CHI_SQL}
+FROM stats
+""",
+)
+def ab_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B experiment readout: users are hash-assigned to two
+    variants ({AB_SALT!r}-salted h60 coin — reproducible, uncorrelated with
+    every other sampler), the per-user revenue metric is Welch-tested and
+    the purchase-conversion 2x2 gets a chi-squared statistic. The canonical
+    product-analytics pass, computed exactly: per-user cent totals and
+    their squares are BIGINT power sums (exact under any partitioning /
+    merge order), and every derived double (means in currency units,
+    variances, t, chi2) is the IDENTICAL expression tree over those exact
+    integers in both engines — so even the test statistics are value-hash
+    checked, not approximated. (Bound: cents^2 sums stay under 2^63 up to
+    ~3e9-cent users x 1e9 users; beyond that swap s2 to DECIMAL(38,0).)
+
+    Scale: one user-keyed aggregate (map-side combinable) -> a 2-row
+    variant aggregate -> a 1-row conditional pivot. Nothing after the
+    first shuffle exceeds two rows."""
+    per_user = _events(spark, sf_dir).groupBy("user_id").agg(
+        F.sum(F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")).alias("cents"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted"),
+    )
+    v = per_user.select(
+        (h60(F.concat(F.lit(AB_SALT), F.col("user_id").cast("string"))) % 2).alias("variant"),
+        "cents",
+        "converted",
+    )
+    g = v.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+        F.sum("converted").alias("conv"),
+    )
+    one = g.agg(
+        *[
+            F.sum(F.when(F.col("variant") == var, F.col(c)).otherwise(0))
+            .cast("long")
+            .alias(f"{c2}_{'a' if var == 0 else 'b'}")
+            for var, c, c2 in [
+                (0, "n", "n"), (1, "n", "n"),
+                (0, "s1", "s1"), (1, "s1", "s1"),
+                (0, "s2", "s2"), (1, "s2", "s2"),
+                (0, "conv", "conv"), (1, "conv", "conv"),
+            ]
+        ]
+    )
+    stats = one.selectExpr("*", *[e.strip() for e in _AB_STATS_SQL.split(",\n")])
+    return stats.selectExpr(
+        "n_a", "n_b", "conv_a", "conv_b", "mean_a", "mean_b", "var_a", "var_b",
+        _AB_T_SQL.strip(),
+        _AB_CHI_SQL.strip(),
+    )

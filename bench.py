@@ -203,6 +203,7 @@ HEADLINE = (
     "unigram_encode_corpus",
     "dedup_rate_by_source",
     "ab_test_stats",
+    "attribution_last_touch",
 )
 
 

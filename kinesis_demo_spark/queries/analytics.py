@@ -2830,3 +2830,85 @@ def ab_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _AB_T_SQL.strip(),
         _AB_CHI_SQL.strip(),
     )
+
+
+# --- last-touch conversion attribution --------------------------------------------
+
+ATTR_TOUCH_TYPES = ("view", "click")
+ATTR_WINDOW_US = 24 * 3600 * 1_000_000  # 24 h lookback
+
+
+@register(
+    "attribution_last_touch",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         CAST(value AS DECIMAL(18,2)) AS v,
+         last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type,
+         last_value(CASE WHEN event_type IN ('view', 'click') THEN epoch_us(ts) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_us
+  FROM events
+),
+attributed AS (
+  SELECT CASE WHEN touch_type IS NOT NULL AND us - touch_us <= {ATTR_WINDOW_US}
+              THEN touch_type ELSE 'direct' END AS channel, v
+  FROM seq WHERE event_type = 'purchase'
+)
+SELECT channel, count(*) AS n_purchases,
+       CAST(sum(v) AS DOUBLE) AS revenue
+FROM attributed GROUP BY channel
+""",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: every purchase is credited to the
+    user's most recent preceding view/click within a 24 h lookback (older
+    or absent touches fall to 'direct'), rolled up to purchases + revenue
+    per channel — the canonical marketing-attribution pass. The touch is a
+    strictly-before ignore-nulls last_value over the (epoch, event_id)
+    order (frame excludes the current row, so a purchase can never
+    attribute to itself); timestamps compare as integer microseconds, so
+    the lookback is timezone-free in both engines; revenue sums in DECIMAL.
+
+    Scale: one user-keyed window partitioning (both last_value columns
+    share it — one exchange), then a channel aggregate over purchases
+    only; state per user is O(1)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.expr("unix_micros(ts)"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_t = F.last(
+        F.when(F.col("event_type").isin(*ATTR_TOUCH_TYPES), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    touch_us = F.last(
+        F.when(F.col("event_type").isin(*ATTR_TOUCH_TYPES), F.expr("unix_micros(ts)")),
+        ignorenulls=True,
+    ).over(w)
+    seq = _events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.col("value").cast(D2).alias("v"),
+        touch_t.alias("touch_type"),
+        touch_us.alias("touch_us"),
+    )
+    attributed = seq.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_type").isNotNull()
+            & (F.col("us") - F.col("touch_us") <= ATTR_WINDOW_US),
+            F.col("touch_type"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("channel"),
+        "v",
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("v").cast("double").alias("revenue"),
+    )

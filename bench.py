@@ -204,6 +204,7 @@ HEADLINE = (
     "dedup_rate_by_source",
     "ab_test_stats",
     "attribution_last_touch",
+    "sample_priority_weighted",
 )
 
 

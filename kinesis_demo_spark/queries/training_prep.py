@@ -458,3 +458,81 @@ def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return report(greedy, "greedy_inorder").unionByName(report(bfd, "best_fit_decreasing"))
+
+
+# --- priority sampling (weighted without replacement, DLT) -----------------------
+
+PRI_SALT = "pri"
+PRI_K = 50
+# 2^60 as an exact double (power of two): u in [1, 2^60] maps h60 to a
+# deterministic "uniform"; priority q = w / (u / 2^60) = w * 2^60 / u.
+PRI_SCALE = float(1 << 60)
+
+
+@register(
+    "sample_priority_weighted",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS w_cents
+  FROM events GROUP BY user_id
+),
+pri AS (
+  SELECT user_id, w_cents,
+         CAST(w_cents AS DOUBLE) * {PRI_SCALE!r}
+           / CAST({h60_sql(f"'{PRI_SALT}' || CAST(user_id AS VARCHAR)")} + 1 AS DOUBLE) AS q
+  FROM per_user
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY q DESC, user_id) AS rnk FROM pri
+),
+tau AS (
+  SELECT COALESCE(max(CASE WHEN rnk = {PRI_K + 1} THEN q END), 0.0) AS tau FROM ranked
+)
+SELECT r.user_id, r.w_cents, r.q,
+       CASE WHEN CAST(r.w_cents AS DOUBLE) > t.tau
+            THEN CAST(r.w_cents AS DOUBLE) ELSE t.tau END AS est_weight
+FROM ranked r, tau t
+WHERE r.rnk <= {PRI_K}
+""",
+)
+def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): a weighted
+    without-replacement sample of {PRI_K} users where each kept item
+    carries the estimator weight max(w, tau) — subset sums over the sample
+    estimate population subset sums near-optimally. The 'uniform' is the
+    deterministic h60 coin (u = h+1 in [1, 2^60]), so the sample is
+    reproducible across runs/engines/retries like every other sampler
+    here; priority q = w * 2^60 / u is one multiply + one divide of
+    identically-derived doubles (2^60 is an exact power-of-two double).
+
+    Scale: the weight table is the user-keyed aggregate; top-(K+1) by
+    priority is orderBy().limit = TakeOrderedAndProject (per-partition
+    heaps, never a global window), and tau — the (K+1)-th priority — is a
+    1-row broadcast. The 100 TB shape for 'give me a weighted sample NOW'
+    without scanning twice."""
+    per_user = load_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.sum(F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")).alias("w_cents")
+    )
+    q = (
+        F.col("w_cents").cast("double")
+        * F.lit(PRI_SCALE)
+        / (h60(F.concat(F.lit(PRI_SALT), F.col("user_id").cast("string"))) + F.lit(1)).cast(
+            "double"
+        )
+    )
+    pri = per_user.select("user_id", "w_cents", q.alias("q"))
+    top = pri.orderBy(F.col("q").desc(), "user_id").limit(PRI_K + 1)
+    # tau = the smallest of the top-(K+1) priorities iff a (K+1)-th exists
+    tau = top.agg(
+        F.when(F.count(F.lit(1)) >= PRI_K + 1, F.min("q")).otherwise(F.lit(0.0)).alias("tau")
+    )
+    kept = pri.orderBy(F.col("q").desc(), "user_id").limit(PRI_K)
+    return kept.crossJoin(F.broadcast(tau)).select(
+        "user_id",
+        "w_cents",
+        "q",
+        F.when(F.col("w_cents").cast("double") > F.col("tau"), F.col("w_cents").cast("double"))
+        .otherwise(F.col("tau"))
+        .alias("est_weight"),
+    )

@@ -205,6 +205,7 @@ HEADLINE = (
     "ab_test_stats",
     "attribution_last_touch",
     "sample_priority_weighted",
+    "concat_chunk_sequences",
 )
 
 

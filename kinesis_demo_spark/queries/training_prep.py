@@ -536,3 +536,131 @@ def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("tau"))
         .alias("est_weight"),
     )
+
+
+# --- GPT-style sequence formation (concat-and-chunk) ------------------------------
+
+SEQ_LEN = 128  # training sequence length in tokens
+# EOS: one separator token appended per document, so a doc contributes
+# n_tokens + 1 positions to the concatenated stream.
+
+
+@register(
+    "concat_chunk_sequences",
+    oracle=f"""
+WITH k AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS stream_len,
+         {h60_sql("'epoch0|' || CAST(doc_id AS VARCHAR)")} AS sort_key
+  FROM documents
+),
+s AS (
+  SELECT doc_id, stream_len, sort_key, sort_key % 32 AS shard,
+         COALESCE(sum(stream_len) OVER (PARTITION BY sort_key % 32
+                                        ORDER BY sort_key, doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS before_in_shard
+  FROM k
+),
+off AS (
+  SELECT shard,
+         COALESCE(sum(tok) OVER (ORDER BY shard
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS tok_off
+  FROM (SELECT shard, sum(stream_len) AS tok FROM s GROUP BY shard)
+),
+spans AS (
+  SELECT s.doc_id,
+         CAST(off.tok_off + s.before_in_shard AS BIGINT) AS start_tok,
+         CAST(off.tok_off + s.before_in_shard + s.stream_len AS BIGINT) AS end_tok
+  FROM s JOIN off USING (shard)
+),
+hits AS (
+  SELECT doc_id, start_tok, end_tok,
+         unnest(range(start_tok // {SEQ_LEN}, (end_tok - 1) // {SEQ_LEN} + 1)) AS seq_id
+  FROM spans
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(sum(CASE WHEN end_tok < (seq_id + 1) * {SEQ_LEN} THEN end_tok
+                     ELSE (seq_id + 1) * {SEQ_LEN} END
+                - CASE WHEN start_tok > seq_id * {SEQ_LEN} THEN start_tok
+                       ELSE seq_id * {SEQ_LEN} END) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs_spanned,
+       arg_min(doc_id, start_tok) AS first_doc,
+       arg_max(doc_id, start_tok) AS last_doc
+FROM hits GROUP BY seq_id
+""",
+)
+def concat_chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style pretraining sequence formation: documents stream in the
+    deterministic epoch order (the ``training_order_shuffle`` order), each
+    followed by one EOS token, and the concatenated token stream is cut
+    into fixed {SEQ_LEN}-token training sequences. Emitted per sequence:
+    token count (={SEQ_LEN} except the tail), how many documents it spans,
+    and its first/last document — the map a data loader uses to
+    materialize attention-masking / document-boundary info.
+
+    The exact global token offsets come from the same two-level
+    distributed prefix sum as ``token_shard_assembly`` (per-shard window
+    cumsum + tiny offset table — no global window, no per-token explode:
+    each doc explodes only into the sequences its span INTERSECTS, so the
+    blowup is |docs| + |seqs|, not |tokens|). first/last docs are argmin /
+    argmax by start offset (unique by construction)."""
+    toks = F.split("text", " ")
+    k = (
+        spread(load_table(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            (F.size(toks) + F.lit(1)).cast("long").alias("stream_len"),
+            h60(F.concat(F.lit("epoch0|"), F.col("doc_id").cast("string"))).alias("sort_key"),
+        )
+        .select("*", (F.col("sort_key") % 32).alias("shard"))
+    )
+    in_shard = Window.partitionBy("shard").orderBy("sort_key", "doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    s = k.select(
+        "doc_id",
+        "stream_len",
+        "shard",
+        F.coalesce(F.sum("stream_len").over(in_shard), F.lit(0)).alias("before_in_shard"),
+    )
+    off = (
+        s.groupBy("shard")
+        .agg(F.sum("stream_len").alias("tok"))
+        .select(
+            "shard",
+            F.coalesce(
+                F.sum("tok").over(
+                    Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("tok_off"),
+        )
+    )
+    spans = s.join(F.broadcast(off), "shard").select(
+        "doc_id",
+        (F.col("tok_off") + F.col("before_in_shard")).cast("long").alias("start_tok"),
+        (F.col("tok_off") + F.col("before_in_shard") + F.col("stream_len"))
+        .cast("long")
+        .alias("end_tok"),
+    )
+    hits = spans.select(
+        "doc_id",
+        "start_tok",
+        "end_tok",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_tok DIV {SEQ_LEN}"), F.expr(f"(end_tok - 1) DIV {SEQ_LEN}")
+            )
+        ).alias("seq_id"),
+    )
+    overlap = F.least(
+        F.col("end_tok"), (F.col("seq_id") + 1) * SEQ_LEN
+    ) - F.greatest(F.col("start_tok"), F.col("seq_id") * SEQ_LEN)
+    return hits.groupBy("seq_id").agg(
+        F.sum(overlap).cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs_spanned"),
+        F.min_by("doc_id", "start_tok").alias("first_doc"),
+        F.max_by("doc_id", "start_tok").alias("last_doc"),
+    )

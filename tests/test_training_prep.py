@@ -122,3 +122,27 @@ def test_bfd_packing_matches_python_reference_and_beats_greedy(spark):
         # BFD never uses more bins than in-order greedy
         assert bfd[s].bins_used <= greedy[s].bins_used, s
         assert bfd[s].token_sum == greedy[s].token_sum, s
+
+
+def test_concat_chunk_sequences_tile_the_stream_exactly(spark):
+    """Sequence formation invariants: sequences tile the concatenated
+    stream — every sequence is exactly SEQ_LEN tokens except the last,
+    totals conserve (sum n_tokens == sum doc stream lengths), and a
+    sequence spanning k docs has first != last for k > 1."""
+    from kinesis_demo_spark.queries.training_prep import SEQ_LEN, concat_chunk_sequences
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(concat_chunk_sequences(spark, sf).collect(), key=lambda r: r.seq_id)
+    assert [r.seq_id for r in rows] == list(range(len(rows)))
+    total = sum(r.n_tokens for r in rows)
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    # stream length per doc = token count + 1 EOS; str.split(" ") matches
+    # F.split's behavior including the empty-string edge
+    expect_total = sum(len(d.text.split(" ")) + 1 for d in docs)
+    assert total == expect_total
+    for r in rows[:-1]:
+        assert r.n_tokens == SEQ_LEN, r
+    assert 0 < rows[-1].n_tokens <= SEQ_LEN
+    for r in rows:
+        assert r.n_docs_spanned >= 1
+        assert (r.first_doc == r.last_doc) == (r.n_docs_spanned == 1)

@@ -132,12 +132,15 @@ PRIORITY_ORDER = (
     "streaming_outer_interval_join",  # drain harness re-scoped in r7 — re-verify
     # r7 filtering/data-selection suite (queries/filtering.py) — first driver
     # rows. The cap is full at 50, so the round's remaining new registrations
-    # form the r8 promotion pool: lm_fluency_score, token_shard_assembly,
-    # ann_hamming_binary, dedup_clusters_star, graph_triangle_clustering,
-    # incremental_join_view_merge (each local-strict verified at
-    # sf0.001/sf0.01/sf0.1 + the hostile session). The unigram tokenizer
-    # pair is rows-only by necessity (EM/Viterbi; independent-reference
-    # differential in tests/test_tokenizer.py) — never cap slots.
+    # form the r8 promotion pool (each local-strict verified at
+    # sf0.001/sf0.01/sf0.1 + the hostile session): lm_fluency_score,
+    # token_shard_assembly, ann_hamming_binary, dedup_clusters_star,
+    # graph_triangle_clustering, incremental_join_view_merge,
+    # dedup_rate_by_source, ab_test_stats, attribution_last_touch,
+    # sample_priority_weighted, concat_chunk_sequences. The unigram
+    # tokenizer pair is rows-only by necessity (EM/Viterbi;
+    # independent-reference differential in tests/test_tokenizer.py) —
+    # never cap slots.
     "filter_gopher_rules",
     "dsir_importance_resample",
     "training_order_shuffle",

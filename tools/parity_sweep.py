@@ -32,9 +32,12 @@ from pyspark.sql import SparkSession  # noqa: E402
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "PARITY_SF0.1.json")
-    # hostile session: non-UTC, no engine configs — what the driver gives us
+    # hostile session: non-UTC, no engine SQL configs — what the driver gives
+    # us. Heap size is a deployment knob, not a semantics config: the default
+    # 1g driver heap OOMs ~2/3 through a 200-query sf0.1 sweep in one JVM.
     spark = (
         SparkSession.builder.master("local[16]")
+        .config("spark.driver.memory", "32g")
         .config("spark.sql.session.timeZone", "America/New_York")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -74,6 +74,8 @@ PROBES = (
     "ann_hamming_binary",             # popcount screen + shortlist re-rank
     "dedup_clusters_star",            # O(log^2 n) star contractions
     "graph_triangle_clustering",      # degree-ordered wedge enumeration
+    "dedup_rate_by_source",           # pair-list audit over the Jaccard pipeline
+    "concat_chunk_sequences",         # two-level prefix sum + span explode
 )
 
 SF_SMALL = "/root/testdata/sf0.01"

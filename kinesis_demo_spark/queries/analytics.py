@@ -2912,3 +2912,155 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum("v").cast("double").alias("revenue"),
     )
+
+
+# --- autocorrelation of the hourly series -----------------------------------------
+
+
+@register(
+    "ts_autocorr_components",
+    oracle="""
+WITH bounds AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT g.user_id, g.hour, coalesce(a.x, 0) AS x
+  FROM grid g LEFT JOIN agg a ON a.user_id = g.user_id AND a.hour = g.hour
+),
+lagged AS (
+  SELECT user_id, x,
+         lag(x, 1) OVER (PARTITION BY user_id ORDER BY hour) AS x1,
+         lag(x, 2) OVER (PARTITION BY user_id ORDER BY hour) AS x2
+  FROM series
+),
+suff AS (
+  SELECT user_id,
+         count(*) AS n_hours,
+         CAST(sum(x) AS BIGINT) AS s_cents,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(CASE WHEN x1 IS NOT NULL THEN x * x1 END) AS BIGINT) AS sxy1,
+         CAST(sum(CASE WHEN x1 IS NOT NULL THEN x END) AS BIGINT) AS head1,
+         CAST(sum(x1) AS BIGINT) AS tail1,
+         CAST(sum(CASE WHEN x2 IS NOT NULL THEN x * x2 END) AS BIGINT) AS sxy2,
+         CAST(sum(CASE WHEN x2 IS NOT NULL THEN x END) AS BIGINT) AS head2,
+         CAST(sum(x2) AS BIGINT) AS tail2
+  FROM lagged GROUP BY user_id HAVING count(*) >= 3
+),
+d AS (
+  SELECT user_id, n_hours, s_cents, sxx, sxy1, sxy2,
+         CAST(n_hours AS DOUBLE) AS nd, CAST(s_cents AS DOUBLE) AS sd,
+         CAST(sxx AS DOUBLE) AS sxxd,
+         CAST(sxy1 AS DOUBLE) AS sxy1d, CAST(head1 AS DOUBLE) AS h1d, CAST(tail1 AS DOUBLE) AS t1d,
+         CAST(sxy2 AS DOUBLE) AS sxy2d, CAST(head2 AS DOUBLE) AS h2d, CAST(tail2 AS DOUBLE) AS t2d
+  FROM suff
+)
+SELECT user_id, n_hours, s_cents, sxx, sxy1, sxy2,
+       CASE WHEN nd * nd * sxxd - nd * sd * sd <> 0.0 THEN
+         (nd * nd * sxy1d - nd * sd * (h1d + t1d) + (nd - 1.0) * sd * sd)
+           / (nd * nd * sxxd - nd * sd * sd) END AS r1,
+       CASE WHEN nd * nd * sxxd - nd * sd * sd <> 0.0 THEN
+         (nd * nd * sxy2d - nd * sd * (h2d + t2d) + (nd - 2.0) * sd * sd)
+           / (nd * nd * sxxd - nd * sd * sd) END AS r2
+FROM d
+""",
+)
+def ts_autocorr_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1/lag-2 sample autocorrelation of each user's zero-filled hourly
+    value series (the seasonality probe a forecasting pipeline runs before
+    picking model order). The estimator is the textbook
+    r_k = sum_(t>k) (x_t - m)(x_(t-k) - m) / sum_t (x_t - m)^2 cleared of
+    divisions: both sides are expanded over exact BIGINT sufficient
+    statistics in integer cents (n^2*sxy_k - n*s*(head_k + tail_k) +
+    (n-k)*s^2 over n^2*sxx - n*s^2), so the only float work is one fixed
+    IEEE expression per row, identical on both engines — no libm, no
+    order-dependent accumulation, value-hash exact.
+
+    Scale shape: gapfilled grid as in timeseries_hourly_gapfill (grid is
+    |users| x |hours|, independent of event count), one per-user window for
+    the two lags (partition-local sort, no global ordering), one hash
+    aggregate for the sufficient statistics. Constant-width state per user;
+    at 100 TB the lag window's input is the already-downsampled hourly
+    series, not the raw stream."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour")
+    )
+    agg = ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        (F.sum(F.col("value").cast(D2)) * 100).cast("long").alias("x")
+    )
+    series = grid.join(agg, ["user_id", "hour"], "left").select(
+        "user_id", "hour", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    w = Window.partitionBy("user_id").orderBy("hour")
+    lagged = series.select(
+        "user_id",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 2).over(w).alias("x2"),
+    )
+    suff = (
+        lagged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("x").alias("s_cents"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.when(F.col("x1").isNotNull(), F.col("x") * F.col("x1"))).alias("sxy1"),
+            F.sum(F.when(F.col("x1").isNotNull(), F.col("x"))).alias("head1"),
+            F.sum("x1").alias("tail1"),
+            F.sum(F.when(F.col("x2").isNotNull(), F.col("x") * F.col("x2"))).alias("sxy2"),
+            F.sum(F.when(F.col("x2").isNotNull(), F.col("x"))).alias("head2"),
+            F.sum("x2").alias("tail2"),
+        )
+        .filter(F.col("n_hours") >= 3)
+    )
+    d = suff.select(
+        "user_id",
+        "n_hours",
+        "s_cents",
+        "sxx",
+        "sxy1",
+        "sxy2",
+        F.col("n_hours").cast("double").alias("nd"),
+        F.col("s_cents").cast("double").alias("sd"),
+        F.col("sxx").cast("double").alias("sxxd"),
+        F.col("sxy1").cast("double").alias("sxy1d"),
+        F.col("head1").cast("double").alias("h1d"),
+        F.col("tail1").cast("double").alias("t1d"),
+        F.col("sxy2").cast("double").alias("sxy2d"),
+        F.col("head2").cast("double").alias("h2d"),
+        F.col("tail2").cast("double").alias("t2d"),
+    )
+    # the SQL text below mirrors the oracle token-for-token so both engines
+    # build the identical IEEE expression tree (left-associative * and -)
+    den = "nd * nd * sxxd - nd * sd * sd"
+    r1 = (
+        f"CASE WHEN {den} <> 0.0 THEN "
+        f"(nd * nd * sxy1d - nd * sd * (h1d + t1d) + (nd - 1.0) * sd * sd) / ({den}) END"
+    )
+    r2 = (
+        f"CASE WHEN {den} <> 0.0 THEN "
+        f"(nd * nd * sxy2d - nd * sd * (h2d + t2d) + (nd - 2.0) * sd * sd) / ({den}) END"
+    )
+    return d.select(
+        "user_id",
+        "n_hours",
+        "s_cents",
+        "sxx",
+        "sxy1",
+        "sxy2",
+        F.expr(r1).alias("r1"),
+        F.expr(r2).alias("r2"),
+    )

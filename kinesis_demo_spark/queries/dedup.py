@@ -1688,3 +1688,124 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_cross"), F.lit(0)).cast("long").alias("n_pairs_cross"),
         )
     )
+
+
+# --- SemDeDup: cluster-scoped semantic dedup (Abbas et al. 2023) ------------------
+
+SEMDEDUP_K = 8  # coarse clusters at fixture scale; scales with corpus size
+SEMDEDUP_T = COSINE_DUP_THRESHOLD  # same near-dup bar as the exact baseline
+
+
+def _semdedup_sqdist_sql(vec: str, cent: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({vec})+1), "
+        f"i -> (CAST({vec}[i] AS DOUBLE) - {cent}[i]) * (CAST({vec}[i] AS DOUBLE) - {cent}[i])), "
+        "(x, y) -> x + y)"
+    )
+
+
+@register(
+    "dedup_semdedup_prune",
+    oracle=f"""
+WITH c0 AS (
+  SELECT vec_id AS ccid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+  FROM embeddings WHERE vec_id < {SEMDEDUP_K}
+),
+s AS (
+  SELECT v.vec_id, c0.ccid, {_semdedup_sqdist_sql('v.embedding', 'c0.c')} AS dist
+  FROM embeddings v CROSS JOIN c0
+),
+a AS (
+  SELECT vec_id, min(struct_pack(d := dist, c := ccid)).c AS cid
+  FROM s GROUP BY vec_id
+),
+v AS (
+  SELECT a.vec_id, a.cid, e.embedding,
+         sqrt({dot_fold_sql('e.embedding', 'e.embedding')}) AS nrm
+  FROM a JOIN embeddings e ON e.vec_id = a.vec_id
+),
+m AS (
+  SELECT hi.vec_id,
+         max({dot_fold_sql('lo.embedding', 'hi.embedding')} / (lo.nrm * hi.nrm))
+           AS max_sim_lower
+  FROM v hi JOIN v lo ON lo.cid = hi.cid AND lo.vec_id < hi.vec_id
+  GROUP BY hi.vec_id
+)
+SELECT v.vec_id, v.cid,
+       coalesce(m.max_sim_lower >= {SEMDEDUP_T}, false) AS dropped,
+       m.max_sim_lower
+FROM v LEFT JOIN m ON m.vec_id = v.vec_id
+""",
+)
+def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup scoped to coarse
+    clusters. One pass assigns every embedding to its nearest of K fixed
+    centroids (the first K corpus vectors — the same deterministic
+    offline-k-means stand-in as IVF's coarse table; ties to the smaller
+    centroid id); pairwise exact cosine then runs WITHIN each cluster only,
+    and a vector is pruned when any smaller-id cluster-mate sits at or above
+    the near-dup bar (keep-lowest-id, the registry's canonical-selection
+    policy). Cross-cluster near-dups are out of scope by construction —
+    that is the SemDeDup trade: candidate scope bounded by the cluster, not
+    the corpus.
+
+    100 TB shape: centroids broadcast (assignment never shuffles the
+    corpus); the quadratic stage is per-cluster, so K grows with the corpus
+    to cap member counts and the pair join shuffles on cid only. The
+    per-cluster all-pairs scorer swaps for the float64 GEMM screen +
+    sequential-fold verify of dedup_embedding_cosine_lsh unchanged (both
+    score a bounded candidate bucket). Every emitted cosine is the strict
+    left-to-right double fold — bit-identical across engines."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("ccid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+    )
+    sqd = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("c"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.join(F.broadcast(cents)).select("vec_id", "ccid", sqd.alias("dist"))
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "ccid")).alias("m"))
+        .select("vec_id", F.col("m.ccid").alias("cid"))
+    )
+    v = track_persist(
+        assign.join(emb, "vec_id").select(
+            "vec_id",
+            "cid",
+            "embedding",
+            F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
+    )
+    lo = v.select(
+        F.col("cid").alias("lo_cid"),
+        F.col("vec_id").alias("lo_id"),
+        F.col("embedding").alias("lo_e"),
+        F.col("nrm").alias("lo_n"),
+    )
+    hi = v.select(
+        F.col("cid").alias("hi_cid"),
+        F.col("vec_id").alias("hi_id"),
+        F.col("embedding").alias("hi_e"),
+        F.col("nrm").alias("hi_n"),
+    )
+    cos = dot_fold(F.col("lo_e"), F.col("hi_e")) / (F.col("lo_n") * F.col("hi_n"))
+    m = (
+        lo.join(hi, (F.col("lo_id") < F.col("hi_id")) & (F.col("lo_cid") == F.col("hi_cid")))
+        .select(F.col("hi_id").alias("vec_id"), cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("max_sim_lower"))
+    )
+    return v.join(m, "vec_id", "left").select(
+        "vec_id",
+        "cid",
+        F.coalesce(F.col("max_sim_lower") >= SEMDEDUP_T, F.lit(False)).alias("dropped"),
+        "max_sim_lower",
+    )

@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "kinesis_demo_spark.queries.runtime_filter",
     "kinesis_demo_spark.queries.filtering",
     "kinesis_demo_spark.queries.tokenizer",
+    "kinesis_demo_spark.queries.features",
 )
 
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries only
@@ -137,7 +138,9 @@ PRIORITY_ORDER = (
     # token_shard_assembly, ann_hamming_binary, dedup_clusters_star,
     # graph_triangle_clustering, incremental_join_view_merge,
     # dedup_rate_by_source, ab_test_stats, attribution_last_touch,
-    # sample_priority_weighted, concat_chunk_sequences. The unigram
+    # sample_priority_weighted, concat_chunk_sequences,
+    # feature_hash_vectorize, feature_quantile_binning,
+    # ts_autocorr_components, dedup_semdedup_prune. The unigram
     # tokenizer pair is rows-only by necessity (EM/Viterbi;
     # independent-reference differential in tests/test_tokenizer.py) —
     # never cap slots.

@@ -426,3 +426,55 @@ def test_triangle_counts_match_brute_force_and_conserve(spark):
         assert degs[n] == len(adj[n]), n
     assert sum(got.values()) == 3 * total
     assert total > 0, "fixture graph has no triangles — test is vacuous"
+
+
+def test_autocorr_matches_numpy_reference(spark):
+    import numpy as np
+    import duckdb
+    from datetime import timedelta
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    con.close()
+    by_user = {}
+    for uid, hour, cents in rows:
+        by_user.setdefault(uid, {})[hour] = cents
+
+    from kinesis_demo_spark.queries.analytics import ts_autocorr_components
+
+    got = {r.user_id: r for r in ts_autocorr_components(spark, SF).collect()}
+
+    def ref_r(x, k):
+        m = x.mean()
+        den = ((x - m) ** 2).sum()
+        if den == 0:
+            return None
+        return float(((x[k:] - m) * (x[:-k] - m)).sum() / den)
+
+    checked = 0
+    for uid, series in by_user.items():
+        h0, h1 = min(series), max(series)
+        nh = int((h1 - h0).total_seconds() // 3600) + 1
+        if nh < 3:
+            assert uid not in got
+            continue
+        x = np.array(
+            [series.get(h0 + timedelta(hours=i), 0) for i in range(nh)], dtype=np.float64
+        )
+        r = got[uid]
+        assert r.n_hours == nh
+        assert r.s_cents == int(x.sum())
+        for k, rv in ((1, r.r1), (2, r.r2)):
+            expect = ref_r(x, k)
+            if expect is None:
+                assert rv is None
+            else:
+                assert abs(rv - expect) < 1e-9
+                checked += 1
+    assert checked > 0

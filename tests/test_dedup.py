@@ -300,3 +300,38 @@ def test_star_contraction_matches_label_propagation(spark):
     assert lp == star
     # sanity: the fixture corpus actually has non-singleton clusters
     assert any(d != c for d, c in star), "no dup clusters in fixture — test is vacuous"
+
+
+def test_semdedup_matches_numpy_reference(spark):
+    import numpy as np
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    C = V[: D.SEMDEDUP_K]
+    dist = ((V[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    cid = dist.argmin(1)  # argmin takes the first (smallest cid) on ties
+    n = V / np.linalg.norm(V, axis=1, keepdims=True)
+    # two-sided oracle: BLAS reorders the fold, so build a must-drop set
+    # (clearly above threshold) and a may-drop set (within tolerance) and
+    # require must <= got <= may
+    must_drop, may_drop = set(), set()
+    for c in range(D.SEMDEDUP_K):
+        idx = np.where(cid == c)[0]
+        S = n[idx] @ n[idx].T
+        for j in range(1, len(idx)):
+            if (S[j, :j] >= D.SEMDEDUP_T + 1e-9).any():
+                must_drop.add(int(ids[idx[j]]))
+            if (S[j, :j] >= D.SEMDEDUP_T - 1e-9).any():
+                may_drop.add(int(ids[idx[j]]))
+    got = {r.vec_id: r for r in D.dedup_semdedup_prune(spark, SF).collect()}
+    assert len(got) == len(ids)
+    dropped = {v for v, r in got.items() if r.dropped}
+    assert must_drop <= dropped <= may_drop
+    for i, v in enumerate(ids):
+        assert got[int(v)].cid == int(cid[i])

@@ -3064,3 +3064,185 @@ def ts_autocorr_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(r1).alias("r1"),
         F.expr(r2).alias("r2"),
     )
+
+
+# --- label propagation communities (synchronous, weighted, deterministic) ---------
+
+LPA_ROUNDS = 3
+
+# MATERIALIZED is load-bearing (the corpus.py BPE precedent): the edges CTE
+# is referenced by every unrolled round, and DuckDB would otherwise inline
+# and re-run the lineitem self-join once per round (~3x the whole oracle).
+_LPA_EDGE_CTES = """
+li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+edges AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+),
+l0 AS (SELECT DISTINCT src AS part, src AS lab FROM edges)
+"""
+
+
+def _lpa_round_sql(r: int) -> str:
+    return f"""
+v{r} AS (
+  SELECT e.dst AS part, l.lab, sum(e.w) AS wv
+  FROM edges e JOIN l{r - 1} l ON l.part = e.src
+  GROUP BY 1, 2
+),
+l{r} AS (
+  SELECT part, min(struct_pack(nw := -wv, l := lab)).l AS lab
+  FROM v{r} GROUP BY part
+)"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+WITH {_LPA_EDGE_CTES},
+{",".join(_lpa_round_sql(r) for r in range(1, LPA_ROUNDS + 1))},
+sizes AS (SELECT lab, count(*) AS community_size FROM l{LPA_ROUNDS} GROUP BY lab)
+SELECT f.part, f.lab AS community, s.community_size
+FROM l{LPA_ROUNDS} f JOIN sizes s ON s.lab = f.lab
+""",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous weighted label propagation
+    (Raghavan et al. 2007) over the part co-purchase graph ({LPA_ROUNDS}
+    fixed rounds): every node starts as its own label; each round a node
+    adopts the label with the largest incoming co-purchase weight among its
+    neighbors' CURRENT labels, ties broken to the smaller label — the
+    (-weight, label) struct-min makes the whole algorithm deterministic, so
+    the unrolled SQL mirror is value-hash exact. Distinct from the
+    connected-components family (dedup_clusters_star): LPA partitions a
+    CONNECTED graph into densely-linked communities; min-label CC would
+    collapse it to one component.
+
+    Scale: the graph is symmetric so every node appears as a dst — one
+    vote-join (shuffle on src) + one (part, lab) aggregate + one argmax per
+    round, all map-side combinable; labels persist per round and the loop
+    count is fixed, so the DAG is {LPA_ROUNDS} joined stages, the same
+    batch-iterative shape as pagerank_copurchase. Hub skew lands on the
+    vote aggregate key (dst, lab) — two-level, not per-dst — and AQE
+    splits any residual hot key."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    from ..io import track_persist
+
+    edges = track_persist(
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    labels = edges.select(F.col("src").alias("part")).distinct().select(
+        "part", F.col("part").alias("lab")
+    )
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            edges.join(labels, edges.src == labels.part)
+            .select("dst", "lab", "w")
+            .groupBy("dst", "lab")
+            .agg(F.sum("w").alias("wv"))
+        )
+        labels = track_persist(
+            votes.groupBy("dst")
+            .agg(F.min(F.struct((-F.col("wv")).alias("nw"), F.col("lab").alias("l"))).alias("m"))
+            .select(F.col("dst").alias("part"), F.col("m.l").alias("lab"))
+        )
+        labels.count()  # materialize: the next round joins this, not its lineage
+    sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("community_size"))
+    return labels.join(sizes, "lab").select(
+        "part", F.col("lab").alias("community"), "community_size"
+    )
+
+
+# --- compaction planning over the partition/file inventory ------------------------
+
+COMPACT_TARGET_DENOM = 16  # target bin size = total_bytes / 16 (corpus-relative)
+
+
+@register(
+    "compaction_plan",
+    oracle=f"""
+WITH files AS (
+  SELECT date_trunc('month', o_orderdate) AS part_month,
+         count(*) AS n_rows,
+         CAST(count(*) * 32
+              + sum(strlen(o_orderstatus) + strlen(o_orderpriority)) AS BIGINT) AS bytes
+  FROM orders GROUP BY 1
+),
+tgt AS (
+  SELECT greatest(CAST(sum(bytes) AS BIGINT) // {COMPACT_TARGET_DENOM}, 1) AS target
+  FROM files
+),
+ordered AS (
+  SELECT f.part_month, f.n_rows, f.bytes, t.target,
+         coalesce(sum(f.bytes) OVER (ORDER BY f.part_month
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM files f CROSS JOIN tgt t
+)
+SELECT CAST(cum_before // target AS BIGINT) AS compaction_group,
+       count(*) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS group_bytes,
+       CAST(sum(n_rows) AS BIGINT) AS group_rows,
+       min(part_month) AS first_month,
+       max(part_month) AS last_month,
+       min(target) AS target_bytes
+FROM ordered
+GROUP BY 1
+""",
+)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the OPTIMIZE/bin-pack step of
+    lakehouse table maintenance, planned over the partition inventory
+    (monthly order partitions with a deterministic byte proxy). Files walk
+    in partition order and file i lands in bin floor(cum_bytes_before /
+    target); the target is corpus-relative (total/{COMPACT_TARGET_DENOM}),
+    so the plan scales with the table instead of hardcoding a byte count.
+    This is the distributed analog of sequential first-fit: bins are
+    contiguous in sort order (rewrites stay partition-local and
+    time-clustered) and every bin lands in (target - max_file, target +
+    max_file).
+
+    Scale: the inventory is METADATA — one row per file/partition, millions
+    of rows at 100 TB, not billions — so the single-ordered window over it
+    is deliberate (same justification as token_shard_assembly's offset
+    table: tiny global structures are fine; row-scale global windows are
+    not). The byte aggregation below it is a plain map-side-combined
+    groupBy of the fact table; in production the inventory comes free from
+    the table manifest and the fact scan disappears entirely."""
+    orders = load_table(spark, sf_dir, "orders")
+    files = orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("part_month")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.count(F.lit(1)) * 32
+            + F.sum(F.length("o_orderstatus") + F.length("o_orderpriority"))
+        ).cast("long").alias("bytes"),
+    )
+    tgt = files.agg(
+        F.greatest(
+            F.expr(f"sum(bytes) DIV {COMPACT_TARGET_DENOM}"), F.lit(1).cast("long")
+        ).alias("target")
+    )
+    w = Window.orderBy("part_month").rowsBetween(Window.unboundedPreceding, -1)
+    ordered = files.crossJoin(F.broadcast(tgt)).select(
+        "part_month",
+        "n_rows",
+        "bytes",
+        "target",
+        F.coalesce(F.sum("bytes").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return (
+        ordered.groupBy(F.expr("cum_before DIV target").cast("long").alias("compaction_group"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").cast("long").alias("group_bytes"),
+            F.sum("n_rows").cast("long").alias("group_rows"),
+            F.min("part_month").alias("first_month"),
+            F.max("part_month").alias("last_month"),
+            F.min("target").alias("target_bytes"),
+        )
+    )

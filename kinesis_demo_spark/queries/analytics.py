@@ -3246,3 +3246,246 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("target").alias("target_bytes"),
         )
     )
+
+
+# --- k-core decomposition (fixed-round peeling) ------------------------------------
+
+KCORE_ROUNDS = 4
+
+
+def _kcore_round_sql(r: int) -> str:
+    return f"""
+d{r} AS (
+  SELECT e.src AS part, count(*) AS deg
+  FROM edges e JOIN a{r - 1} s ON s.part = e.src JOIN a{r - 1} t ON t.part = e.dst
+  GROUP BY 1
+),
+a{r} AS (SELECT part, deg FROM d{r}, kk WHERE deg >= kk.k)"""
+
+
+@register(
+    "graph_kcore",
+    oracle=f"""
+WITH {_LPA_EDGE_CTES},
+kk AS (
+  SELECT CAST((count(*) + count(DISTINCT src) - 1) // count(DISTINCT src) AS BIGINT) AS k
+  FROM edges
+),
+a0 AS (SELECT DISTINCT src AS part FROM edges),
+{",".join(_kcore_round_sql(r) for r in range(1, KCORE_ROUNDS + 1))}
+SELECT part, deg AS core_degree, kk.k AS k_threshold FROM a{KCORE_ROUNDS}, kk
+""",
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition of the part co-purchase graph by synchronous
+    peeling ({KCORE_ROUNDS} fixed rounds): drop every node whose degree in
+    the CURRENT surviving subgraph is below k, recompute degrees, repeat.
+    Survivors after the fixed rounds are (a superset of) the k-core — the
+    densely-connected backbone a recommender or GNN-sampling pipeline keeps.
+    k is corpus-relative, ceil of the mean degree ((2|E|+|V|-1) DIV |V|
+    over the symmetric edge table), so the operator peels meaningfully at
+    every scale factor instead of hardcoding a density.
+
+    All math is integer (counts and an integer ceil-DIV), so the unrolled
+    SQL mirror is value-hash exact. Complements graph_label_propagation
+    (communities) and graph_triangle_clustering (local density): k-core is
+    the global-density filter.
+
+    Scale: each round is two semi-join prunes of the edge list (shuffle on
+    src/dst) + one map-side-combinable degree count; the edge table is
+    persisted once and only the alive set (one long column) changes per
+    round — the classic batch-iterative shape shared with
+    pagerank_copurchase. Peeling converges in O(degeneracy) rounds;
+    production would loop to fixpoint with the same per-round plan."""
+    from ..io import track_persist
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = track_persist(
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select("src", "dst")
+    )
+    k_row = edges.agg(
+        F.expr("(count(1) + count(DISTINCT src) - 1) DIV count(DISTINCT src)").alias("k")
+    )
+    alive = edges.select(F.col("src").alias("part")).distinct()
+    deg = None
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.join(alive.select(F.col("part").alias("src")), "src")
+            .join(alive.select(F.col("part").alias("dst")), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = track_persist(
+            deg.crossJoin(F.broadcast(k_row))
+            .filter(F.col("deg") >= F.col("k"))
+            .select(F.col("src").alias("part"), "deg")
+        )
+        alive.count()  # materialize: next round prunes against this, not lineage
+    return alive.crossJoin(F.broadcast(k_row)).select(
+        "part", F.col("deg").alias("core_degree"), F.col("k").cast("long").alias("k_threshold")
+    )
+
+
+# --- Pareto frontier (skyline) via order-statistics scan ---------------------------
+
+PARETO_SHARDS = 16
+
+
+@register(
+    "pareto_frontier_parts",
+    oracle="""
+WITH pr AS (SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part),
+w AS (
+  SELECT price, size,
+         max(size) OVER (ORDER BY price ASC, size DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM pr
+),
+f AS (SELECT price, size FROM w WHERE prev_max IS NULL OR prev_max < size)
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p JOIN f ON f.price = p.p_retailprice AND f.size = p.p_size
+""",
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: parts not dominated on (minimize retail price, maximize
+    size) — "no other part is at least as cheap AND at least as big, with one
+    strict". The naive formulation is a quadratic NOT EXISTS self-join; over
+    DISTINCT (price, size) pairs ordered by (price asc, size desc) a pair is
+    dominated iff ANY earlier pair has size >= its own (earlier means
+    strictly cheaper, or equal price with strictly larger size — both genuine
+    dominators once duplicates are collapsed), so the skyline reduces to one
+    running-max scan.
+
+    Scale: the scan is NOT a global single-task window — pairs are range-
+    partitioned on the sort key ({PARETO_SHARDS} shards here, thousands in
+    production; Spark's range partitioner samples balanced boundaries), each
+    shard runs its own running max, and the cross-shard carry-in is a prefix
+    max over the {PARETO_SHARDS}-row per-shard-max table joined back by
+    broadcast — the token_shard_assembly two-level pattern applied to MAX.
+    The result is boundary-invariant: per-shard-earlier plus earlier-shards
+    is exactly the set of global predecessors under the strict total order,
+    wherever the sampled boundaries land. Dominance verdicts then broadcast
+    back to the fact table on the (price, size) pair."""
+    parts = load_table(spark, sf_dir, "part")
+    pairs = parts.select(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("size")
+    ).distinct()
+    sh = pairs.withColumn("nsize", -F.col("size")).repartitionByRange(
+        PARETO_SHARDS, "price", "nsize"
+    ).withColumn("shard", F.spark_partition_id())
+    win = (
+        Window.partitionBy("shard")
+        .orderBy("price", "nsize")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    in_shard = sh.select("price", "size", "shard", F.max("size").over(win).alias("prev_in"))
+    offs = (
+        sh.groupBy("shard")
+        .agg(F.max("size").alias("smax"))
+        .select(
+            "shard",
+            F.max("smax")
+            .over(Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1))
+            .alias("prev_shards"),
+        )
+    )
+    frontier = (
+        in_shard.join(F.broadcast(offs), "shard")
+        .withColumn("prev_max", F.greatest("prev_in", "prev_shards"))
+        .filter(F.col("prev_max").isNull() | (F.col("prev_max") < F.col("size")))
+        .select("price", "size")
+    )
+    return parts.join(
+        F.broadcast(frontier),
+        (parts.p_retailprice == frontier.price) & (parts.p_size == frontier.size),
+    ).select("p_partkey", "p_retailprice", "p_size")
+
+
+# --- CDC merge-apply (MERGE INTO semantics over a changelog) -----------------------
+
+CDC_SPLIT_TS = "2024-01-16 00:00:00"
+
+
+@register(
+    "cdc_merge_apply",
+    oracle=f"""
+WITH base AS (
+  SELECT user_id,
+         max(struct_pack(ts := ts, eid := event_id, et := event_type, v := value)) AS last
+  FROM events WHERE ts < TIMESTAMP '{CDC_SPLIT_TS}' GROUP BY user_id
+),
+base_live AS (
+  SELECT user_id, last.v AS value, last.ts AS ts FROM base WHERE last.et <> 'error'
+),
+chg AS (
+  SELECT user_id,
+         max(struct_pack(ts := ts, eid := event_id, et := event_type, v := value)) AS last
+  FROM events WHERE ts >= TIMESTAMP '{CDC_SPLIT_TS}' GROUP BY user_id
+)
+SELECT coalesce(b.user_id, c.user_id) AS user_id,
+       CASE WHEN c.user_id IS NULL THEN b.value ELSE c.last.v END AS value,
+       CASE WHEN c.user_id IS NULL THEN b.ts ELSE c.last.ts END AS last_ts,
+       CASE WHEN c.user_id IS NULL THEN 'kept'
+            WHEN b.user_id IS NULL THEN 'inserted'
+            ELSE 'updated' END AS merge_action
+FROM base_live b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+WHERE c.user_id IS NULL OR c.last.et <> 'error'
+""",
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics — the lakehouse CDC-apply primitive: a base
+    snapshot (latest state per user before the split instant, tombstones
+    dropped) merged with a changelog (events at/after the split), where the
+    LATEST change per key wins: 'error' acts as DELETE, anything else as
+    UPSERT. Output is the post-merge state with the merge action audit
+    column (kept / updated / inserted; deleted keys are absent by
+    definition). Latest-wins is deterministic via the (ts, event_id, ...)
+    struct-max — event_id breaks timestamp ties, so both engines pick the
+    same row bit-for-bit.
+
+    Complements snapshot_diff_user_state (which DIFFS two snapshots; this
+    APPLIES a changelog) and scd2_user_state_intervals (which keeps
+    history; this collapses to current state).
+
+    Scale: one map-side-combinable struct-max aggregate per side (shuffle
+    on user_id) + one shuffle-colocated full outer join. In a real
+    lakehouse the base side is file-pruned to the touched keys' partitions
+    (the changelog is always the small side); the deterministic latest-wins
+    core is exactly this plan."""
+    events = load_table(spark, sf_dir, "events")
+    split = F.to_timestamp(F.lit(CDC_SPLIT_TS))
+    last = F.max(
+        F.struct(
+            F.col("ts"), F.col("event_id").alias("eid"),
+            F.col("event_type").alias("et"), F.col("value").alias("v"),
+        )
+    ).alias("last")
+    base = (
+        events.filter(F.col("ts") < split).groupBy("user_id").agg(last)
+        .filter(F.col("last.et") != "error")
+        .select("user_id", F.col("last.v").alias("b_value"), F.col("last.ts").alias("b_ts"))
+    )
+    chg = events.filter(F.col("ts") >= split).groupBy("user_id").agg(last)
+    merged = base.join(chg, "user_id", "full_outer")
+    return (
+        merged.filter(F.col("last").isNull() | (F.col("last.et") != "error"))
+        .select(
+            "user_id",
+            F.when(F.col("last").isNull(), F.col("b_value"))
+            .otherwise(F.col("last.v"))
+            .alias("value"),
+            F.when(F.col("last").isNull(), F.col("b_ts"))
+            .otherwise(F.col("last.ts"))
+            .alias("last_ts"),
+            F.when(F.col("last").isNull(), F.lit("kept"))
+            .when(F.col("b_value").isNull() & F.col("b_ts").isNull(), F.lit("inserted"))
+            .otherwise(F.lit("updated"))
+            .alias("merge_action"),
+        )
+    )

@@ -1888,3 +1888,116 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("jaccard").alias("best_jaccard"),
         F.count(F.lit(1)).alias("n_matches"),
     )
+
+
+# --- sorted-neighborhood blocking (classic entity-resolution candidate gen) --------
+
+SNM_WINDOW = 4     # sliding window width over the sorted order
+SNM_SHARDS = 16    # range shards for the distributed global rank
+SNM_KEY_LEN = 12   # normalized-prefix sort key length
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+k AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, {SNM_KEY_LEN}) AS sk
+  FROM documents
+),
+r AS (SELECT doc_id, row_number() OVER (ORDER BY sk, doc_id) AS rnk FROM k),
+cand AS (
+  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+         greatest(a.doc_id, b.doc_id) AS doc_b,
+         b.rnk - a.rnk AS rank_gap
+  FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND {SNM_WINDOW - 1}
+)
+SELECT c.doc_a, c.doc_b, c.rank_gap,
+       CAST(p.inter AS DOUBLE) / (p.na + p.nb - p.inter) AS jaccard
+FROM cand c JOIN pairs p ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+WHERE CAST(p.inter AS DOUBLE) / (p.na + p.nb - p.inter) >= {JACCARD_THRESHOLD}
+""",
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995) — the classic
+    entity-resolution candidate generator the LSH family doesn't cover: sort
+    all documents by a normalized prefix key, slide a {SNM_WINDOW}-wide
+    window over the order, verify each in-window pair with exact shingle
+    Jaccard. Catches near-dups whose EDITS are late in the document (shared
+    prefix ⇒ adjacent in sort order) at O(n·w) candidates, independent of
+    shingle statistics.
+
+    Scale — the global sort rank is computed WITHOUT a global window: range-
+    partition on the key ({SNM_SHARDS} shards; Spark's range partitioner
+    samples balanced boundaries, so Zipf-heavy prefixes spread across
+    shards), per-shard row_number, plus a broadcast {SNM_SHARDS}-row prefix-
+    count offset table (the token_shard_assembly two-level pattern). The
+    rank is boundary-invariant because (sk, doc_id) is a strict total
+    order. In-window pairs then come from an EQUI-join on the rank band
+    rnk DIV {SNM_WINDOW} (each right row also lands in the preceding band,
+    so every pair within distance {SNM_WINDOW - 1} matches exactly once) —
+    no inequality join, no skew."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sk = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""), 1, SNM_KEY_LEN
+    )
+    k = docs.select("doc_id", sk.alias("sk"))
+    sh = k.repartitionByRange(SNM_SHARDS, "sk", "doc_id").withColumn(
+        "shard", F.spark_partition_id()
+    )
+    s = sh.select(
+        "doc_id",
+        "shard",
+        F.row_number()
+        .over(Window.partitionBy("shard").orderBy("sk", "doc_id"))
+        .cast("long")
+        .alias("pos"),
+    )
+    offs = (
+        s.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "shard",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("off"),
+        )
+    )
+    r = s.join(F.broadcast(offs), "shard").select(
+        "doc_id", (F.col("off") + F.col("pos")).alias("rnk")
+    )
+    w = SNM_WINDOW
+    a = r.select(
+        F.col("doc_id").alias("da"), F.col("rnk").alias("ra"),
+        F.expr(f"rnk DIV {w}").alias("bk"),
+    )
+    b = r.select(
+        F.col("doc_id").alias("db"), F.col("rnk").alias("rb"),
+        F.explode(F.array(F.expr(f"rnk DIV {w}"), F.expr(f"rnk DIV {w} - 1"))).alias("bk"),
+    )
+    cand = (
+        a.join(b, "bk")
+        .filter((F.col("rb") - F.col("ra")).between(1, w - 1))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            (F.col("rb") - F.col("ra")).alias("rank_gap"),
+        )
+    )
+    shingles = _shingled(spark, sf_dir)
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "rank_gap", (inter.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )

@@ -3489,3 +3489,97 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("merge_action"),
         )
     )
+
+
+# --- association rules over co-purchase baskets (Apriori-pruned) --------------------
+
+ASSOC_ITEM_DENOM = 1000  # frequent item: appears in >= n_baskets/1000 baskets
+ASSOC_ITEM_FLOOR = 5
+ASSOC_MIN_PAIR = 2       # rule support floor (fixture baskets are near-uniform)
+
+
+@register(
+    "assoc_rules_copurchase",
+    oracle=f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+n AS (SELECT count(DISTINCT ok) AS n_baskets FROM b),
+ic AS (SELECT item, count(*) AS cnt FROM b GROUP BY item),
+freq AS (
+  SELECT ic.item, ic.cnt FROM ic, n
+  WHERE ic.cnt >= greatest(n.n_baskets // {ASSOC_ITEM_DENOM}, {ASSOC_ITEM_FLOOR})
+),
+fb AS (SELECT b.ok, b.item FROM b JOIN freq ON freq.item = b.item),
+pc AS (
+  SELECT a.item AS antecedent, c.item AS consequent, count(*) AS support_cnt
+  FROM fb a JOIN fb c ON a.ok = c.ok AND a.item <> c.item
+  GROUP BY 1, 2 HAVING count(*) >= {ASSOC_MIN_PAIR}
+)
+SELECT pc.antecedent, pc.consequent, pc.support_cnt,
+       CAST(pc.support_cnt AS DOUBLE) / CAST(fa.cnt AS DOUBLE) AS confidence,
+       CAST(pc.support_cnt * n.n_baskets AS DOUBLE) / CAST(fa.cnt * fc.cnt AS DOUBLE) AS lift
+FROM pc JOIN freq fa ON fa.item = pc.antecedent
+        JOIN freq fc ON fc.item = pc.consequent, n
+""",
+)
+def assoc_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (antecedent -> consequent over order
+    baskets) with support, confidence, and lift. The Apriori property does
+    the pruning: items below the corpus-relative support floor
+    (n_baskets/{ASSOC_ITEM_DENOM}, floor {ASSOC_ITEM_FLOOR}) are removed
+    BEFORE the basket self-join, so the pair-generation input shrinks with
+    the (Zipf) item tail rather than paying |basket|^2 over everything;
+    rules themselves need support >= {ASSOC_MIN_PAIR}. Confidence and lift
+    are each one IEEE division of exact integer counts — hash-identical
+    across engines.
+
+    Distinct from event_cooccurrence_lift (a 5-type event-pair contingency
+    table): this mines a ~|parts|-wide item catalog with Apriori pruning,
+    the actual basket-analysis shape.
+
+    Scale: basket dedup and item counts are map-side-combinable aggregates;
+    the only quadratic work is per-basket among FREQUENT items (the
+    self-join shuffles on orderkey, basket-local); giant baskets are the
+    skew risk and the item prefilter is exactly what bounds them. Count
+    fetches are key joins — nothing catalog-sized is broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")).distinct()
+    from ..io import track_persist
+
+    b = track_persist(b)
+    n_row = b.agg(F.countDistinct("ok").alias("n_baskets"))
+    ic = b.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    freq = track_persist(
+        ic.crossJoin(F.broadcast(n_row)).filter(
+            F.col("cnt")
+            >= F.greatest(
+                F.expr(f"n_baskets DIV {ASSOC_ITEM_DENOM}"),
+                F.lit(ASSOC_ITEM_FLOOR).cast("long"),
+            )
+        ).select("item", "cnt")
+    )
+    fb = b.join(freq.select("item"), "item").select("ok", "item")
+    pc = (
+        fb.select("ok", F.col("item").alias("antecedent"))
+        .join(fb.select("ok", F.col("item").alias("consequent")), "ok")
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("support_cnt"))
+        .filter(F.col("support_cnt") >= ASSOC_MIN_PAIR)
+    )
+    fa = freq.select(F.col("item").alias("antecedent"), F.col("cnt").alias("a_cnt"))
+    fc = freq.select(F.col("item").alias("consequent"), F.col("cnt").alias("c_cnt"))
+    return (
+        pc.join(fa, "antecedent")
+        .join(fc, "consequent")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "antecedent", "consequent", "support_cnt",
+            (F.col("support_cnt").cast("double") / F.col("a_cnt").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("support_cnt") * F.col("n_baskets")).cast("double")
+                / (F.col("a_cnt") * F.col("c_cnt")).cast("double")
+            ).alias("lift"),
+        )
+    )

@@ -35,7 +35,7 @@ from ..functions.vectors import (
     sign_bucket_band,
     sign_bucket_band_sql,
 )
-from ..io import fan_out, load_table, spread, track_checkpoint
+from ..io import fan_out, load_table, spread, track_checkpoint, track_persist
 from ..registry import register
 
 N_QUERIES = 5  # vec_id < 5 at every scale factor
@@ -1259,4 +1259,111 @@ def ann_hamming_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "hamming", "rnk", "cosine")
+    )
+
+
+# --- mutual nearest neighbors (bitext/paraphrase pair mining) -----------------------
+
+
+@register(
+    "mutual_nearest_lsh",
+    oracle=f"""
+WITH vb AS (
+  SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm
+  FROM embeddings
+),
+bands AS (
+  SELECT vb.*, t.tbl,
+         CASE t.tbl {" ".join(f"WHEN {t} THEN {sign_bucket_band_sql('embedding', t * ANN_LSH_BAND_BITS, ANN_LSH_BAND_BITS)}" for t in range(ANN_LSH_TABLES))} END AS bucket
+  FROM vb CROSS JOIN (SELECT unnest(range({ANN_LSH_TABLES})) AS tbl) t
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS a, c.vec_id AS b
+  FROM bands q JOIN bands c ON q.tbl = c.tbl AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT cand.a, cand.b,
+         {dot_fold_sql('x.embedding', 'y.embedding')} / (x.nrm * y.nrm) AS score
+  FROM cand JOIN vb x ON x.vec_id = cand.a JOIN vb y ON y.vec_id = cand.b
+),
+best AS (
+  SELECT a AS vec_id,
+         min(struct_pack(ns := -score, b := b)).b AS best_id,
+         max(score) AS best_score
+  FROM scored GROUP BY a
+)
+SELECT p.vec_id AS vec_a, p.best_id AS vec_b, p.best_score AS score
+FROM best p JOIN best q ON q.vec_id = p.best_id AND q.best_id = p.vec_id
+WHERE p.vec_id < p.best_id
+""",
+)
+def mutual_nearest_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-nearest-neighbor pair mining — the bitext/paraphrase-pair
+    recipe (CCMatrix-style, margin term dropped for determinism): every
+    vector finds its single best match within its multi-table sign-LSH
+    shortlist, and a pair is emitted only when the choice is RECIPROCAL.
+    Mutuality is the classic high-precision filter: a hub that is "best"
+    for many anchors keeps at most one of them (its own best), so the
+    output is a partial matching, not a hub star. Argmax ties break to the
+    smaller neighbor id via the (-score, id) struct-min; cosine is
+    symmetric at the bit level (same element order, commutative IEEE
+    multiplies), so both directions agree exactly and the mutual join is
+    hash-stable.
+
+    Scale: reuses the ann_cosine_topk_lsh band shape — ALL vectors are
+    queries here, so the slim (vec_id, table, bucket) self-equi-join and
+    the per-anchor argmax are each one shuffle; nothing corpus-sized is
+    ever broadcast (the embedding fetches are plain key joins). Shortlist
+    recall bounds pair recall: tools/lsh_frontier.py measures the (bits,
+    tables) frontier; the miner inherits whichever operating point the
+    table picks."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    v = track_persist(
+        emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    )
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    sign_bucket_band(
+                        "embedding", t * ANN_LSH_BAND_BITS, ANN_LSH_BAND_BITS
+                    ).alias("bucket"),
+                )
+                for t in range(ANN_LSH_TABLES)
+            ]
+        )
+    )
+    slim = v.select("vec_id", bands.alias("b")).select("vec_id", "b.tbl", "b.bucket")
+    cand = (
+        slim.select(F.col("vec_id").alias("a"), "tbl", "bucket")
+        .join(slim.select(F.col("vec_id").alias("b"), "tbl", "bucket"), ["tbl", "bucket"])
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    x = v.select(F.col("vec_id").alias("a"), F.col("embedding").alias("xe"), F.col("nrm").alias("xn"))
+    y = v.select(F.col("vec_id").alias("b"), F.col("embedding").alias("ye"), F.col("nrm").alias("yn"))
+    scored = (
+        fan_out(cand).join(x, "a")
+        .join(y, "b")
+        .select(
+            "a", "b",
+            (dot_fold(F.col("xe"), F.col("ye")) / (F.col("xn") * F.col("yn"))).alias("score"),
+        )
+    )
+    best = scored.groupBy("a").agg(
+        F.min(F.struct((-F.col("score")).alias("ns"), F.col("b").alias("b")))["b"].alias("best_id"),
+        F.max("score").alias("best_score"),
+    )
+    p = best.select(F.col("a").alias("vec_id"), "best_id", "best_score")
+    q = p.select(F.col("vec_id").alias("q_vec"), F.col("best_id").alias("q_best"))
+    return (
+        p.join(q, (p.best_id == q.q_vec) & (q.q_best == p.vec_id))
+        .filter(F.col("vec_id") < F.col("best_id"))
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("best_id").alias("vec_b"),
+            F.col("best_score").alias("score"),
+        )
     )

@@ -206,6 +206,21 @@ HEADLINE = (
     "attribution_last_touch",
     "sample_priority_weighted",
     "concat_chunk_sequences",
+    "feature_hash_vectorize",
+    "feature_quantile_binning",
+    "ts_autocorr_components",
+    "dedup_semdedup_prune",
+    # r7 second wave: incremental/graph/lakehouse/ER/IR widening
+    "dedup_incremental_batch",
+    "graph_label_propagation",
+    "graph_kcore",
+    "compaction_plan",
+    "pareto_frontier_parts",
+    "cdc_merge_apply",
+    "dedup_sorted_neighborhood",
+    "search_phrase_positions",
+    "mutual_nearest_lsh",
+    "assoc_rules_copurchase",
 )
 
 

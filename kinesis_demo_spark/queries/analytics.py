@@ -3129,7 +3129,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
-    from ..io import track_persist
+    from ..io import track_checkpoint, track_persist
 
     edges = track_persist(
         a.join(b, "k")
@@ -3147,12 +3147,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst", "lab")
             .agg(F.sum("w").alias("wv"))
         )
-        labels = track_persist(
+        # eager localCheckpoint: truncates lineage so the returned plan is
+        # one round deep over a checkpoint leaf, not LPA_ROUNDS joins of
+        # branching history (the dedup_clusters / pagerank discipline).
+        labels = track_checkpoint(
             votes.groupBy("dst")
             .agg(F.min(F.struct((-F.col("wv")).alias("nw"), F.col("lab").alias("l"))).alias("m"))
             .select(F.col("dst").alias("part"), F.col("m.l").alias("lab"))
         )
-        labels.count()  # materialize: the next round joins this, not its lineage
     sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("community_size"))
     return labels.join(sizes, "lab").select(
         "part", F.col("lab").alias("community"), "community_size"
@@ -3297,7 +3299,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     round — the classic batch-iterative shape shared with
     pagerank_copurchase. Peeling converges in O(degeneracy) rounds;
     production would loop to fixpoint with the same per-round plan."""
-    from ..io import track_persist
+    from ..io import track_checkpoint, track_persist
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
@@ -3321,12 +3323,15 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        alive = track_persist(
+        # eager localCheckpoint: each round's alive set references the
+        # previous round TWICE (both semi-join sides), so pure lineage grows
+        # exponentially in rounds — truncate it per round, same discipline
+        # as dedup_clusters / pagerank_copurchase.
+        alive = track_checkpoint(
             deg.crossJoin(F.broadcast(k_row))
             .filter(F.col("deg") >= F.col("k"))
             .select(F.col("src").alias("part"), "deg")
         )
-        alive.count()  # materialize: next round prunes against this, not lineage
     return alive.crossJoin(F.broadcast(k_row)).select(
         "part", F.col("deg").alias("core_degree"), F.col("k").cast("long").alias("k_threshold")
     )
@@ -3581,5 +3586,76 @@ def assoc_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("support_cnt") * F.col("n_baskets")).cast("double")
                 / (F.col("a_cnt") * F.col("c_cnt")).cast("double")
             ).alias("lift"),
+        )
+    )
+
+
+# --- Benford first-digit conformance (DQ screen for fabricated values) --------------
+
+# log10(1 + 1/d) in millionths, d = 1..9 — Benford's published constants as
+# integer literals (no libm call crosses an engine boundary).
+BENFORD_MILLIONTHS = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+
+@register(
+    "benford_first_digit_dq",
+    oracle=f"""
+WITH v AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+           AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+obs AS (SELECT digit, count(*) AS observed FROM v GROUP BY digit),
+tot AS (SELECT CAST(sum(observed) AS BIGINT) AS total FROM obs)
+SELECT obs.digit, obs.observed,
+       CAST(tot.total * ({list(BENFORD_MILLIONTHS)})[CAST(obs.digit AS INT)] // 1000000
+            AS BIGINT) AS expected,
+       CAST(obs.observed AS DOUBLE)
+         / CAST(tot.total * ({list(BENFORD_MILLIONTHS)})[CAST(obs.digit AS INT)] // 1000000
+                AS DOUBLE) AS obs_over_exp
+FROM obs, tot
+""",
+)
+def benford_first_digit_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit screen over order totals — the
+    classic forensic DQ check for fabricated or truncated numeric columns.
+    The digit is taken from the exact cents integer (price*100 as BIGINT,
+    then first character), so no float formatting is involved; expected
+    counts come from Benford's published log10(1+1/d) constants embedded as
+    integer millionths (total*const DIV 1e6) — no transcendental is ever
+    evaluated, keeping the report value-hash exact. obs_over_exp is the
+    single-division conformance ratio per digit (fixture prices are
+    uniform, so the report SHOWS non-conformance — that is the point of
+    the screen: it flags distributions that cannot be organic).
+
+    Scale: one map-side-combinable 9-key aggregate over the scan plus a
+    1-row total broadcast; the digit extraction is pushdown-friendly
+    column arithmetic."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    v = orders.select(
+        F.substring(
+            (F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        ).cast("long").alias("digit")
+    )
+    obs = v.groupBy("digit").agg(F.count(F.lit(1)).alias("observed"))
+    tot = obs.agg(F.sum("observed").cast("long").alias("total"))
+    millionths = F.element_at(
+        F.array(*[F.lit(m) for m in BENFORD_MILLIONTHS]), F.col("digit").cast("int")
+    )
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "observed",
+            F.expr(
+                f"CAST(total * element_at(array{BENFORD_MILLIONTHS}, CAST(digit AS INT)) "
+                f"DIV 1000000 AS BIGINT)"
+            ).alias("expected"),
+        )
+        .select(
+            "digit", "observed", "expected",
+            (F.col("observed").cast("double") / F.col("expected").cast("double")).alias(
+                "obs_over_exp"
+            ),
         )
     )

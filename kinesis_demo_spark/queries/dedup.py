@@ -2001,3 +2001,89 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "rank_gap", (inter.cast("double") / union).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+# --- cross-source contamination matrix ----------------------------------------------
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+{_MINHASH_CAND_CTES},
+verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cands c JOIN pairs p ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+  WHERE CAST(p.inter AS DOUBLE) / (p.na + p.nb - p.inter) >= {JACCARD_THRESHOLD}
+),
+tagged AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM verified v
+  JOIN documents da ON da.doc_id = v.doc_a
+  JOIN documents db ON db.doc_id = v.doc_b
+),
+n_src AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+SELECT t.source_a, t.source_b, count(*) AS n_dup_pairs,
+       any_value(na.n_docs) AS docs_a, any_value(nb.n_docs) AS docs_b,
+       CAST(count(*) AS DOUBLE) / CAST(any_value(na.n_docs) * any_value(nb.n_docs) AS DOUBLE)
+         AS pair_density
+FROM tagged t
+JOIN n_src na ON na.source = t.source_a
+JOIN n_src nb ON nb.source = t.source_b
+GROUP BY 1, 2
+""",
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix — the curation report that tells a
+    corpus owner WHERE its near-duplicates come from: every verified
+    MinHash/LSH near-dup pair is attributed to its (source_a, source_b)
+    bucket (unordered, via least/greatest so the matrix is upper-
+    triangular), with pair counts normalized by the source-pair's document
+    cross-size (one IEEE division of exact counts). Diagonal cells are
+    within-source redundancy; off-diagonal cells are mirror/scrape overlap
+    between feeds — the signal that drives source-level dedup ordering and
+    mixture-weight corrections.
+
+    Scale: reuses the dedup_minhash_lsh candidate plan unchanged (banded
+    signatures, bucket equi-join, exact verification); the attribution adds
+    two key joins against the slim (doc_id, source) projection and one
+    |sources|^2-bounded aggregate — nothing new shuffles at corpus scale."""
+    sh = _shingled(spark, sf_dir)
+    bands = track_persist(_minhash_bands(sh))
+    x = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+    y = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+    cands = (
+        x.join(y, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = _jaccard_verified(cands, sh, JACCARD_THRESHOLD).select("doc_a", "doc_b")
+    docs = _docs(spark, sf_dir)
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    tagged = (
+        verified.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+    )
+    n_src = docs.groupBy(F.col("source")).agg(F.count(F.lit(1)).alias("n_docs"))
+    na = n_src.select(F.col("source").alias("source_a"), F.col("n_docs").alias("docs_a"))
+    nb = n_src.select(F.col("source").alias("source_b"), F.col("n_docs").alias("docs_b"))
+    return (
+        tagged.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        .join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a", "source_b", "n_dup_pairs", "docs_a", "docs_b",
+            (
+                F.col("n_dup_pairs").cast("double")
+                / (F.col("docs_a") * F.col("docs_b")).cast("double")
+            ).alias("pair_density"),
+        )
+    )

@@ -994,3 +994,231 @@ def search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_occurrences"),
         F.min("start_pos").cast("long").alias("first_pos"),
     )
+
+
+# --- vocabulary coverage curve (tokenizer sizing) -----------------------------------
+
+COVERAGE_TARGETS = (50, 90, 99)
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+vc AS (SELECT token, count(*) AS cnt FROM tok WHERE token <> '' GROUP BY token),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_types FROM vc),
+c AS (
+  SELECT cnt,
+         CAST(sum(cnt) OVER (ORDER BY cnt DESC, token ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+  FROM vc
+),
+t AS (SELECT unnest({list(COVERAGE_TARGETS)}) AS pct)
+SELECT t.pct,
+       min(struct_pack(r := c.rnk, m := c.cum)).r AS n_types_needed,
+       min(struct_pack(r := c.rnk, m := c.cum)).m AS mass_covered,
+       any_value(tot.total) AS total_tokens,
+       any_value(tot.n_types) AS n_types
+FROM c, tot, t
+WHERE c.cum * 100 >= tot.total * t.pct
+GROUP BY t.pct
+""",
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-sizing question: how many
+    of the most frequent types cover {COVERAGE_TARGETS}% of the corpus's
+    token mass? For each target the smallest head size whose cumulative
+    frequency reaches it (integer cross-multiplication cum*100 >=
+    total*pct, so no float rank is ever computed; the argmin ties to the
+    deterministic (cnt desc, token) vocabulary order).
+
+    Scale: the cumulative scan runs over the VOCABULARY histogram, not the
+    token stream — the feature_quantile_binning justification: |types| is
+    orders of magnitude below |tokens| and Zipf-bounded, so the single
+    ordered window over it is deliberate; the token-scale work is one
+    map-side-combinable count. Each row then checks all
+    {len(COVERAGE_TARGETS)} targets via a tiny explode and one argmin
+    aggregate — no per-target rescan."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    vc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vc.agg(F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_types"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    c = vc.select(
+        "cnt",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(w).cast("long").alias("rnk"),
+    )
+    t = F.explode(F.array(*[F.lit(p) for p in COVERAGE_TARGETS])).alias("pct")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select("cnt", "cum", "rnk", "total", "n_types", t)
+        .filter(F.col("cum") * 100 >= F.col("total") * F.col("pct"))
+        .groupBy("pct")
+        .agg(
+            F.min(F.struct(F.col("rnk").alias("r"), F.col("cum").alias("m")))["r"].alias(
+                "n_types_needed"
+            ),
+            F.min(F.struct(F.col("rnk").alias("r"), F.col("cum").alias("m")))["m"].alias(
+                "mass_covered"
+            ),
+            F.first("total").alias("total_tokens"),
+            F.first("n_types").alias("n_types"),
+        )
+    )
+
+
+# --- skip-gram (center, context) pair extraction ------------------------------------
+
+SKIPGRAM_WINDOW = 2       # context window ±2
+SKIPGRAM_PAIR_DENOM = 2000  # keep pairs with count >= total_pairs/2000 (floor 2)
+
+
+@register(
+    "skipgram_pair_counts",
+    oracle=f"""
+WITH w AS (
+  SELECT string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS n
+  FROM documents
+),
+p AS (
+  SELECT unnest(
+    list_transform(range(1, n), i -> struct_pack(c := ws[i], x := ws[i+1]))
+    || list_transform(range(1, n), i -> struct_pack(c := ws[i+1], x := ws[i]))
+    || list_transform(range(1, n-1), i -> struct_pack(c := ws[i], x := ws[i+2]))
+    || list_transform(range(1, n-1), i -> struct_pack(c := ws[i+2], x := ws[i]))
+  ) AS pr
+  FROM w
+),
+pc AS (SELECT pr.c AS center, pr.x AS context, count(*) AS cnt FROM p GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM pc)
+SELECT pc.center, pc.context, pc.cnt
+FROM pc, tot
+WHERE pc.cnt >= greatest(tot.total // {SKIPGRAM_PAIR_DENOM}, 2)
+""",
+)
+def skipgram_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pair counts within a ±{SKIPGRAM_WINDOW}
+    token window — the co-occurrence statistics word2vec/GloVe-style
+    embedding training consumes. Pairs are emitted JOIN-FREE from the token
+    array itself: for each offset d in 1..{SKIPGRAM_WINDOW}, zip the array
+    against its d-shifted slice (the shingles_col zip-shift idiom) and emit
+    both orientations; the tail pair table is pruned with a corpus-relative
+    support floor (total_pairs/{SKIPGRAM_PAIR_DENOM}, floor 2).
+
+    Scale: per-row array work plus ONE map-side-combinable (center,
+    context) count — no positional self-join, no shuffle besides the final
+    aggregate (and the 1-row total broadcast). Zipf head pairs are heavy
+    keys only at the partial-aggregate level, where map-side combine has
+    already collapsed them per task."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws)
+
+    def shifted_pairs(d: int):
+        fwd = F.slice(
+            F.zip_with(
+                ws, F.slice(ws, d + 1, n),
+                lambda a, b: F.struct(a.alias("c"), b.alias("x")),
+            ),
+            1,
+            n - d,
+        )
+        bwd = F.slice(
+            F.zip_with(
+                ws, F.slice(ws, d + 1, n),
+                lambda a, b: F.struct(b.alias("c"), a.alias("x")),
+            ),
+            1,
+            n - d,
+        )
+        return [fwd, bwd]
+
+    arrays = []
+    for d in range(1, SKIPGRAM_WINDOW + 1):
+        arrays.extend(shifted_pairs(d))
+    p = (
+        spread(docs)
+        .select(F.explode(F.concat(*arrays)).alias("pr"))
+        .filter(F.col("pr").isNotNull())
+    )
+    pc = p.groupBy(
+        F.col("pr.c").alias("center"), F.col("pr.x").alias("context")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = pc.agg(F.sum("cnt").alias("total"))
+    return (
+        pc.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("cnt")
+            >= F.greatest(
+                F.expr(f"total DIV {SKIPGRAM_PAIR_DENOM}"), F.lit(2).cast("long")
+            )
+        )
+        .select("center", "context", "cnt")
+    )
+
+
+# --- intra-document repeated n-gram spans (de-repetition planning) ------------------
+
+INTRADOC_MIN_REPEATS = 2
+
+
+@register(
+    "text_intradoc_repeats",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS n
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, n - 1),
+                i -> struct_pack(s := ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2],
+                                 p := CAST(i - 1 AS BIGINT)))) AS r
+  FROM t WHERE n >= 3
+)
+SELECT doc_id, r.s AS shingle,
+       count(*) AS n_repeats,
+       min(r.p) AS first_pos,
+       max(r.p) AS last_pos
+FROM g GROUP BY doc_id, r.s
+HAVING count(*) >= {INTRADOC_MIN_REPEATS}
+""",
+)
+def text_intradoc_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated 3-gram spans — the de-repetition cleaning
+    step (strip looped boilerplate, stuttering generation, nav-bar echoes)
+    that the CROSS-document dedup family deliberately ignores: for each
+    document, every 3-gram occurring >= {INTRADOC_MIN_REPEATS} times with
+    its occurrence count and first/last token positions, i.e. the edit plan
+    a cleaner applies. Complements text_repetition_score (a scalar quality
+    feature) by materializing WHICH spans repeat and WHERE.
+
+    Scale: 3-grams come from the same zip-shift array idiom as
+    shingles_col — per-row work only — and the aggregate is keyed
+    (doc_id, shingle), so it is map-side-combinable and perfectly
+    partition-local after the one shuffle; no joins at all."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws)
+    pairs = F.zip_with(ws, F.slice(ws, 2, n), lambda a, b: F.concat(a, F.lit(" "), b))
+    trips = F.zip_with(pairs, F.slice(ws, 3, n), lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = F.when(n >= 3, F.slice(trips, 1, n - 2)).otherwise(
+        F.array().cast("array<string>")
+    )
+    g = spread(docs).select(
+        "doc_id", F.posexplode(grams).alias("pos", "shingle")
+    )
+    return (
+        g.groupBy("doc_id", "shingle")
+        .agg(
+            F.count(F.lit(1)).alias("n_repeats"),
+            F.min("pos").cast("long").alias("first_pos"),
+            F.max("pos").cast("long").alias("last_pos"),
+        )
+        .filter(F.col("n_repeats") >= INTRADOC_MIN_REPEATS)
+    )

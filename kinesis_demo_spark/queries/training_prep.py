@@ -664,3 +664,110 @@ def concat_chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("doc_id", "start_tok").alias("first_doc"),
         F.max_by("doc_id", "start_tok").alias("last_doc"),
     )
+
+
+# --- T5-style span-corruption planning ---------------------------------------------
+
+SPAN_LEN = 3        # corruption span length (tokens)
+SPAN_START_MOD = 20 # ~5% of positions start a span => ~15% of tokens masked
+
+
+def _span_start_sql(pos_expr: str) -> str:
+    key = (
+        "CAST(doc_id AS VARCHAR) || '|' || CAST(" + pos_expr + " AS VARCHAR)"
+    )
+    return f"({pos_expr}) >= 0 AND {h60_sql(key)} % {SPAN_START_MOD} = 0"
+
+
+@register(
+    "span_corruption_plan",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n,
+         unnest(range(0, len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+flags AS (
+  SELECT doc_id, n, pos,
+         ({_span_start_sql('pos')}) AS m0,
+         ({_span_start_sql('pos - 1')}) AS m1,
+         ({_span_start_sql('pos - 2')}) AS m2
+  FROM toks
+),
+marked AS (
+  SELECT doc_id, n, pos,
+         (m0 OR m1 OR m2) AS masked,
+         -- run start: masked here, not masked at pos-1 (pos-1 masked iff a
+         -- span starts at pos-1, pos-2, or pos-3)
+         ((m0 OR m1 OR m2) AND NOT (m1 OR m2 OR ({_span_start_sql('pos - 3')}))) AS run_start
+  FROM flags
+)
+SELECT doc_id,
+       any_value(n) AS n_tokens,
+       count(*) FILTER (masked) AS n_masked,
+       count(*) FILTER (run_start) AS n_spans,
+       CAST(any_value(n) - count(*) FILTER (masked) + count(*) FILTER (run_start) AS BIGINT)
+         AS input_len,
+       CAST(count(*) FILTER (masked) + count(*) FILTER (run_start) AS BIGINT) AS target_len,
+       min(CASE WHEN run_start THEN pos END) AS first_span_start,
+       CAST(count(*) FILTER (masked) AS DOUBLE) / any_value(n) AS masked_frac
+FROM marked GROUP BY doc_id
+""",
+)
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption planning (Raffel et al. 2020): ~15% of each
+    document's tokens are masked in spans of {SPAN_LEN}, spans replaced by
+    one sentinel each — this computes, per document, the exact mask layout
+    a denoising-objective data loader materializes: token/mask/span counts,
+    encoder input length (kept tokens + one sentinel per span), decoder
+    target length (masked tokens + sentinels), and the first span position.
+
+    Span starts are HASH-SCHEDULED, not sampled: position p starts a span
+    iff h60(doc_id|p) % {SPAN_START_MOD} == 0, so the corruption plan is
+    reproducible across epochs, engines, and reshards (the split-
+    determinism recipe shared with split_train_val_test). The key plan
+    property: a token's masked state is a PURE LOCAL function of (doc, pos)
+    — masked iff a span starts at p, p-1, or p-2; a run starts where it is
+    masked but p-1 is not — so there is NO window, NO self-join, and no
+    per-doc sort anywhere: one projection of 4 hash evaluations per token
+    and one map-side-combinable aggregate. At 100 TB this is the ideal
+    shape — embarrassingly parallel over token shards, single shuffle on
+    doc_id."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = spread(docs).select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n"),
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+
+    def start_at(off: int):
+        p = F.col("pos") - off
+        key = F.concat(
+            F.col("doc_id").cast("string"), F.lit("|"), p.cast("string")
+        )
+        return (p >= 0) & (h60(key) % SPAN_START_MOD == 0)
+
+    m0, m1, m2, m3 = start_at(0), start_at(1), start_at(2), start_at(3)
+    masked = m0 | m1 | m2
+    run_start = masked & ~(m1 | m2 | m3)
+    marked = toks.select(
+        "doc_id", "n", "pos", masked.alias("masked"), run_start.alias("run_start")
+    )
+    agg = marked.groupBy("doc_id").agg(
+        F.first("n").alias("n_tokens"),
+        F.count_if("masked").alias("n_masked"),
+        F.count_if("run_start").alias("n_spans"),
+        F.min(F.when(F.col("run_start"), F.col("pos"))).alias("first_span_start"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_masked",
+        "n_spans",
+        (F.col("n_tokens") - F.col("n_masked") + F.col("n_spans"))
+        .cast("long")
+        .alias("input_len"),
+        (F.col("n_masked") + F.col("n_spans")).cast("long").alias("target_len"),
+        "first_span_start",
+        (F.col("n_masked").cast("double") / F.col("n_tokens")).alias("masked_frac"),
+    )

@@ -1367,3 +1367,82 @@ def mutual_nearest_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best_score").alias("score"),
         )
     )
+
+
+# --- in-engine ANN recall report (approx-vs-exact as a query) -----------------------
+
+
+@register(
+    "ann_recall_report",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm
+  FROM embeddings
+),
+ex_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {dot_fold_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS score
+  FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+),
+ex_ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+  FROM ex_scored
+),
+bands AS (
+  SELECT v.*, t.tbl,
+         CASE t.tbl {" ".join(f"WHEN {t} THEN {sign_bucket_band_sql('embedding', t * ANN_LSH_BAND_BITS, ANN_LSH_BAND_BITS)}" for t in range(ANN_LSH_TABLES))} END AS bucket
+  FROM v CROSS JOIN (SELECT unnest(range({ANN_LSH_TABLES})) AS tbl) t
+),
+lsh_scored AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {dot_fold_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS score
+  FROM bands q JOIN bands c
+    ON q.tbl = c.tbl AND q.bucket = c.bucket
+   AND q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+),
+lsh_ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+  FROM lsh_scored
+)
+SELECT e.query_id,
+       count(l.neighbor_id) AS n_hits,
+       CAST({TOP_K} AS BIGINT) AS k,
+       CAST(count(l.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM ex_ranked e
+LEFT JOIN lsh_ranked l
+  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id AND l.rnk <= {TOP_K}
+WHERE e.rnk <= {TOP_K}
+GROUP BY e.query_id
+""",
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the sign-LSH ANN against the exact baseline, AS A
+    REGISTERED QUERY: per query, how many of the true top-{TOP_K} neighbors
+    the approximate index returned. tools/approx_quality.py measures this
+    offline; putting it on the engine surface makes index-quality
+    monitoring part of the nightly pipeline itself (the number a production
+    ANN deployment alerts on), and the DuckDB oracle re-derives BOTH
+    pipelines independently, so the report is value-hash checked end to
+    end.
+
+    Scale: composes the two existing plans (broadcast-query exact scan —
+    the labeled O(n·q) yardstick over a fixed query panel — and the banded
+    LSH shortlist) plus one {N_QUERIES}x{TOP_K}-row outer join; the
+    reporting overhead is negligible next to the index build it audits."""
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_cosine_topk_lsh(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.lit(TOP_K).cast("long").alias("k"),
+            (F.col("n_hits").cast("double") / TOP_K).alias("recall_at_k"),
+        )
+    )

@@ -1222,3 +1222,83 @@ def text_intradoc_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_repeats") >= INTRADOC_MIN_REPEATS)
     )
+
+
+# --- chunk-reassembly roundtrip (chunker contract verification) ---------------------
+
+
+@register(
+    "chunk_reassembly_roundtrip",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, (length(text) - 1) // {CHUNK_STRIDE})) AS i
+  FROM documents WHERE length(text) > 0
+),
+c AS (
+  SELECT doc_id, text, i,
+         substr(substr(text, CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT), {CHUNK_CHARS}),
+                1, {CHUNK_STRIDE}) AS piece
+  FROM g
+),
+r AS (
+  SELECT doc_id, any_value(text) AS text, count(*) AS n_chunks,
+         string_agg(piece, '' ORDER BY i) AS reassembled
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(length(text) AS BIGINT) AS orig_chars,
+       (reassembled = text) AS roundtrip_ok
+FROM r
+""",
+)
+def chunk_reassembly_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunker CONTRACT check as a query: reassemble every document from its
+    overlapping chunks (each chunk's non-overlap prefix of {CHUNK_STRIDE}
+    chars, concatenated in chunk order) and compare byte-for-byte with the
+    original. The grid guarantees the last chunk's prefix is <=
+    {CHUNK_STRIDE} chars (the last stride start is <= length-1), so the
+    prefix concatenation is lossless by construction — this query PROVES it
+    per document, per corpus, the invariant a RAG/packing pipeline silently
+    depends on after any chunker change.
+
+    Scale: chunking is scan-parallel arithmetic; reassembly is one
+    (doc_id)-keyed aggregate whose per-group state is the document itself —
+    bounded by max doc size exactly like the chunker's input row. A false
+    row anywhere means boundary loss; the oracle recomputes the roundtrip
+    independently, so an off-by-one in EITHER engine's substring math fails
+    the hash."""
+    d = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    c = d.select(
+        "doc_id",
+        "text",
+        F.posexplode(
+            F.expr(f"sequence(0, CAST((length(text) - 1) DIV {CHUNK_STRIDE} AS INT))")
+        ).alias("p", "i"),
+    ).select(
+        "doc_id",
+        "text",
+        "i",
+        F.expr(
+            f"substring(substring(text, i * {CHUNK_STRIDE} + 1, {CHUNK_CHARS}), 1, {CHUNK_STRIDE})"
+        ).alias("piece"),
+    )
+    r = c.groupBy("doc_id").agg(
+        F.first("text").alias("text"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("i").alias("i"), F.col("piece").alias("s")))
+                ),
+                lambda x: x["s"],
+            ),
+            "",
+        ).alias("reassembled"),
+    )
+    return r.select(
+        "doc_id",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.length("text").cast("long").alias("orig_chars"),
+        (F.col("reassembled") == F.col("text")).alias("roundtrip_ok"),
+    )

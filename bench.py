@@ -221,6 +221,14 @@ HEADLINE = (
     "search_phrase_positions",
     "mutual_nearest_lsh",
     "assoc_rules_copurchase",
+    "span_corruption_plan",
+    "skipgram_pair_counts",
+    "vocab_coverage_curve",
+    "dedup_cross_source_matrix",
+    "benford_first_digit_dq",
+    "text_intradoc_repeats",
+    "chunk_reassembly_roundtrip",
+    "ann_recall_report",
 )
 
 

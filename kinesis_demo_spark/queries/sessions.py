@@ -120,3 +120,31 @@ def sessionize_builtin_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "session_end", "n_events", "sum_value")
     )
+
+
+@register(
+    "streaming_session_windows",
+    oracle=f"""
+WITH {_SESSIONS_CTE}
+SELECT user_id, session_start, session_end, n_events, sum_value
+FROM sessions
+""",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` under a watermark in STREAMING append mode,
+    drained over the staged fixture and value-hash compared against the
+    batch sessions oracle — the MERGING-state surface the tumbling/hopping
+    drains cannot exercise (session state has no fixed window key; in-
+    watermark events fuse open sessions, and a session emits only when the
+    watermark proves nothing can extend it). Completes the four-way session
+    differential: window-function batch, session_window batch, custom
+    stateful streaming, and now native streaming. Same >=/>-boundary fine
+    print as sessionize_builtin_window — divergence needs a gap within 1 ms
+    of exactly 24 h, probed absent at all fixture scales. Drain mechanics
+    (sentinel watermark push, post-drain filter) are harness, documented at
+    streaming/pipeline.py::run_stream_session_windows; the aggregation plan
+    is the production shape with per-open-session state evicted at the
+    watermark."""
+    from ..streaming.pipeline import run_stream_session_windows
+
+    return run_stream_session_windows(spark, sf_dir)

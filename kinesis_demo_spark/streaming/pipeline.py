@@ -578,31 +578,23 @@ def run_foreach_batch_upsert(
     return spark.read.parquet(out_dir).select("user_id", "window_start", "cnt", "sum_value")
 
 
-def run_stream_outer_join(spark: SparkSession, sf_dir: str, name: str | None = None) -> DataFrame:
-    """Watermarked stream-stream LEFT OUTER interval join — the state shape
-    the inner join (run_stream_stream_join) doesn't cover: an unmatched left
-    row may only emit once the watermark proves no counterpart can still
-    arrive, so the join buffers left rows PAST their interval and the
-    null-padded results trail the data by the watermark delay.
-
-    A finite fixture drain exposes the real-world subtlety: rows inside the
-    terminal watermark of the LAST event never flush (the watermark never
-    advances once the stream ends). Production streams never end; a bounded
-    drain needs a watermark push. The fixture is therefore STAGED into a
-    scratch dir plus one far-future sentinel file (user_id -1, +1 h, one
-    row per side); ``maxFilesPerTrigger=1`` puts the sentinel in a later
-    micro-batch, its batch-end watermark covers every real row, and the
-    trailing no-data batch availableNow runs (noDataMicroBatches, on by
-    default) performs the final eviction — verified complete at both
-    fixture scales. Staging is pure pyarrow (footer-stats max, no scan, no
-    Spark write jobs). Sentinel rows are filtered from the DRAINED table —
-    deliberately NOT inside the streaming plan, where predicate pushdown
-    drags the filter through the outer join into the shared source scan
-    and silently starves the watermark (observed: 209/210 rows, sentinel
-    batches reading 0 input rows). The drained output equals the batch
-    left-outer range join EXACTLY, which the registered oracle checks; the
-    staging is drain harness, not the operator — the join plan itself is
-    the production shape with bounded state on both sides."""
+def _stage_events_with_sentinel(
+    spark: SparkSession, sf_dir: str, offset_hours: int, event_types: tuple[str, ...]
+) -> str:
+    """Stage the events fixture into a scratch dir plus ONE far-future
+    sentinel file (user_id -1, max(ts) + offset_hours, one row per
+    requested event_type) — the bounded-drain watermark push shared by the
+    outer-join and session-window drains. A finite fixture's watermark
+    never advances past its last event, so state held at stream end never
+    flushes; the sentinel's later micro-batch (maxFilesPerTrigger=1 puts it
+    there) advances the batch-end watermark past every real row and the
+    trailing no-data batch performs the final eviction. offset_hours must
+    exceed the query's state horizon (interval + delay for joins; gap +
+    delay for session windows). Staging is pure pyarrow — footer-stats max,
+    no scan, no Spark jobs. Callers filter sentinel rows from the DRAINED
+    table, never inside the streaming plan (pushdown would drag the filter
+    into the shared source scan and starve the watermark — observed), and
+    own the returned dir's cleanup."""
     import datetime as dt
     import os
     import shutil
@@ -612,8 +604,7 @@ def run_stream_outer_join(spark: SparkSession, sf_dir: str, name: str | None = N
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    name = name or "stream_outer_" + re.sub(r"[^0-9a-zA-Z]", "_", sf_dir).strip("_")
-    stage = tempfile.mkdtemp(prefix="outer_join_stage_")
+    stage = tempfile.mkdtemp(prefix="sentinel_stage_")
     src = os.path.join(sf_dir, "events.parquet")
     shutil.copyfile(src, os.path.join(stage, "a_events.parquet"))
     # FileStreamSource orders batches by mtime AND drops files older than
@@ -639,20 +630,110 @@ def run_stream_outer_join(spark: SparkSession, sf_dir: str, name: str | None = N
             .m
         )
         mx = dt.datetime.utcfromtimestamp(mx_us / 1_000_000)
-    sentinel_ts = mx + dt.timedelta(hours=1)
+    sentinel_ts = mx + dt.timedelta(hours=offset_hours)
+    k = len(event_types)
     tbl = pa.table(
         {
-            "event_id": pa.array([-1, -2], type=sch.field("event_id").type),
-            "ts": pa.array([sentinel_ts, sentinel_ts], type=sch.field("ts").type),
-            "user_id": pa.array([-1, -1], type=sch.field("user_id").type),
-            "event_type": pa.array(["click", "view"], type=sch.field("event_type").type),
-            "value": pa.array([-1.0, -1.0], type=sch.field("value").type),
-            "props": pa.array(["{}", "{}"], type=sch.field("props").type),
+            "event_id": pa.array([-1 - i for i in range(k)], type=sch.field("event_id").type),
+            "ts": pa.array([sentinel_ts] * k, type=sch.field("ts").type),
+            "user_id": pa.array([-1] * k, type=sch.field("user_id").type),
+            "event_type": pa.array(list(event_types), type=sch.field("event_type").type),
+            "value": pa.array([-1.0] * k, type=sch.field("value").type),
+            "props": pa.array(["{}"] * k, type=sch.field("props").type),
         }
     )
     sp = os.path.join(stage, "z_sentinel.parquet")
     pq.write_table(tbl, sp)
     os.utime(sp, (now - 100, now - 100))
+    return stage
+
+
+def run_stream_session_windows(
+    spark: SparkSession, sf_dir: str, name: str | None = None
+) -> DataFrame:
+    """Native ``session_window`` aggregation under a watermark in APPEND
+    mode — the MERGING-state streaming surface the tumbling/hopping drains
+    cannot exercise: session state is not keyed by a fixed window start; a
+    late-but-in-watermark event can FUSE two open sessions, and a session
+    only finalizes once the watermark proves no event can extend it
+    (watermark > session_end + gap). Drained over the staged fixture with a
+    sentinel {_SESSION_SENTINEL_HOURS} h past the last event — strictly
+    beyond the 24 h gap + 1 min delay horizon — so every real session
+    evicts; the drained table then equals the batch session_window result,
+    which the registered oracle re-derives independently. At 100 TB this is
+    the production shape verbatim: state per OPEN session only, evicted at
+    the watermark."""
+    name = name or "stream_sess_win_" + re.sub(r"[^0-9a-zA-Z]", "_", sf_dir).strip("_")
+    import shutil
+
+    stage = _stage_events_with_sentinel(
+        spark, sf_dir, _SESSION_SENTINEL_HOURS, ("click",)
+    )
+    ev = stream_events(spark, stage, max_files_per_trigger=1, glob="*.parquet")
+    agg = (
+        ev.withWatermark("ts", "1 minute")
+        .groupBy("user_id", F.session_window("ts", "24 hours").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    )
+    with _drain_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(name).filter(F.col("user_id") >= 0)  # drop sentinels
+
+
+# sentinel offset for the session drain: must clear gap (24 h) + watermark
+# delay (1 min); 26 h leaves margin without tripping maxFileAge pruning
+_SESSION_SENTINEL_HOURS = 26
+
+
+def run_stream_outer_join(spark: SparkSession, sf_dir: str, name: str | None = None) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join — the state shape
+    the inner join (run_stream_stream_join) doesn't cover: an unmatched left
+    row may only emit once the watermark proves no counterpart can still
+    arrive, so the join buffers left rows PAST their interval and the
+    null-padded results trail the data by the watermark delay.
+
+    A finite fixture drain exposes the real-world subtlety: rows inside the
+    terminal watermark of the LAST event never flush (the watermark never
+    advances once the stream ends). Production streams never end; a bounded
+    drain needs a watermark push. The fixture is therefore STAGED into a
+    scratch dir plus one far-future sentinel file (user_id -1, +1 h, one
+    row per side); ``maxFilesPerTrigger=1`` puts the sentinel in a later
+    micro-batch, its batch-end watermark covers every real row, and the
+    trailing no-data batch availableNow runs (noDataMicroBatches, on by
+    default) performs the final eviction — verified complete at both
+    fixture scales. Staging is pure pyarrow (footer-stats max, no scan, no
+    Spark write jobs). Sentinel rows are filtered from the DRAINED table —
+    deliberately NOT inside the streaming plan, where predicate pushdown
+    drags the filter through the outer join into the shared source scan
+    and silently starves the watermark (observed: 209/210 rows, sentinel
+    batches reading 0 input rows). The drained output equals the batch
+    left-outer range join EXACTLY, which the registered oracle checks; the
+    staging is drain harness, not the operator — the join plan itself is
+    the production shape with bounded state on both sides."""
+    import shutil
+
+    name = name or "stream_outer_" + re.sub(r"[^0-9a-zA-Z]", "_", sf_dir).strip("_")
+    # staging shared with run_stream_session_windows: fixture + one
+    # far-future sentinel file (click & view rows, +1 h) in a later
+    # micro-batch; see _stage_events_with_sentinel for the mechanism.
+    stage = _stage_events_with_sentinel(spark, sf_dir, 1, ("click", "view"))
 
     ev = stream_events(spark, stage, max_files_per_trigger=1, glob="*.parquet")
     clicks = (

@@ -229,6 +229,8 @@ HEADLINE = (
     "text_intradoc_repeats",
     "chunk_reassembly_roundtrip",
     "ann_recall_report",
+    "streaming_session_windows",
+    "prefix_cache_grouping",
 )
 
 

@@ -771,3 +771,89 @@ def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_span_start",
         (F.col("n_masked").cast("double") / F.col("n_tokens")).alias("masked_frac"),
     )
+
+
+# --- prefix-cache batch grouping (inference-serving data prep) ----------------------
+
+PREFIX_BUCKET_TOKENS = 2  # coarse bucket: first 2 tokens route to a group
+
+
+@register(
+    "prefix_cache_grouping",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS n
+  FROM documents WHERE text <> ''
+),
+b AS (
+  SELECT doc_id, ws, n,
+         array_to_string(ws[1:{PREFIX_BUCKET_TOKENS}], ' ') AS bucket
+  FROM t WHERE n >= {PREFIX_BUCKET_TOKENS}
+),
+g AS (
+  SELECT bucket, count(*) AS n_docs,
+         min(ws) AS lo, max(ws) AS hi, min(n) AS min_tokens
+  FROM b GROUP BY bucket HAVING count(*) >= 2
+),
+l AS (
+  SELECT bucket, n_docs, min_tokens,
+         coalesce(list_position(list_transform(range(1, least(len(lo), len(hi)) + 1),
+                                               i -> lo[i] = hi[i]), false) - 1,
+                  least(len(lo), len(hi))) AS lcp_tokens
+  FROM g
+)
+SELECT bucket, n_docs, CAST(lcp_tokens AS BIGINT) AS lcp_tokens,
+       CAST((n_docs - 1) * lcp_tokens AS BIGINT) AS tokens_saved
+FROM l
+""",
+)
+def prefix_cache_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-cache batch planning — the vLLM/SGLang-era serving prep: group
+    prompts that SHARE a token prefix so the KV cache computes the prefix
+    once per group. Docs route to a coarse bucket (first
+    {PREFIX_BUCKET_TOKENS} tokens); per bucket the report gives the exact
+    longest common token prefix of ALL members and the KV tokens saved
+    ((n_docs - 1) * lcp).
+
+    The LCP of a whole group is computed WITHOUT pairwise comparisons: the
+    common prefix of a set equals the common prefix of its lexicographic
+    MIN and MAX members (any divergence inside the set separates min from
+    max at or before that token), so the aggregate carries two token
+    arrays per group and one zip-compare finds the first mismatch.
+
+    Scale: one (bucket)-keyed aggregate with map-side combine carrying
+    min/max arrays — no self-join, no window; Zipf-heavy buckets cost only
+    their two representative arrays at the reducer."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    ws = F.split(F.col("text"), " ")
+    b = docs.select(
+        "doc_id",
+        ws.alias("ws"),
+        F.size(ws).alias("n"),
+        F.array_join(F.slice(ws, 1, PREFIX_BUCKET_TOKENS), " ").alias("bucket"),
+    ).filter(F.col("n") >= PREFIX_BUCKET_TOKENS)
+    g = (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("ws").alias("lo"),
+            F.max("ws").alias("hi"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    eqs = F.zip_with(
+        F.slice(F.col("lo"), 1, F.least(F.size("lo"), F.size("hi"))),
+        F.slice(F.col("hi"), 1, F.least(F.size("lo"), F.size("hi"))),
+        lambda a, b_: a == b_,
+    )
+    lcp = F.coalesce(
+        F.array_position(eqs, False) - 1,
+        F.least(F.size("lo"), F.size("hi")).cast("long"),
+    )
+    return g.select(
+        "bucket",
+        "n_docs",
+        lcp.cast("long").alias("lcp_tokens"),
+        ((F.col("n_docs") - 1) * lcp).cast("long").alias("tokens_saved"),
+    )

@@ -140,7 +140,16 @@ PRIORITY_ORDER = (
     # dedup_rate_by_source, ab_test_stats, attribution_last_touch,
     # sample_priority_weighted, concat_chunk_sequences,
     # feature_hash_vectorize, feature_quantile_binning,
-    # ts_autocorr_components, dedup_semdedup_prune. The unigram
+    # ts_autocorr_components, dedup_semdedup_prune; plus the r7 third
+    # (continuation) wave — dedup_incremental_batch,
+    # graph_label_propagation, graph_kcore, compaction_plan,
+    # pareto_frontier_parts, cdc_merge_apply, dedup_sorted_neighborhood,
+    # search_phrase_positions, mutual_nearest_lsh, assoc_rules_copurchase,
+    # span_corruption_plan, skipgram_pair_counts, vocab_coverage_curve,
+    # dedup_cross_source_matrix, benford_first_digit_dq,
+    # text_intradoc_repeats, chunk_reassembly_roundtrip, ann_recall_report,
+    # streaming_session_windows, prefix_cache_grouping — all hostile-session
+    # verified at sf0.01 AND sf0.1. The unigram
     # tokenizer pair is rows-only by necessity (EM/Viterbi;
     # independent-reference differential in tests/test_tokenizer.py) —
     # never cap slots.

@@ -76,6 +76,27 @@ PROBES = (
     "graph_triangle_clustering",      # degree-ordered wedge enumeration
     "dedup_rate_by_source",           # pair-list audit over the Jaccard pipeline
     "concat_chunk_sequences",         # two-level prefix sum + span explode
+    # r7 third wave: incremental/graph/lakehouse/ER/IR/training-prep widening
+    "dedup_incremental_batch",        # delta x base band join
+    "graph_label_propagation",        # per-round vote join + argmax (checkpointed)
+    "graph_kcore",                    # per-round semi-join peel (checkpointed)
+    "compaction_plan",                # inventory bin-pack over metadata rows
+    "pareto_frontier_parts",          # two-level running-max skyline
+    "cdc_merge_apply",                # struct-max snapshots + full outer merge
+    "dedup_sorted_neighborhood",      # range-sharded rank + band join + verify
+    "search_phrase_positions",        # token-pruned positional postings chain
+    "mutual_nearest_lsh",             # all-queries band join + mutual argmax
+    "assoc_rules_copurchase",         # Apriori-pruned basket self-join
+    "span_corruption_plan",           # 4-hash local mask + doc agg
+    "skipgram_pair_counts",           # zip-shift pair explode + count
+    "vocab_coverage_curve",           # vocab histogram prefix scan
+    "dedup_cross_source_matrix",      # LSH pipeline + source attribution
+    "text_intradoc_repeats",          # per-doc repeated shingle agg
+    "chunk_reassembly_roundtrip",     # chunk grid + ordered string reassembly
+    "ann_recall_report",              # exact-vs-LSH top-k outer join
+    "streaming_session_windows",      # merging session state drain
+    "benford_first_digit_dq",         # 9-key digit aggregate
+    "prefix_cache_grouping",          # min/max-LCP shared-prefix batching
 )
 
 SF_SMALL = "/root/testdata/sf0.01"

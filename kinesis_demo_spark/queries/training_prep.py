@@ -797,10 +797,17 @@ g AS (
   FROM b GROUP BY bucket HAVING count(*) >= 2
 ),
 l AS (
+  -- list_position returns 0 (not NULL) when no mismatch exists, so the
+  -- lo-is-a-prefix-of-hi case must be branched explicitly (same hazard as
+  -- Spark's array_position — both engines shared the bug before the
+  -- pure-Python differential caught it)
   SELECT bucket, n_docs, min_tokens,
-         coalesce(list_position(list_transform(range(1, least(len(lo), len(hi)) + 1),
-                                               i -> lo[i] = hi[i]), false) - 1,
-                  least(len(lo), len(hi))) AS lcp_tokens
+         CASE WHEN list_position(list_transform(range(1, least(len(lo), len(hi)) + 1),
+                                                i -> lo[i] = hi[i]), false) = 0
+              THEN least(len(lo), len(hi))
+              ELSE list_position(list_transform(range(1, least(len(lo), len(hi)) + 1),
+                                                i -> lo[i] = hi[i]), false) - 1
+         END AS lcp_tokens
   FROM g
 )
 SELECT bucket, n_docs, CAST(lcp_tokens AS BIGINT) AS lcp_tokens,
@@ -847,10 +854,15 @@ def prefix_cache_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.col("hi"), 1, F.least(F.size("lo"), F.size("hi"))),
         lambda a, b_: a == b_,
     )
-    lcp = F.coalesce(
-        F.array_position(eqs, False) - 1,
-        F.least(F.size("lo"), F.size("hi")).cast("long"),
-    )
+    # array_position returns 0 — NOT null, unlike DuckDB's list_position —
+    # when no mismatch exists (lo is a prefix of hi, e.g. duplicate docs),
+    # so the not-found case must be branched explicitly or the LCP comes
+    # out -1 on exactly the groups that share the most (caught by
+    # tests/test_r7_wave3.py's pure-Python differential).
+    first_neq = F.array_position(eqs, False)
+    lcp = F.when(
+        first_neq == 0, F.least(F.size("lo"), F.size("hi")).cast("long")
+    ).otherwise(first_neq - 1)
     return g.select(
         "bucket",
         "n_docs",

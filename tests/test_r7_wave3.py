@@ -1,0 +1,178 @@
+"""Property tests for the r7 third-wave operators — semantics the hash gate
+cannot express: dominance completeness (Pareto), reciprocity/uniqueness
+(mutual NN), MERGE action semantics on planted changelogs (CDC), the T5
+length identities (span corruption), an independent pure-Python LCP
+recompute (prefix-cache grouping), and peel progress (k-core)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pareto_frontier_is_exactly_the_undominated_set(spark):
+    """No frontier part is dominated by any part; every non-frontier part is
+    dominated by some FRONTIER part (frontiers are dominance-complete)."""
+    from kinesis_demo_spark.queries.analytics import pareto_frontier_parts
+    from kinesis_demo_spark.io import load_table
+
+    parts = [
+        (r.p_partkey, float(r.p_retailprice), int(r.p_size))
+        for r in load_table(spark, SF, "part").collect()
+    ]
+    frontier = {
+        r.p_partkey for r in pareto_frontier_parts(spark, SF).collect()
+    }
+
+    def dominates(a, b):  # a dominates b: cheaper-or-equal AND bigger-or-equal, one strict
+        return a[1] <= b[1] and a[2] >= b[2] and (a[1] < b[1] or a[2] > b[2])
+
+    front_rows = [p for p in parts if p[0] in frontier]
+    for fr in front_rows:
+        assert not any(dominates(p, fr) for p in parts), f"dominated frontier row {fr}"
+    for p in parts:
+        if p[0] not in frontier:
+            assert any(dominates(fr, p) for fr in front_rows), f"undominated non-frontier {p}"
+
+
+def test_mutual_nearest_pairs_are_a_matching(spark):
+    """Mutuality makes the output a partial matching: every vector appears in
+    at most ONE pair (its unique best can reciprocate at most once)."""
+    from kinesis_demo_spark.queries.similarity import mutual_nearest_lsh
+
+    rows = mutual_nearest_lsh(spark, SF).collect()
+    seen: set[int] = set()
+    for r in rows:
+        assert r.vec_a < r.vec_b
+        assert r.vec_a not in seen and r.vec_b not in seen, "vector in two pairs"
+        seen.add(r.vec_a)
+        seen.add(r.vec_b)
+    assert rows, "fixture should yield at least one reciprocal pair"
+
+
+def test_cdc_merge_actions_on_planted_changelog(spark, tmp_path):
+    """Planted changelog: kept (no change), updated (upsert after split),
+    inserted (new key), deleted (latest change is 'error' -> absent), and
+    resurrection (error then click -> latest wins, upsert)."""
+    import datetime as dt
+
+    from kinesis_demo_spark.queries import analytics as A
+
+    t0 = dt.datetime(2024, 1, 10)   # before split
+    t1 = dt.datetime(2024, 1, 20)   # after split
+    t2 = dt.datetime(2024, 1, 21)
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, t0, 100, "click", 1.0, "{}"),                      # kept
+        (2, t0, 200, "click", 2.0, "{}"), (3, t1, 200, "view", 2.5, "{}"),   # updated
+        (4, t1, 300, "click", 3.0, "{}"),                      # inserted
+        (5, t0, 400, "click", 4.0, "{}"), (6, t1, 400, "error", 0.0, "{}"),  # deleted
+        (7, t0, 500, "error", 0.0, "{}"),                      # tombstone base, no change -> absent
+        (8, t1, 600, "error", 0.0, "{}"), (9, t2, 600, "click", 6.0, "{}"),  # latest wins -> inserted
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    out = str(tmp_path / "events.parquet")
+    df.write.parquet(out)
+    got = {
+        r.user_id: (r.merge_action, r.value)
+        for r in A.cdc_merge_apply(spark, str(tmp_path)).collect()
+    }
+    assert got[100] == ("kept", 1.0)
+    assert got[200] == ("updated", 2.5)
+    assert got[300] == ("inserted", 3.0)
+    assert 400 not in got and 500 not in got
+    assert got[600] == ("inserted", 6.0)
+
+
+def test_span_corruption_mask_matches_python(spark):
+    """Recompute the mask layout per document in pure Python from the same
+    h60 schedule and compare counts exactly (NOTE: overlapping hash starts
+    MERGE into longer runs, so 3*n_spans does NOT bound n_masked — only the
+    per-START bound holds; the differential checks the real semantics)."""
+    import hashlib
+
+    from kinesis_demo_spark.io import load_table
+    from kinesis_demo_spark.queries.training_prep import (
+        SPAN_LEN,
+        SPAN_START_MOD,
+        span_corruption_plan,
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    expected = {}
+    for r in docs:
+        n = len(r.text.split(" "))
+        starts = {
+            p for p in range(n) if h60(f"{r.doc_id}|{p}") % SPAN_START_MOD == 0
+        }
+        masked = [any(p - j in starts for j in range(SPAN_LEN)) for p in range(n)]
+        n_masked = sum(masked)
+        n_spans = sum(
+            1 for p in range(n) if masked[p] and (p == 0 or not masked[p - 1])
+        )
+        expected[r.doc_id] = (n, n_masked, n_spans)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_masked, r.n_spans)
+        for r in span_corruption_plan(spark, SF).collect()
+    }
+    assert got == expected
+    for r in span_corruption_plan(spark, SF).collect():
+        assert r.input_len + r.target_len == r.n_tokens + 2 * r.n_spans
+
+
+def test_prefix_cache_lcp_matches_python(spark):
+    """Group LCP from the min/max trick equals a direct all-member LCP."""
+    from kinesis_demo_spark.queries.training_prep import (
+        PREFIX_BUCKET_TOKENS,
+        prefix_cache_grouping,
+    )
+    from kinesis_demo_spark.io import load_table
+
+    docs = [
+        r.text.split(" ")
+        for r in load_table(spark, SF, "documents").filter(F.col("text") != "").collect()
+        if len(r.text.split(" ")) >= PREFIX_BUCKET_TOKENS
+    ]
+    groups: dict[str, list[list[str]]] = {}
+    for ws in docs:
+        groups.setdefault(" ".join(ws[:PREFIX_BUCKET_TOKENS]), []).append(ws)
+
+    def lcp_all(members):
+        n = min(len(m) for m in members)
+        for i in range(n):
+            if len({tuple(m[i : i + 1]) for m in members}) > 1:
+                return i
+        return n
+
+    expected = {
+        k: (len(v), lcp_all(v)) for k, v in groups.items() if len(v) >= 2
+    }
+    got = {
+        r.bucket: (r.n_docs, r.lcp_tokens)
+        for r in prefix_cache_grouping(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_kcore_on_planted_clique_with_pendants(spark, tmp_path):
+    """Planted graph with a KNOWN k-core: order 1 holds a 5-clique of parts;
+    three pendant parts each co-occur with one clique member. Mean degree
+    3.25 -> k = 4; peeling drops the degree-1 pendants in round 1 and the
+    clique (induced degree 4 each) survives all rounds. (On the tiny
+    sf0.001 co-purchase graph the cascade legitimately empties — an empty
+    k-core is a valid answer, which is why the semantic pin uses a planted
+    graph.)"""
+    from kinesis_demo_spark.queries.analytics import graph_kcore
+
+    rows = [(1, p) for p in (1, 2, 3, 4, 5)]           # 5-clique via one order
+    rows += [(2, 1), (2, 6), (3, 2), (3, 7), (4, 3), (4, 8)]  # pendants 6,7,8
+    df = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+    df.write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {r.part: (r.core_degree, r.k_threshold) for r in graph_kcore(spark, str(tmp_path)).collect()}
+    assert got == {p: (4, 4) for p in (1, 2, 3, 4, 5)}

@@ -231,6 +231,7 @@ HEADLINE = (
     "ann_recall_report",
     "streaming_session_windows",
     "prefix_cache_grouping",
+    "coreset_kcenter_selection",
 )
 
 

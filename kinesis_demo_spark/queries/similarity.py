@@ -1446,3 +1446,130 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits").cast("double") / TOP_K).alias("recall_at_k"),
         )
     )
+
+
+# --- k-center coreset selection (diverse-subset mining) -----------------------------
+
+KCENTER_K = 5  # coreset size; round count is K-1 (c0 is the seed)
+
+
+def _kcenter_round_sql(r: int) -> str:
+    prev = ", ".join(f"c{j}" for j in range(r))
+    return f"""
+d{r} AS (
+  SELECT v.vec_id,
+         least({", ".join(f"1.0 - ({dot_fold_sql('v.embedding', f'c{j}.embedding')} / (v.nrm * c{j}.nrm))" for j in range(r))})
+           AS dmin
+  FROM vb v, {prev}
+  WHERE v.vec_id NOT IN ({", ".join(f"c{j}.vec_id" for j in range(r))})
+),
+c{r} AS (
+  SELECT vb.* FROM vb,
+       (SELECT min(struct_pack(nd := -dmin, id := vec_id)).id AS pick FROM d{r}) p
+  WHERE vb.vec_id = p.pick
+)"""
+
+
+@register(
+    "coreset_kcenter_selection",
+    oracle=f"""
+WITH vb AS (
+  SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm
+  FROM embeddings
+),
+c0 AS (SELECT vb.* FROM vb WHERE vec_id = (SELECT min(vec_id) FROM vb)),
+{",".join(_kcenter_round_sql(r) for r in range(1, KCENTER_K))},
+picks AS (
+  {" UNION ALL ".join(f"SELECT CAST({r} AS BIGINT) AS sel_round, vec_id FROM c{r}" for r in range(KCENTER_K))}
+),
+radius AS (
+  SELECT v.vec_id,
+         least({", ".join(f"1.0 - ({dot_fold_sql('v.embedding', f'c{j}.embedding')} / (v.nrm * c{j}.nrm))" for j in range(KCENTER_K))})
+           AS dmin
+  FROM vb v, {", ".join(f"c{j}" for j in range(KCENTER_K))}
+)
+SELECT p.sel_round, p.vec_id,
+       (SELECT max(dmin) FROM radius) AS coverage_radius
+FROM picks p
+""",
+)
+def coreset_kcenter_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 2-approximation) —
+    the DIVERSE-subset mining step of data selection: seed with the
+    smallest vec_id, then {KCENTER_K - 1} rounds of "pick the point
+    farthest (cosine distance) from everything chosen so far", ties to the
+    smaller id. Output is the selected coreset with selection order plus
+    the achieved coverage radius (max distance of any point to its nearest
+    center — the quantity the 2-approximation bounds). Complements
+    kmeans_embeddings (mass-seeking centroids) and dedup_semdedup_prune
+    (redundancy removal): k-center OPTIMIZES for coverage of the tails.
+
+    Determinism: distances are the shared ordered dot fold; min/least over
+    a fixed candidate set is order-independent in IEEE, and every argmax
+    ties to the id — both engines pick identical centers, so the whole
+    greedy trajectory is value-hash exact.
+
+    Scale: each round is one scan of the corpus against a BROADCAST
+    {KCENTER_K}-row center set (min-of-k distances computed per row, no
+    shuffle) plus a 1-row argmax — the collect is the per-round scalar the
+    iterative-query policy allows. O(K * n) total work, the standard
+    distributed k-center layout."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    v = track_persist(
+        emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    )
+    seed = v.agg(F.min("vec_id").alias("id")).collect()[0].id
+    chosen = [seed]
+    for _ in range(1, KCENTER_K):
+        centers = F.broadcast(
+            v.filter(F.col("vec_id").isin(chosen)).select(
+                F.col("vec_id").alias("c_id"),
+                F.col("embedding").alias("ce"),
+                F.col("nrm").alias("cn"),
+            )
+        )
+        dmin = (
+            v.filter(~F.col("vec_id").isin(chosen))
+            .crossJoin(centers)
+            .select(
+                "vec_id",
+                (
+                    F.lit(1.0)
+                    - dot_fold(F.col("embedding"), F.col("ce"))
+                    / (F.col("nrm") * F.col("cn"))
+                ).alias("d"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("d").alias("dmin"))
+        )
+        pick = dmin.agg(
+            F.min(F.struct((-F.col("dmin")).alias("nd"), F.col("vec_id").alias("id")))[
+                "id"
+            ].alias("pick")
+        ).collect()[0].pick
+        chosen.append(pick)
+    centers = F.broadcast(
+        v.filter(F.col("vec_id").isin(chosen)).select(
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cn"),
+        )
+    )
+    radius = (
+        v.crossJoin(centers)
+        .select(
+            "vec_id",
+            (
+                F.lit(1.0)
+                - dot_fold(F.col("embedding"), F.col("ce"))
+                / (F.col("nrm") * F.col("cn"))
+            ).alias("d"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("d").alias("dmin"))
+        .agg(F.max("dmin").alias("coverage_radius"))
+    )
+    picks = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(chosen)], "sel_round bigint, vec_id bigint"
+    )
+    return picks.crossJoin(F.broadcast(radius))

@@ -148,7 +148,8 @@ PRIORITY_ORDER = (
     # span_corruption_plan, skipgram_pair_counts, vocab_coverage_curve,
     # dedup_cross_source_matrix, benford_first_digit_dq,
     # text_intradoc_repeats, chunk_reassembly_roundtrip, ann_recall_report,
-    # streaming_session_windows, prefix_cache_grouping — all hostile-session
+    # streaming_session_windows, prefix_cache_grouping,
+    # coreset_kcenter_selection — all hostile-session
     # verified at sf0.01 AND sf0.1. The unigram
     # tokenizer pair is rows-only by necessity (EM/Viterbi;
     # independent-reference differential in tests/test_tokenizer.py) —

@@ -97,6 +97,7 @@ PROBES = (
     "streaming_session_windows",      # merging session state drain
     "benford_first_digit_dq",         # 9-key digit aggregate
     "prefix_cache_grouping",          # min/max-LCP shared-prefix batching
+    "coreset_kcenter_selection",      # K broadcast-center scans + argmax rounds
 )
 
 SF_SMALL = "/root/testdata/sf0.01"

@@ -3659,3 +3659,98 @@ def benford_first_digit_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Holt linear-trend exponential smoothing -------------------------------------
+
+# alpha = beta = 0.5: both coefficients exactly representable in binary, so
+# every smoothing step is plain IEEE multiply/add both engines evaluate
+# identically (the registry-wide float discipline — same reason ewma uses 0.5).
+
+
+@register(
+    "holt_linear_forecast",
+    oracle="""
+WITH RECURSIVE hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT user_id, y,
+         row_number() OVER (PARTITION BY user_id ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM hourly
+),
+rec(user_id, rn, l, b, n) AS (
+  -- seed trend must be typed DOUBLE explicitly: a bare 0.0 seeds the
+  -- recursive column as DECIMAL(1,1) and the recursive term's DOUBLE
+  -- values then fail the cast back
+  SELECT user_id, 1, y, CAST(0.0 AS DOUBLE), n FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT r.user_id, r.rn + 1,
+         0.5 * s.y + 0.5 * (r.l + r.b),
+         0.5 * ((0.5 * s.y + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b,
+         r.n
+  FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_hours,
+       l AS level, b AS trend, l + b AS forecast_next
+FROM rec WHERE rn = n
+""",
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per user over the
+    hourly value series (alpha = beta = 0.5): level l_t = a*y_t +
+    (1-a)*(l_{t-1}+b_{t-1}), trend b_t = B*(l_t-l_{t-1}) + (1-B)*b_{t-1},
+    seeded l_1 = y_1, b_1 = 0; output is each user's final state plus the
+    one-step-ahead forecast l+b — the trend-aware upgrade of
+    ewma_value_per_user (EWMA flattens ramps; Holt tracks them).
+
+    Spark shape: ONE hourly pre-aggregation (decimal-exact, map-side
+    combined) bounds the per-user series by hours-in-horizon, never event
+    count; the recurrence itself is an F.aggregate fold over the per-user
+    sorted hour array — pure JVM codegen, zero additional shuffles, and the
+    array length is the time horizon (8.8k/year) regardless of corpus size.
+    The DuckDB oracle restates the same recurrence as a recursive CTE; both
+    engines run identical IEEE ops in identical order, so the doubles
+    hash-match bit-for-bit. The smoothing itself is inherently sequential —
+    this (fold over a bounded pre-aggregated series) is the only shape that
+    distributes it without changing semantics."""
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("y"))
+    )
+    series = hourly.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("h", "y"))).alias("pts")
+    )
+    n = F.size("pts")
+    # fold the tail (points 2..n) over state (l, b) seeded from point 1;
+    # the new level expression appears twice (for l and inside b) exactly
+    # like the oracle's recursive term — same value, deterministically.
+    init = F.struct(
+        F.element_at("pts", 1)["y"].alias("l"), F.lit(0.0).alias("b")
+    )
+    state = F.aggregate(
+        F.slice("pts", 2, F.greatest(n - 1, F.lit(0))),
+        init,
+        lambda acc, p: F.struct(
+            (F.lit(0.5) * p["y"] + F.lit(0.5) * (acc["l"] + acc["b"])).alias("l"),
+            (
+                F.lit(0.5)
+                * (
+                    (F.lit(0.5) * p["y"] + F.lit(0.5) * (acc["l"] + acc["b"]))
+                    - acc["l"]
+                )
+                + F.lit(0.5) * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    return series.select(
+        "user_id",
+        n.cast("long").alias("n_hours"),
+        state["l"].alias("level"),
+        state["b"].alias("trend"),
+        (state["l"] + state["b"]).alias("forecast_next"),
+    )

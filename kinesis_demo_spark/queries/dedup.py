@@ -29,6 +29,7 @@ Scale design (the point of each shape at 100 TB):
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from ..functions.hashing import (
     BAND_W,
@@ -1172,11 +1173,12 @@ MAX_CC_ITERATIONS = 20
 CC_CHECKPOINT_EVERY = 2
 
 
-# Shared by dedup_clusters (label propagation) and dedup_clusters_star
-# (star contractions): both compute the same fixpoint, declaratively
-# restated as a recursive reachability CTE.
-_CC_ORACLE = f"""
-WITH RECURSIVE
+# Shared by dedup_clusters (label propagation), dedup_clusters_star
+# (star contractions), and er_golden_record (survivorship over the same
+# clusters): all compute the same fixpoint, declaratively restated as a
+# recursive reachability CTE. _CC_CTES is the CTE body (through `comp`);
+# _CC_ORACLE is the standalone (doc_id, cluster_id) labeling query.
+_CC_CTES = f"""
 {_SHINGLE_CTES},
 jp AS (
   SELECT doc_a, doc_b FROM pairs
@@ -1195,6 +1197,11 @@ reach(u, v) AS (
 comp AS (
   SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
 )
+"""
+
+_CC_ORACLE = f"""
+WITH RECURSIVE
+{_CC_CTES}
 SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 """
@@ -2085,5 +2092,170 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_dup_pairs").cast("double")
                 / (F.col("docs_a") * F.col("docs_b")).cast("double")
             ).alias("pair_density"),
+        )
+    )
+
+
+# --- per-eval-doc n-gram contamination fraction ---------------------------------
+
+CONTAM_FRAC_MIN = 5  # contaminated iff matched * 5 >= total (>= 20% overlap)
+
+
+@register(
+    "contamination_ngram_fraction",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {SHINGLES_SQL} AS shingles FROM documents
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+train_set AS (SELECT DISTINCT s FROM ex WHERE doc_id % {EVAL_SPLIT_MOD} <> 0),
+ev AS (SELECT doc_id, s FROM ex WHERE doc_id % {EVAL_SPLIT_MOD} = 0)
+SELECT ev.doc_id AS eval_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(t.s) AS BIGINT) AS n_matched,
+       CAST(count(t.s) AS DOUBLE) / count(*) AS contaminated_frac,
+       count(t.s) * {CONTAM_FRAC_MIN} >= count(*) AS contaminated
+FROM ev LEFT JOIN train_set t ON ev.s = t.s
+GROUP BY ev.doc_id
+""",
+)
+def contamination_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3/PaLM-style decontamination METRIC: for every eval-split document
+    (doc_id % {EVAL_SPLIT_MOD} == 0), the fraction of its distinct word
+    3-grams that appear anywhere in the train split, plus the >= 20% flag.
+    dedup_contamination_check answers "which eval docs near-duplicate a
+    train doc" (pair grain); this answers the finer published-decontam
+    question "how much of each eval doc leaked" — an eval doc stitched from
+    many train snippets contaminates without any single near-dup pair.
+
+    Spark shape: one distinct over the train shingle index (map-side
+    combine), then a shingle-keyed LEFT join from the eval explode — the
+    inverted-index semi-join shape, never doc x doc. Both sides shuffle on
+    the shingle only; the per-doc rollup shuffles |eval shingles| rows. At
+    100 TB the documented swap is h60(shingle) for the join key (16x
+    narrower rows, same semantics modulo md5 collisions); raw strings here
+    keep the oracle exact. Docs with < 3 words have no shingles and drop
+    out of BOTH engines identically (explode of an empty array)."""
+    sh = _shingled(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    train_set = (
+        ex.filter(F.col("doc_id") % EVAL_SPLIT_MOD != 0)
+        .select("s")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ev = ex.filter(F.col("doc_id") % EVAL_SPLIT_MOD == 0)
+    return (
+        ev.join(train_set, "s", "left")
+        .groupBy(F.col("doc_id").alias("eval_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_matched"),
+        )
+        .select(
+            "eval_id",
+            "n_shingles",
+            "n_matched",
+            (F.col("n_matched").cast("double") / F.col("n_shingles")).alias(
+                "contaminated_frac"
+            ),
+            (F.col("n_matched") * CONTAM_FRAC_MIN >= F.col("n_shingles")).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+# --- golden-record survivorship over duplicate clusters --------------------------
+
+
+@register(
+    "er_golden_record",
+    oracle=f"""
+WITH RECURSIVE
+{_CC_CTES},
+labels AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         d.lang, d.source, d.n_chars
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+),
+lang_mode AS (
+  SELECT cluster_id, lang AS lang_golden FROM (
+    SELECT cluster_id, lang,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY count(*) DESC, lang) AS rn
+    FROM labels GROUP BY cluster_id, lang) WHERE rn = 1
+),
+source_mode AS (
+  SELECT cluster_id, source AS source_golden FROM (
+    SELECT cluster_id, source,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY count(*) DESC, source) AS rn
+    FROM labels GROUP BY cluster_id, source) WHERE rn = 1
+),
+base AS (
+  SELECT cluster_id, min(doc_id) AS canonical_id,
+         count(*) AS n_members,
+         max(n_chars) AS max_n_chars,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM labels GROUP BY cluster_id
+)
+SELECT b.cluster_id, b.canonical_id, b.n_members,
+       l.lang_golden, s.source_golden, b.max_n_chars, b.total_chars
+FROM base b
+JOIN lang_mode l USING (cluster_id)
+JOIN source_mode s USING (cluster_id)
+""",
+)
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution SURVIVORSHIP: one golden record per duplicate
+    cluster, each field resolved independently by its own merge rule — the
+    step after clustering that dedup_canonical_selection (keep one whole
+    member) deliberately skips. Field rules here: `lang`/`source` by mode
+    (most frequent value, ties to the lexicographic smallest — the standard
+    most-attested-value rule), `n_chars` by max, canonical id by min,
+    plus member count and total bytes as merge provenance.
+
+    Spark shape: cluster labels come from the iterative min-label
+    propagation (dedup_clusters — O(diameter) rounds, localCheckpointed);
+    survivorship itself is two (cluster, field)-keyed counts + one
+    cluster-keyed profile aggregate, all map-side combined, joined at
+    cluster grain (bounded by |docs|). Nothing here is pair- or
+    quadratic-grain; at 100 TB the labels table is the expensive input and
+    it is shared work with every other cluster consumer. The mode argmax is
+    an integer-ordered row_number — no floats anywhere."""
+    labels = dedup_clusters(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    lab = labels.join(docs, "doc_id")
+    base = lab.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("n_chars").alias("max_n_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+    def _mode(col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("c").desc(), F.col(col)
+        )
+        return (
+            lab.groupBy("cluster_id", col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("cluster_id", F.col(col).alias(out))
+        )
+
+    return (
+        base.join(_mode("lang", "lang_golden"), "cluster_id")
+        .join(_mode("source", "source_golden"), "cluster_id")
+        .select(
+            "cluster_id",
+            "canonical_id",
+            "n_members",
+            "lang_golden",
+            "source_golden",
+            "max_n_chars",
+            "total_chars",
         )
     )

@@ -1573,3 +1573,291 @@ def coreset_kcenter_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, c) for i, c in enumerate(chosen)], "sel_round bigint, vec_id bigint"
     )
     return picks.crossJoin(F.broadcast(radius))
+
+
+# --- kNN label-vote classifier -----------------------------------------------
+
+N_KNN_QUERIES = 25  # vec_id < 25 — the held-out rows being classified
+KNN_K = 10
+
+
+@register(
+    "knn_label_vote",
+    oracle=f"""
+WITH {_V_CTE},
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {dot_fold_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS score
+  FROM v q JOIN v c ON q.vec_id < {N_KNN_QUERIES} AND c.vec_id <> q.vec_id
+),
+topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+    FROM scored) WHERE rnk <= {KNN_K}
+),
+votes AS (
+  SELECT t.query_id, l.label, count(*) AS votes
+  FROM topk t JOIN lab l ON l.vec_id = t.neighbor_id
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT query_id, label AS predicted_label, votes FROM (
+    SELECT query_id, label, votes,
+           row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+    FROM votes) WHERE rn = 1
+)
+SELECT p.query_id, ql.label AS true_label, p.predicted_label, p.votes,
+       ql.label = p.predicted_label AS correct
+FROM pred p JOIN lab ql ON ql.vec_id = p.query_id
+""",
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote classifier over the embedding corpus: each query row
+    (vec_id < {N}) is labeled by the majority `label` among its {K} exact
+    cosine nearest neighbors, ties broken toward the smallest label id — the
+    standard label-propagation / auto-labeling primitive a curation pipeline
+    uses to extend a small labeled seed set to the whole corpus.
+
+    Spark shape: identical to ann_cosine_topk (broadcast queries, corpus
+    never shuffles, per-query top-k prunes before the exchange) plus one
+    |queries|*k-row label join and a |queries|-group vote aggregate — the
+    classifier step adds NOTHING data-sized to the plan. At 100 TB the
+    documented swap is the banded-LSH shortlist (_lsh_scored) feeding the
+    same vote; the exact form here is what the oracle can replicate
+    bit-for-bit. Cross-engine exactness: scores are the shared left-to-right
+    double fold (functions/vectors.py), votes are COUNTs, and the argmax is
+    an integer-ordered row_number — no float ever reaches the output."""
+    v = _vectors(spark, sf_dir)
+    lab = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    q = F.broadcast(
+        v.filter(F.col("vec_id") < N_KNN_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    c = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = q.join(c, F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        (dot_fold(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    topk = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("query_id", "neighbor_id")
+    )
+    votes = (
+        topk.join(lab, topk.neighbor_id == lab.vec_id)
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+    )
+    truth = lab.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    return pred.join(F.broadcast(truth), "query_id").select(
+        "query_id",
+        "true_label",
+        "predicted_label",
+        "votes",
+        (F.col("true_label") == F.col("predicted_label")).alias("correct"),
+    )
+
+
+# --- MMR diversity re-ranking --------------------------------------------------
+
+MMR_SHORTLIST = 20  # relevance shortlist fed to the re-ranker
+MMR_SELECT = 5  # diverse results returned per query
+# lambda = 0.5: mmr = 0.5*relevance - 0.5*max_sim_to_selected. 0.5 is exactly
+# representable in binary, so the combine is a single IEEE multiply+subtract
+# that both engines evaluate identically (the registry-wide float discipline).
+
+
+@register(
+    "mmr_rerank_topk",
+    oracle=f"""
+WITH RECURSIVE
+{_V_CTE},
+shortlist AS (
+  SELECT * FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {dot_fold_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS relevance,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dot_fold_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) DESC,
+                                       c.vec_id) AS rn
+    FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id)
+  WHERE rn <= {MMR_SHORTLIST}
+),
+ps AS (
+  SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
+         {dot_fold_sql('va.embedding', 'vb.embedding')} / (va.nrm * vb.nrm) AS sim
+  FROM shortlist a JOIN shortlist b
+    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+  JOIN v va ON va.vec_id = a.neighbor_id
+  JOIN v vb ON vb.vec_id = b.neighbor_id
+),
+sel(query_id, rnk, neighbor_id, relevance, mmr_score, picked) AS (
+  SELECT query_id, 1, neighbor_id, relevance, relevance, [neighbor_id]
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY relevance DESC, neighbor_id) AS r1
+        FROM shortlist) WHERE r1 = 1
+  UNION ALL
+  SELECT s.query_id, s.rnk + 1, t.neighbor_id, t.relevance, t.mmr,
+         list_append(s.picked, t.neighbor_id)
+  FROM sel s, LATERAL (
+    SELECT c.neighbor_id, c.relevance,
+           0.5 * c.relevance - 0.5 * (
+             SELECT max(p.sim) FROM ps p
+             WHERE p.query_id = s.query_id AND p.ia = c.neighbor_id
+               AND list_contains(s.picked, p.ib)) AS mmr
+    FROM shortlist c
+    WHERE c.query_id = s.query_id AND NOT list_contains(s.picked, c.neighbor_id)
+    ORDER BY mmr DESC, c.neighbor_id LIMIT 1) t
+  WHERE s.rnk < {MMR_SELECT}
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, relevance, mmr_score
+FROM sel
+""",
+)
+def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein '98) —
+    the canonical RAG retrieval diversifier: from each query's exact top-20
+    relevance shortlist, greedily select 5 results maximizing
+    ``0.5*relevance - 0.5*max_sim_to_already_selected`` (ties toward the
+    smaller neighbor_id; the first pick is the plain relevance argmax and
+    reports its relevance as its mmr_score).
+
+    Spark shape: the expensive part is the shortlist (the ann_cosine_topk
+    broadcast scan — corpus never shuffles); everything after operates on
+    |queries| x 20 rows, so the {MMR_SELECT-1} unrolled greedy rounds (each
+    an anti-join + max-sim aggregate + argmax window over constant-size
+    data) cost nothing at any corpus scale — MMR's O(k^2) is over the
+    SHORTLIST, never the corpus. Pairwise sims among shortlist members are
+    computed once up front (|queries| * 20 * 19 rows). Cross-engine
+    exactness: all similarities are the shared double fold; the 0.5
+    coefficients are exactly representable so the combine is deterministic
+    IEEE in both engines."""
+    v = _vectors(spark, sf_dir)
+    q = F.broadcast(
+        v.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    c = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = q.join(c, F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        (dot_fold(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
+            "relevance"
+        ),
+        F.col("ce"),
+        F.col("cn"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("relevance").desc(), F.col("neighbor_id")
+    )
+    # track_persist: the shortlist feeds the pairwise-sim self-join AND every
+    # greedy round — as pure lineage the corpus scan would re-run per round.
+    short = track_persist(
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_SHORTLIST)
+        .select("query_id", "neighbor_id", "relevance", "ce", "cn")
+    )
+    # pairwise sims among shortlist members — constant |q| x 20 x 19 rows
+    a = short.select("query_id", F.col("neighbor_id").alias("ia"),
+                     F.col("ce").alias("ea"), F.col("cn").alias("na"))
+    b = short.select("query_id", F.col("neighbor_id").alias("ib"),
+                     F.col("ce").alias("eb"), F.col("cn").alias("nb"))
+    psim = track_persist(
+        a.join(b, "query_id")
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "query_id",
+            "ia",
+            "ib",
+            (dot_fold(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias(
+                "sim"
+            ),
+        )
+    )
+    cand = short.select("query_id", "neighbor_id", "relevance")
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("relevance").desc(), F.col("neighbor_id")
+    )
+    # Each round's pick is persisted (|queries| rows): round r references the
+    # running selection THREE times (anti-join, max-sim source, union), so as
+    # pure lineage the re-evaluation count grows 3^rounds — with cached picks
+    # the union of rounds 1..r-1 is constant-cost and the loop stays linear.
+    picks = [
+        track_persist(
+            cand.withColumn("r1", F.row_number().over(w1))
+            .filter(F.col("r1") == 1)
+            .select(
+                "query_id",
+                F.lit(1).cast("long").alias("rnk"),
+                "neighbor_id",
+                "relevance",
+                F.col("relevance").alias("mmr_score"),
+            )
+        )
+    ]
+    for r in range(2, MMR_SELECT + 1):
+        sel = picks[0]
+        for p in picks[1:]:
+            sel = sel.union(p)
+        picked = sel.select("query_id", F.col("neighbor_id").alias("ib"))
+        remaining = cand.join(
+            sel.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_anti"
+        )
+        mx = (
+            psim.join(picked, ["query_id", "ib"])
+            .groupBy("query_id", F.col("ia").alias("neighbor_id"))
+            .agg(F.max("sim").alias("mps"))
+        )
+        scored_r = remaining.join(mx, ["query_id", "neighbor_id"]).select(
+            "query_id",
+            "neighbor_id",
+            "relevance",
+            (F.lit(0.5) * F.col("relevance") - F.lit(0.5) * F.col("mps")).alias(
+                "mmr_score"
+            ),
+        )
+        wr = Window.partitionBy("query_id").orderBy(
+            F.col("mmr_score").desc(), F.col("neighbor_id")
+        )
+        picks.append(
+            track_persist(
+                scored_r.withColumn("rr", F.row_number().over(wr))
+                .filter(F.col("rr") == 1)
+                .select(
+                    "query_id",
+                    F.lit(r).cast("long").alias("rnk"),
+                    "neighbor_id",
+                    "relevance",
+                    "mmr_score",
+                )
+            )
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.union(p)
+    return out

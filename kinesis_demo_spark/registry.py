@@ -37,6 +37,7 @@ _QUERY_MODULES = (
     "kinesis_demo_spark.queries.filtering",
     "kinesis_demo_spark.queries.tokenizer",
     "kinesis_demo_spark.queries.features",
+    "kinesis_demo_spark.queries.selection",
 )
 
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries only

@@ -933,3 +933,198 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "toks_str",
         )
     )
+
+
+# --- pseudo-relevance-feedback query expansion (RM1-style) -------------------------
+
+PRF_FEEDBACK_DOCS = 10  # top docs of the first pass assumed relevant
+PRF_EXPANSION_TERMS = 3  # terms added to the query
+PRF_TOP_K = 10  # final result size
+
+
+def _prf_oracle() -> str:
+    q0 = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    q0_in = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    # Shared scoring scaffold: per-(doc, term) BM25 contribution with the
+    # identical parenthesization as text_bm25_topk, summed per doc by a fold
+    # over the term-ordered list (sum() over a group is order-free in both
+    # engines and would NOT be deterministic for doubles).
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+contrib AS (
+  SELECT t.doc_id, t.term,
+         ((CAST(g.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+         * (CAST(t.tf AS DOUBLE) * ({BM25_K1} + 1.0))
+         / (CAST(t.tf AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * (CAST(l.dl AS DOUBLE) / g.avgdl)))
+           AS s
+  FROM tf t JOIN dfreq d ON d.term = t.term JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN g
+),
+score0 AS (
+  SELECT c.doc_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c.s ORDER BY c.term)),
+                     (a, b) -> a + b) AS score
+  FROM contrib c JOIN (VALUES {q0}) q(term) ON q.term = c.term
+  GROUP BY c.doc_id
+),
+feedback AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+    FROM score0) WHERE rnk <= {PRF_FEEDBACK_DOCS}
+),
+expansion AS (
+  SELECT term FROM (
+    SELECT t.term,
+           row_number() OVER (ORDER BY count(DISTINCT t.doc_id) DESC, t.term) AS rn
+    FROM tf t JOIN feedback f ON f.doc_id = t.doc_id
+    WHERE t.term NOT IN ({q0_in})
+    GROUP BY t.term) WHERE rn <= {PRF_EXPANSION_TERMS}
+),
+q1 AS (
+  SELECT term FROM (VALUES {q0}) q(term) UNION ALL SELECT term FROM expansion
+),
+score1 AS (
+  SELECT c.doc_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c.s ORDER BY c.term)),
+                     (a, b) -> a + b) AS score,
+         CAST(count(*) AS BIGINT) AS n_query_terms_hit
+  FROM contrib c JOIN q1 ON q1.term = c.term
+  GROUP BY c.doc_id
+),
+exp_echo AS (
+  SELECT string_agg(term, ',' ORDER BY term) AS expansion_terms FROM expansion
+)
+SELECT doc_id, score, n_query_terms_hit,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+       (SELECT expansion_terms FROM exp_echo) AS expansion_terms
+FROM score1
+QUALIFY rnk <= {PRF_TOP_K}
+"""
+
+
+@register("prf_query_expansion", oracle=_prf_oracle())
+def prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (Rocchio/RM1 recipe): run the
+    fixed BM25 query, assume its top {PRF_FEEDBACK_DOCS} documents are
+    relevant, mine the {PRF_EXPANSION_TERMS} terms most prevalent in that
+    feedback set (by distinct-doc count, excluding the original terms, ties
+    lexicographic), re-score with the expanded query, and return the new
+    top {PRF_TOP_K} with the expansion echoed — the classic zero-training
+    recall booster for lexical mining when a topic's vocabulary is wider
+    than the seed query.
+
+    Scale shape: unlike text_bm25_topk's fixed-term column trick, the
+    expanded term set is DATA-DEPENDENT, so scoring joins the (doc, term,
+    tf) index against a tiny term list — the index is one tokenize+count
+    pass (map-side combined), the term list never exceeds |q0| +
+    {PRF_EXPANSION_TERMS} rows and broadcasts, and each pass shuffles only
+    matched postings. Both ranking steps are TakeOrdered-style top-k. The
+    per-doc score SUM over matched terms folds over the term-ordered list
+    (a plain float SUM over a group commutes nondeterministically; the
+    ordered fold is what both engines can replicate bit-for-bit)."""
+    nq = list(BM25_QUERY_TERMS)
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = track_persist(tf)
+    dl = docs.select("doc_id", F.size(_tokens()).cast("long").alias("dl"))
+    g = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = track_persist(
+        tf.join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (
+                    (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+                    / (F.col("df").cast("double") + F.lit(0.5))
+                )
+                * (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1.0)
+                        - F.lit(BM25_B)
+                        + F.lit(BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+
+    def _score(term_df: DataFrame) -> DataFrame:
+        return (
+            contrib.join(F.broadcast(term_df), "term")
+            .groupBy("doc_id")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("term", "s"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["s"],
+                ).alias("score"),
+                F.count(F.lit(1)).alias("n_query_terms_hit"),
+            )
+        )
+
+    q0 = spark.createDataFrame([(t,) for t in nq], "term string")
+    feedback = (
+        _score(q0)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(PRF_FEEDBACK_DOCS)
+        .select("doc_id")
+    )
+    wexp = Window.orderBy(F.col("c").desc(), F.col("term"))
+    expansion = (
+        tf.join(F.broadcast(feedback), "doc_id")
+        .filter(~F.col("term").isin(nq))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("c"))
+        .withColumn("rn", F.row_number().over(wexp))
+        .filter(F.col("rn") <= PRF_EXPANSION_TERMS)
+        .select("term")
+    )
+    expansion = track_persist(expansion)
+    q1 = q0.union(expansion)
+    echo = expansion.agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("term"))).alias(
+            "expansion_terms"
+        )
+    )
+    scored = _score(q1)
+    topk = scored.orderBy(F.col("score").desc(), "doc_id").limit(PRF_TOP_K)
+    return (
+        topk.withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+            .cast("long"),
+        )
+        .crossJoin(F.broadcast(echo))
+        .select("doc_id", "score", "n_query_terms_hit", "rnk", "expansion_terms")
+    )

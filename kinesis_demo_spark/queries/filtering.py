@@ -560,3 +560,75 @@ def token_shard_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "data_shard"
         ),
     )
+
+
+# --- k-anonymity / l-diversity privacy audit -------------------------------------
+
+K_ANON_K = 5  # classes smaller than this re-identify their members
+K_ANON_LEN_BUCKET = 100  # n_chars generalized to 100-char buckets
+# sensitive attribute for l-diversity: the language — a class where every
+# member shares one lang value leaks it even when the class is k-large
+L_DIVERSITY_L = 2
+
+
+@register(
+    "k_anonymity_report",
+    oracle=f"""
+WITH qi AS (
+  SELECT source, CAST(n_chars // {K_ANON_LEN_BUCKET} AS BIGINT) AS len_bucket,
+         lang, doc_id
+  FROM documents
+)
+SELECT source, len_bucket,
+       count(*) AS class_size,
+       count(DISTINCT lang) AS n_langs,
+       count(*) < {K_ANON_K} AS below_k,
+       count(DISTINCT lang) < {L_DIVERSITY_L} AS below_l,
+       min(doc_id) AS sample_doc_id
+FROM qi
+GROUP BY source, len_bucket
+""",
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the document metadata — the
+    privacy screen a pipeline runs before publishing per-document metadata:
+    quasi-identifiers (source, 100-char length bucket) partition the corpus
+    into equivalence classes; a class with fewer than {K_ANON_K} members
+    re-identifies its documents (below_k), and a k-large class whose
+    sensitive attribute (lang) takes fewer than {L_DIVERSITY_L} distinct
+    values still discloses it (below_l — Machanavajjhala et al.'s
+    l-diversity refinement). The fix for a flagged class is coarser
+    generalization (wider buckets) or suppression; the report is the input
+    to that decision.
+
+    Scale shape: ONE aggregate over the metadata columns with map-side
+    combine (count-distinct over a low-cardinality sensitive attribute —
+    Spark's HLL-free exact distinct stays bounded because lang has a few
+    dozen values); no joins, no windows, no floats. Class count is bounded
+    by |sources| x |length buckets|, metadata-sized at any corpus scale."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            F.expr(f"CAST(n_chars DIV {K_ANON_LEN_BUCKET} AS BIGINT)").alias(
+                "len_bucket"
+            ),
+            "lang",
+            "doc_id",
+        )
+        .groupBy("source", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("sample_doc_id"),
+        )
+        .select(
+            "source",
+            "len_bucket",
+            "class_size",
+            "n_langs",
+            (F.col("class_size") < K_ANON_K).alias("below_k"),
+            (F.col("n_langs") < L_DIVERSITY_L).alias("below_l"),
+            "sample_doc_id",
+        )
+    )

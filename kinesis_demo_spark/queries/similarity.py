@@ -1861,3 +1861,136 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.union(p)
     return out
+
+
+# --- retrieval evaluation metrics (MRR / nDCG of the ANN index) ---------------------
+
+# DCG rank discounts 1/log2(i+1), i = 1..TOP_K, precomputed once in Python
+# and inlined as IDENTICAL full-precision literals into both engines — libm
+# never runs inside either query, so the only float ops are multiplies by
+# shared constants and a fold in rank order (deterministic IEEE both sides).
+_DCG_DISCOUNTS = (
+    1.0,
+    0.6309297535714575,
+    0.5,
+    0.43067655807339306,
+    0.38685280723454163,
+    0.3562071871080222,
+    0.3333333333333333,
+    0.31546487678572877,
+    0.3010299956639812,
+    0.2890648263178879,
+)
+# IDCG@10 for binary relevance with 10 relevant docs: the same constants
+# folded left-to-right from 0.0 (matching both engines' fold order).
+_IDCG_AT_K = 4.543559338088346
+
+
+@register(
+    "retrieval_eval_metrics",
+    oracle=f"""
+WITH {_V_CTE},
+ex_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {dot_fold_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS score
+  FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+    FROM ex_scored) WHERE rnk <= {TOP_K}
+),
+bands AS (
+  SELECT v.*, t.tbl,
+         CASE t.tbl {" ".join(f"WHEN {t} THEN {sign_bucket_band_sql('embedding', t * ANN_LSH_BAND_BITS, ANN_LSH_BAND_BITS)}" for t in range(ANN_LSH_TABLES))} END AS bucket
+  FROM v CROSS JOIN (SELECT unnest(range({ANN_LSH_TABLES})) AS tbl) t
+),
+lsh_scored AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {dot_fold_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS score
+  FROM bands q JOIN bands c
+    ON q.tbl = c.tbl AND q.bucket = c.bucket
+   AND q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+),
+lsh_topk AS (
+  SELECT query_id, neighbor_id, rnk FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+    FROM lsh_scored) WHERE rnk <= {TOP_K}
+),
+judged AS (
+  SELECT l.query_id, l.rnk,
+         CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM lsh_topk l LEFT JOIN truth t
+    ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id
+),
+per_q AS (
+  SELECT query_id,
+         CAST(sum(rel) AS BIGINT) AS n_hits,
+         min(CASE WHEN rel = 1 THEN rnk END) AS first_hit,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list(CAST(rel AS DOUBLE) * ({list(_DCG_DISCOUNTS)})[rnk] ORDER BY rnk)),
+           (a, b) -> a + b) AS dcg
+  FROM judged GROUP BY query_id
+)
+SELECT query_id, n_hits,
+       CAST(coalesce(first_hit, 0) AS BIGINT) AS first_hit_rank,
+       CASE WHEN first_hit IS NULL THEN CAST(0.0 AS DOUBLE)
+            ELSE 1.0 / first_hit END AS mrr,
+       dcg,
+       dcg / {_IDCG_AT_K} AS ndcg
+FROM per_q
+""",
+)
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query MRR@{TOP_K} and nDCG@{TOP_K} of the banded sign-LSH index
+    graded against the exact-cosine top-{TOP_K} as binary ground truth — the
+    two ranking metrics (beyond plain recall, ann_recall_report) that a
+    retrieval deployment tracks per release. MRR rewards putting ANY true
+    neighbor first; nDCG rewards putting MANY true neighbors early.
+
+    Scale shape: composes the two existing plans (broadcast exact scan over
+    a fixed query panel + banded LSH shortlist) and adds only
+    |queries| x {TOP_K} rows of judgment joins; the metric arithmetic is a
+    fold over each query's rank-ordered 10-element list. Cross-engine
+    exactness: rank discounts are shared full-precision literals (no libm
+    in either engine), the DCG sum folds in rank order from a 0.0 seed on
+    both sides, MRR is a single exact division, and nDCG divides by the
+    constant-relevance IDCG literal."""
+    truth = ann_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("rel")
+    )
+    lsh_topk = ann_cosine_topk_lsh(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rnk"
+    )
+    darr = F.array(*[F.lit(d) for d in _DCG_DISCOUNTS])
+    judged = (
+        lsh_topk.join(truth, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            "rnk",
+            F.coalesce("rel", F.lit(0)).alias("rel"),
+        )
+    )
+    per_q = judged.groupBy("query_id").agg(
+        F.sum("rel").alias("n_hits"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_hit"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("rnk", "rel"))),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["rel"].cast("double") * F.element_at(darr, x["rnk"].cast("int")),
+        ).alias("dcg"),
+    )
+    return per_q.select(
+        "query_id",
+        "n_hits",
+        F.coalesce("first_hit", F.lit(0)).cast("long").alias("first_hit_rank"),
+        F.when(F.col("first_hit").isNull(), F.lit(0.0))
+        .otherwise(F.lit(1.0) / F.col("first_hit"))
+        .alias("mrr"),
+        "dcg",
+        (F.col("dcg") / F.lit(_IDCG_AT_K)).alias("ndcg"),
+    )

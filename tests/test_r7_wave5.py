@@ -1,0 +1,202 @@
+"""Wave-5 semantics beyond the oracle gate: ranking-metric identities
+(MRR/nDCG), privacy-audit recomputation, and a full pure-Python BM25+PRF
+differential."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import duckdb
+
+from kinesis_demo_spark.queries.corpus import (
+    BM25_B,
+    BM25_K1,
+    BM25_QUERY_TERMS,
+    PRF_EXPANSION_TERMS,
+    PRF_FEEDBACK_DOCS,
+    PRF_TOP_K,
+    prf_query_expansion,
+)
+from kinesis_demo_spark.queries.filtering import (
+    K_ANON_K,
+    K_ANON_LEN_BUCKET,
+    L_DIVERSITY_L,
+    k_anonymity_report,
+)
+from kinesis_demo_spark.queries.similarity import (
+    _DCG_DISCOUNTS,
+    _IDCG_AT_K,
+    TOP_K,
+    ann_cosine_topk,
+    ann_cosine_topk_lsh,
+    retrieval_eval_metrics,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    try:
+        return con.execute(sql).fetchall()
+    finally:
+        con.close()
+
+
+# --- retrieval_eval_metrics -----------------------------------------------------
+
+
+def test_dcg_constants_are_correct():
+    for i, d in enumerate(_DCG_DISCOUNTS, start=1):
+        assert d == 1.0 / math.log2(i + 1)
+    s = 0.0
+    for d in _DCG_DISCOUNTS:
+        s += d
+    assert s == _IDCG_AT_K
+
+
+def test_retrieval_metrics_identities(spark):
+    truth = defaultdict(set)
+    for r in ann_cosine_topk(spark, SF).collect():
+        truth[r.query_id].add(r.neighbor_id)
+    lsh = defaultdict(dict)
+    for r in ann_cosine_topk_lsh(spark, SF).collect():
+        lsh[r.query_id][r.rnk] = r.neighbor_id
+    rows = {r.query_id: r for r in retrieval_eval_metrics(spark, SF).collect()}
+    assert set(rows) == set(truth)
+    for qid, r in rows.items():
+        rels = {
+            rnk: (1 if nid in truth[qid] else 0)
+            for rnk, nid in lsh[qid].items()
+            if rnk <= TOP_K
+        }
+        # recompute every metric independently, rank-ordered fold
+        dcg = 0.0
+        for rnk in sorted(rels):
+            dcg += float(rels[rnk]) * _DCG_DISCOUNTS[rnk - 1]
+        hits = [rnk for rnk, rel in sorted(rels.items()) if rel]
+        assert r.n_hits == sum(rels.values())
+        assert r.first_hit_rank == (hits[0] if hits else 0)
+        assert r.mrr == (1.0 / hits[0] if hits else 0.0)
+        assert r.dcg == dcg
+        assert r.ndcg == dcg / _IDCG_AT_K
+        assert 0.0 <= r.ndcg <= 1.0
+        assert 0.0 <= r.mrr <= 1.0
+
+
+# --- k_anonymity_report -----------------------------------------------------------
+
+
+def test_k_anonymity_matches_python(spark):
+    docs = _duck(
+        f"SELECT doc_id, lang, source, n_chars FROM '{SF}/documents.parquet'"
+    )
+    classes = defaultdict(list)
+    for did, lang, source, n_chars in docs:
+        classes[(source, n_chars // K_ANON_LEN_BUCKET)].append((did, lang))
+    rows = {
+        (r.source, r.len_bucket): r for r in k_anonymity_report(spark, SF).collect()
+    }
+    assert set(rows) == set(classes)
+    assert sum(r.class_size for r in rows.values()) == len(docs)
+    for key, members in classes.items():
+        r = rows[key]
+        assert r.class_size == len(members)
+        assert r.n_langs == len({lang for _, lang in members})
+        assert r.below_k == (len(members) < K_ANON_K)
+        assert r.below_l == (r.n_langs < L_DIVERSITY_L)
+        assert r.sample_doc_id == min(did for did, _ in members)
+
+
+def test_k_anonymity_flags_exist_on_fixture(spark):
+    # the audit is only meaningful if the fixture actually exercises both
+    # branches of each flag
+    rows = k_anonymity_report(spark, SF).collect()
+    assert any(r.below_k for r in rows) and any(not r.below_k for r in rows)
+
+
+# --- prf_query_expansion -------------------------------------------------------------
+
+
+def _bm25_python(docs):
+    """(doc_id -> {term: tf}, doc_id -> dl, term -> df, n_docs, avgdl)"""
+    tf, dl = {}, {}
+    df = Counter()
+    for did, text in docs:
+        toks = [t for t in text.split(" ") if t != ""]
+        dl[did] = len(text.split(" "))
+        c = Counter(toks)
+        tf[did] = c
+        for t in c:
+            df[t] += 1
+    n = len(docs)
+    avgdl = sum(dl.values()) / n
+    return tf, dl, df, n, avgdl
+
+
+def _score_py(tf, dl, df, n, avgdl, terms, did):
+    contribs = []
+    for t in sorted(terms):
+        f = tf[did].get(t, 0)
+        if f == 0:
+            continue
+        idf = (float(n) - float(df[t]) + 0.5) / (float(df[t]) + 0.5)
+        s = (
+            idf
+            * (float(f) * (BM25_K1 + 1.0))
+            / (float(f) + BM25_K1 * (1.0 - BM25_B + BM25_B * (float(dl[did]) / avgdl)))
+        )
+        contribs.append(s)
+    if not contribs:
+        return None, 0
+    acc = 0.0
+    for s in contribs:
+        acc += s
+    return acc, len(contribs)
+
+
+def test_prf_matches_python_pipeline(spark):
+    docs = _duck(f"SELECT doc_id, text FROM '{SF}/documents.parquet'")
+    tf, dl, df, n, avgdl = _bm25_python(docs)
+    q0 = set(BM25_QUERY_TERMS)
+    s0 = {}
+    for did, _ in docs:
+        s, _hit = _score_py(tf, dl, df, n, avgdl, q0, did)
+        if s is not None:
+            s0[did] = s
+    feedback = [
+        did for did, _ in sorted(s0.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:PRF_FEEDBACK_DOCS]
+    cnt = Counter()
+    for did in feedback:
+        for t in tf[did]:
+            if t not in q0:
+                cnt[t] += 1
+    expansion = [
+        t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:PRF_EXPANSION_TERMS]
+    q1 = q0 | set(expansion)
+    s1 = {}
+    for did, _ in docs:
+        s, hit = _score_py(tf, dl, df, n, avgdl, q1, did)
+        if s is not None:
+            s1[did] = (s, hit)
+    top = sorted(s1.items(), key=lambda kv: (-kv[1][0], kv[0]))[:PRF_TOP_K]
+
+    rows = sorted(prf_query_expansion(spark, SF).collect(), key=lambda r: r.rnk)
+    assert len(rows) == len(top)
+    echo = ",".join(sorted(expansion))
+    for rnk, (r, (did, (s, hit))) in enumerate(zip(rows, top), start=1):
+        assert r.rnk == rnk
+        assert r.doc_id == did
+        assert r.score == s
+        assert r.n_query_terms_hit == hit
+        assert r.expansion_terms == echo
+    # the expansion must actually change the ranking vs plain BM25 top-k
+    plain = [
+        did for did, _ in sorted(s0.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:PRF_TOP_K]
+    assert [r.doc_id for r in rows] != plain or any(
+        t not in q0 for t in expansion
+    )

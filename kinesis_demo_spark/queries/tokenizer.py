@@ -36,8 +36,9 @@ from __future__ import annotations
 from fractions import Fraction
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
-from ..io import load_table, spread
+from ..io import load_table, spread, track_persist
 from ..registry import register
 
 UNI_MAX_PIECE = 6     # max piece length seeded from word substrings
@@ -246,3 +247,165 @@ def unigram_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             encode, "doc_id bigint, n_words bigint, n_pieces bigint, pieces_str string"
         )
     )
+
+
+# --- WordPiece-style greedy longest-match encode (hash-checkable) -------------------
+
+# Deterministic subword vocabulary: every single character in the corpus
+# (guaranteeing full coverage — no OOV path) plus the top multi-character
+# n-grams by count-weighted frequency. Small on purpose: with the fixture's
+# 31-word generator vocabulary, a larger gram budget would swallow every
+# word whole and the greedy matcher would never exercise multi-piece splits.
+WP_MAX_PIECE = 4
+WP_TOP_GRAMS = 20
+
+_WP_VOCAB_CTES = f"""
+words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS wcount
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+chars AS (
+  SELECT DISTINCT substring(w.word, p.i, 1) AS piece
+  FROM words w, LATERAL (SELECT unnest(range(1, len(w.word) + 1)) AS i) p
+),
+grams AS (
+  SELECT substring(w.word, p.i, l.l) AS piece, sum(w.wcount) AS weight
+  FROM words w,
+       LATERAL (SELECT unnest(range(2, {WP_MAX_PIECE} + 1)) AS l) l,
+       LATERAL (SELECT unnest(range(1, len(w.word) - l.l + 2)) AS i) p
+  GROUP BY 1
+),
+top_grams AS (
+  SELECT piece FROM (
+    SELECT piece, row_number() OVER (ORDER BY weight DESC, piece) AS rn
+    FROM grams) WHERE rn <= {WP_TOP_GRAMS}
+),
+vocab AS (SELECT piece FROM chars UNION SELECT piece FROM top_grams)
+"""
+
+
+@register(
+    "wordpiece_encode_words",
+    oracle=f"""
+WITH RECURSIVE
+{_WP_VOCAB_CTES},
+enc(word, pos, pieces) AS (
+  SELECT word, CAST(1 AS BIGINT), CAST([] AS VARCHAR[]) FROM words
+  UNION ALL
+  SELECT e.word, e.pos + len(t.piece), list_append(e.pieces, t.piece)
+  FROM enc e, LATERAL (
+    SELECT v.piece FROM vocab v
+    WHERE v.piece = substring(e.word, CAST(e.pos AS INT), len(v.piece))
+    ORDER BY len(v.piece) DESC, v.piece LIMIT 1) t
+  WHERE e.pos <= len(e.word)
+)
+SELECT w.word, w.wcount, CAST(len(e.pieces) AS BIGINT) AS n_pieces,
+       array_to_string(e.pieces, ' ') AS encoded
+FROM enc e JOIN words w USING (word)
+WHERE e.pos = len(e.word) + 1
+""",
+)
+def wordpiece_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style GREEDY LONGEST-MATCH subword encode — the third
+    tokenizer family next to BPE (iterative merges, corpus.py) and
+    unigram-LM (Viterbi, above), and the first with a full value-hash
+    oracle: greedy matching is a deterministic fixpoint a recursive SQL CTE
+    can restate, so the hash gate covers vocabulary construction AND every
+    segmentation end-to-end (the other two trainers are rows-only by
+    necessity). Vocabulary = all corpus characters (full coverage, no OOV)
+    + top-{WP_TOP_GRAMS} n-grams (len 2..{WP_MAX_PIECE}) by count-weighted
+    frequency; each distinct word is segmented left-to-right, always taking
+    the longest vocab piece that prefixes the remainder.
+
+    100 TB shape: like the unigram trainer, the raw corpus is touched ONCE
+    (the word histogram — map-side combined, vocabulary-bounded); the gram
+    mining explodes the HISTOGRAM (|distinct words| x piece positions), and
+    the greedy encode iterates over histogram rows with a broadcast vocab:
+    round r advances every still-unfinished word by one piece (one
+    broadcast join + per-word argmax on piece length), so rounds are
+    bounded by max word length (a constant ~dozens), never corpus size,
+    and each round's state is |unfinished words| rows, persisted to keep
+    lineage flat. Per-document token counts then follow from one join
+    against the histogram — the nightly-encode shape. All string/integer
+    ops; no floats anywhere."""
+    docs = _docs(spark, sf_dir)
+    words = spread(
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+    )
+    words = track_persist(words)
+    chars = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        ).alias("piece")
+    ).distinct()
+    g1 = words.select(
+        "word",
+        "wcount",
+        F.explode(F.expr(f"sequence(2, {WP_MAX_PIECE})")).alias("l"),
+    ).filter(F.length("word") >= F.col("l"))
+    g2 = g1.select(
+        F.col("wcount"),
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - l + 1), i -> substring(word, i, l))")
+        ).alias("piece"),
+    )
+    gw = g2.groupBy("piece").agg(F.sum("wcount").alias("weight"))
+    # |grams|-sized rank (the text_vocab_topk precedent): bounded by the
+    # histogram's piece inventory, never the corpus
+    wtop = Window.orderBy(F.col("weight").desc(), F.col("piece"))
+    top = (
+        gw.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= WP_TOP_GRAMS)
+        .select("piece")
+    )
+    vocab = track_persist(
+        chars.union(top).distinct().withColumn("plen", F.length("piece"))
+    )
+
+    max_len = words.agg(F.max(F.length("word"))).first()[0]
+    active = words.select(
+        "word",
+        F.length("word").alias("wlen"),
+        F.lit(1).alias("pos"),
+        F.lit("").alias("encoded"),
+        F.lit(0).cast("long").alias("n_pieces"),
+    )
+    w_pick = Window.partitionBy("word").orderBy(F.col("plen").desc())
+    done_parts = []
+    for _rnd in range(int(max_len)):
+        cand = active.join(
+            F.broadcast(vocab),
+            F.expr("substring(word, pos, plen)") == F.col("piece"),
+        )
+        stepped = (
+            cand.withColumn("rn", F.row_number().over(w_pick))
+            .filter(F.col("rn") == 1)
+            .select(
+                "word",
+                "wlen",
+                (F.col("pos") + F.col("plen")).alias("pos"),
+                F.when(F.col("n_pieces") == 0, F.col("piece"))
+                .otherwise(F.concat("encoded", F.lit(" "), F.col("piece")))
+                .alias("encoded"),
+                (F.col("n_pieces") + 1).alias("n_pieces"),
+            )
+        )
+        stepped = track_persist(stepped)
+        done_parts.append(stepped.filter(F.col("pos") > F.col("wlen")))
+        active = stepped.filter(F.col("pos") <= F.col("wlen"))
+        # one driver scalar per round (the sanctioned convergence-check
+        # collect class); also materializes this round's persist
+        if active.count() == 0:
+            break
+    else:
+        raise RuntimeError(
+            "wordpiece encode did not terminate within max word length rounds"
+        )
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.union(p)
+    return out.join(words, "word").select("word", "wcount", "n_pieces", "encoded")

@@ -131,3 +131,61 @@ def test_encode_is_run_deterministic(spark):
     a = {(r.doc_id, r.pieces_str) for r in unigram_encode_corpus(spark, SF_SMOKE).collect()}
     b = {(r.doc_id, r.pieces_str) for r in unigram_encode_corpus(spark, SF_SMOKE).collect()}
     assert a == b
+
+
+# --- WordPiece greedy longest-match encode ---------------------------------------
+
+
+def test_wordpiece_matches_python_greedy(spark):
+    import duckdb
+
+    SF = SF_SMOKE
+
+    from kinesis_demo_spark.queries.tokenizer import (
+        WP_MAX_PIECE,
+        WP_TOP_GRAMS,
+        wordpiece_encode_words,
+    )
+
+    con = duckdb.connect()
+    texts = [
+        t
+        for (t,) in con.execute(
+            f"SELECT text FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    ]
+    con.close()
+    wcount = Counter(w for t in texts for w in t.split(" ") if w != "")
+    # vocabulary: all chars + top multi-grams by count-weighted frequency
+    vocab = {c for w in wcount for c in w}
+    gweight = Counter()
+    for w, c in wcount.items():
+        for l in range(2, WP_MAX_PIECE + 1):
+            for i in range(len(w) - l + 1):
+                gweight[w[i : i + l]] += c
+    top = sorted(gweight.items(), key=lambda kv: (-kv[1], kv[0]))[:WP_TOP_GRAMS]
+    vocab |= {p for p, _ in top}
+
+    def encode(w: str) -> list[str]:
+        out, pos = [], 0
+        while pos < len(w):
+            for l in range(min(WP_MAX_PIECE, len(w) - pos), 0, -1):
+                if w[pos : pos + l] in vocab:
+                    out.append(w[pos : pos + l])
+                    pos += l
+                    break
+        return out
+
+    got = {r.word: r for r in wordpiece_encode_words(spark, SF).collect()}
+    assert set(got) == set(wcount)
+    multi = 0
+    for w, c in wcount.items():
+        pieces = encode(w)
+        r = got[w]
+        assert r.wcount == c
+        assert r.n_pieces == len(pieces)
+        assert r.encoded == " ".join(pieces)
+        assert "".join(pieces) == w  # lossless
+        multi += len(pieces) > 1
+    # the greedy matcher must actually split something on this fixture
+    assert multi > 0

@@ -232,6 +232,18 @@ HEADLINE = (
     "streaming_session_windows",
     "prefix_cache_grouping",
     "coreset_kcenter_selection",
+    # r7 wave 4/5: selection, classification, re-ranking, privacy, IR eval,
+    # survivorship, forecasting, PRF retrieval, subword encode
+    "exact_quantiles_selection",
+    "knn_label_vote",
+    "mmr_rerank_topk",
+    "contamination_ngram_fraction",
+    "er_golden_record",
+    "holt_linear_forecast",
+    "retrieval_eval_metrics",
+    "k_anonymity_report",
+    "prf_query_expansion",
+    "wordpiece_encode_words",
 )
 
 

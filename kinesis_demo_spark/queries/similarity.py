@@ -1803,12 +1803,14 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("relevance").desc(), F.col("neighbor_id")
     )
-    # Each round's pick is persisted (|queries| rows): round r references the
-    # running selection THREE times (anti-join, max-sim source, union), so as
-    # pure lineage the re-evaluation count grows 3^rounds — with cached picks
-    # the union of rounds 1..r-1 is constant-cost and the loop stays linear.
+    # Each round's pick is localCheckpointed (|queries| rows): round r
+    # references the running selection THREE times (anti-join, max-sim
+    # source, union), so as pure lineage the re-evaluation count grows
+    # 3^rounds AND the final plan re-embeds every prior round (the audited
+    # dedup_clusters lesson). The checkpoint materializes each pick eagerly
+    # and cuts it to a leaf — the returned plan is a flat 5-way union.
     picks = [
-        track_persist(
+        track_checkpoint(
             cand.withColumn("r1", F.row_number().over(w1))
             .filter(F.col("r1") == 1)
             .select(
@@ -1845,7 +1847,7 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mmr_score").desc(), F.col("neighbor_id")
         )
         picks.append(
-            track_persist(
+            track_checkpoint(
                 scored_r.withColumn("rr", F.row_number().over(wr))
                 .filter(F.col("rr") == 1)
                 .select(

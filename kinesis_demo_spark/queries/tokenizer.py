@@ -38,7 +38,7 @@ from fractions import Fraction
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from ..io import load_table, spread, track_persist
+from ..io import load_table, spread, track_checkpoint, track_persist
 from ..registry import register
 
 UNI_MAX_PIECE = 6     # max piece length seeded from word substrings
@@ -377,12 +377,24 @@ def wordpiece_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_pick = Window.partitionBy("word").orderBy(F.col("plen").desc())
     done_parts = []
     for _rnd in range(int(max_len)):
-        cand = active.join(
-            F.broadcast(vocab),
-            F.expr("substring(word, pos, plen)") == F.col("piece"),
-        )
+        # EQUI-join on the candidate substring, never a substring-match theta
+        # join (a theta join plans as BroadcastNestedLoop — O(|active| x
+        # |vocab|) row comparisons, which dies when both sides are large at
+        # scale): each active word emits its <= {WP_MAX_PIECE} candidate
+        # prefixes of the remainder, and the vocab lookup hashes on them.
+        cand = active.select(
+            "word",
+            "wlen",
+            "pos",
+            "encoded",
+            "n_pieces",
+            F.explode(
+                F.expr(f"sequence(1, least({WP_MAX_PIECE}, wlen - pos + 1))")
+            ).alias("l"),
+        ).withColumn("piece", F.expr("substring(word, pos, l)"))
+        matched = cand.join(F.broadcast(vocab), "piece")
         stepped = (
-            cand.withColumn("rn", F.row_number().over(w_pick))
+            matched.withColumn("rn", F.row_number().over(w_pick))
             .filter(F.col("rn") == 1)
             .select(
                 "word",
@@ -394,7 +406,11 @@ def wordpiece_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_pieces") + 1).alias("n_pieces"),
             )
         )
-        stepped = track_persist(stepped)
+        # localCheckpoint, not persist: each round's plan references the
+        # previous round's, so without lineage truncation the FINAL plan
+        # re-embeds every round (the dedup_clusters lesson); the checkpoint
+        # cuts each round to a leaf and the output is a flat union.
+        stepped = track_checkpoint(stepped)
         done_parts.append(stepped.filter(F.col("pos") > F.col("wlen")))
         active = stepped.filter(F.col("pos") <= F.col("wlen"))
         # one driver scalar per round (the sanctioned convergence-check

@@ -151,7 +151,12 @@ PRIORITY_ORDER = (
     # text_intradoc_repeats, chunk_reassembly_roundtrip, ann_recall_report,
     # streaming_session_windows, prefix_cache_grouping,
     # coreset_kcenter_selection — all hostile-session
-    # verified at sf0.01 AND sf0.1. The unigram
+    # verified at sf0.01 AND sf0.1. The r7 fourth/fifth waves extend the
+    # pool the same way (hostile-session verified at sf0.001 AND sf0.01 +
+    # the sf0.1 sweep): exact_quantiles_selection, knn_label_vote,
+    # mmr_rerank_topk, contamination_ngram_fraction, er_golden_record,
+    # holt_linear_forecast, retrieval_eval_metrics, k_anonymity_report,
+    # prf_query_expansion, wordpiece_encode_words. The unigram
     # tokenizer pair is rows-only by necessity (EM/Viterbi;
     # independent-reference differential in tests/test_tokenizer.py) —
     # never cap slots.

@@ -96,6 +96,17 @@ PROBES = (
     "ann_recall_report",              # exact-vs-LSH top-k outer join
     "streaming_session_windows",      # merging session state drain
     "benford_first_digit_dq",         # 9-key digit aggregate
+    # r7 wave 4/5: selection / classification / re-ranking / privacy / IR
+    "exact_quantiles_selection",      # two-pass histogram k-selection
+    "knn_label_vote",                 # broadcast exact top-k + vote agg
+    "mmr_rerank_topk",                # shortlist + unrolled greedy rounds
+    "contamination_ngram_fraction",   # train-set semi-join over shingles
+    "er_golden_record",               # CC labels + per-field mode aggs
+    "holt_linear_forecast",           # hourly pre-agg + per-user fold
+    "retrieval_eval_metrics",         # exact + LSH judge join + rank fold
+    "k_anonymity_report",             # one metadata aggregate
+    "prf_query_expansion",            # postings join x2 + feedback mining
+    "wordpiece_encode_words",         # histogram grams + greedy match rounds
     "prefix_cache_grouping",          # min/max-LCP shared-prefix batching
     "coreset_kcenter_selection",      # K broadcast-center scans + argmax rounds
 )

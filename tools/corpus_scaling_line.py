@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Three-decade scaling line for the corpus-pipeline families (dedup / ANN /
+text): warm times at sf0.01 and sf0.1 (driver fixtures) and sf1 (the
+deterministic 10x replication `tools/gen_sf1_docs.py` builds), with the
+observed per-decade exponent
+
+    alpha = log10(t_big / t_small)
+
+for each decade. SCALE_PROBE.json covers one decade (0.01 -> 0.1), where
+fixed session overhead biases every alpha down; the third decade is where a
+hidden quadratic candidate generator would finally dominate — a pair-
+explosion shape reads alpha ~2 on 0.1 -> 1 even if overhead masked it on
+the small step. The sf1 replication is built so near-dup candidate volume
+scales LINEARLY by construction (see gen_sf1_docs.py), i.e. like a real
+growing corpus; a superlinear read here is the plan's fault, not the data's.
+
+Writes SCALING_SF1.json. Usage:
+    python tools/gen_sf1_docs.py            # build /tmp/sf1 once
+    python tools/corpus_scaling_line.py     # measure + write the artifact
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kinesis_demo_spark.io import release_persisted
+from kinesis_demo_spark.registry import all_queries
+from kinesis_demo_spark.session import get_spark
+
+# Corpus-pipeline representatives whose inputs are documents/embeddings only
+# (the sf1 dir carries just those two tables).
+QUERIES = (
+    "dedup_exact_text",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard_df_capped",
+    "dedup_substring_runs",
+    "contamination_ngram_fraction",
+    "text_tfidf",
+    "text_vocab_topk",
+    "ann_cosine_topk_lsh",
+    "ann_pq_adc_topk",
+    "ann_hamming_binary",
+    "wordpiece_encode_words",
+)
+
+SF_DIRS = (
+    ("0.01", "/root/testdata/sf0.01"),
+    ("0.1", "/root/testdata/sf0.1"),
+    ("1", os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")),
+)
+RUNS = 2  # warm = min of 2 (the 3rd run buys little at sf1 cost)
+
+
+def main() -> int:
+    sf1_docs = os.path.join(SF_DIRS[2][1], "documents.parquet")
+    if not os.path.exists(sf1_docs):
+        print(f"missing {sf1_docs}; run tools/gen_sf1_docs.py first", file=sys.stderr)
+        return 1
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    report: dict[str, dict] = {}
+    for name in QUERIES:
+        fn = qs[name]
+        times: dict[str, float] = {}
+        for label, sf_dir in SF_DIRS:
+            best = math.inf
+            for _ in range(RUNS):
+                t0 = time.monotonic()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.monotonic() - t0)
+                release_persisted()
+            times[f"t_sf{label}"] = round(best, 3)
+        a1 = math.log10(times["t_sf0.1"] / times["t_sf0.01"])
+        a2 = math.log10(times["t_sf1"] / times["t_sf0.1"])
+        report[name] = {
+            **times,
+            "alpha_0.01_to_0.1": round(a1, 2),
+            "alpha_0.1_to_1": round(a2, 2),
+        }
+        print(
+            f"{name:32s} {times['t_sf0.01']:7.2f}s {times['t_sf0.1']:7.2f}s "
+            f"{times['t_sf1']:8.2f}s  a={a1:5.2f} / {a2:5.2f}",
+            file=sys.stderr,
+        )
+    worst = max(v["alpha_0.1_to_1"] for v in report.values())
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING_SF1.json",
+    )
+    with open(out, "w") as fh:
+        json.dump(report, fh, indent=2, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps({"n": len(report), "max_alpha_0.1_to_1": worst}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

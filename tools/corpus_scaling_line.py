@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Three-decade scaling line for the corpus-pipeline families (dedup / ANN /
-text): warm times at sf0.01 and sf0.1 (driver fixtures) and sf1 (the
+text) and the events-analytics families (windows / funnels / sessionization
+/ selection): warm times at sf0.01 and sf0.1 (driver fixtures) and sf1 (the
 deterministic 10x replication `tools/gen_sf1_docs.py` builds), with the
 observed per-decade exponent
 
@@ -15,7 +16,8 @@ scales LINEARLY by construction (see gen_sf1_docs.py), i.e. like a real
 growing corpus; a superlinear read here is the plan's fault, not the data's.
 
 Writes SCALING_SF1.json. Usage:
-    python tools/gen_sf1_docs.py            # build /tmp/sf1 once
+    python tools/gen_sf1_docs.py            # build /tmp/sf1 docs+emb once
+    python tools/gen_sf1_events.py          # build /tmp/sf1 events once
     python tools/corpus_scaling_line.py     # measure + write the artifact
 """
 
@@ -47,6 +49,18 @@ QUERIES = (
     "ann_pq_adc_topk",
     "ann_hamming_binary",
     "wordpiece_encode_words",
+    # events-based analytics representatives (gen_sf1_events.py builds the
+    # sf1 events table into the same dir; 10x users at the same cadence)
+    "funnel_user_stages",
+    "hopping_window_counts",
+    "sessionize_events",
+    "window_lag_lead_user_values",
+    "rolling_active_users",
+    "twap_value_per_user",
+    "timeseries_hourly_gapfill",
+    "holt_linear_forecast",
+    "exact_quantiles_selection",
+    "event_transition_matrix",
 )
 
 SF_DIRS = (
@@ -58,10 +72,11 @@ RUNS = 2  # warm = min of 2 (the 3rd run buys little at sf1 cost)
 
 
 def main() -> int:
-    sf1_docs = os.path.join(SF_DIRS[2][1], "documents.parquet")
-    if not os.path.exists(sf1_docs):
-        print(f"missing {sf1_docs}; run tools/gen_sf1_docs.py first", file=sys.stderr)
-        return 1
+    for table, gen in (("documents", "gen_sf1_docs"), ("events", "gen_sf1_events")):
+        path = os.path.join(SF_DIRS[2][1], f"{table}.parquet")
+        if not os.path.exists(path):
+            print(f"missing {path}; run tools/{gen}.py first", file=sys.stderr)
+            return 1
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()

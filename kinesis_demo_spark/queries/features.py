@@ -191,3 +191,98 @@ def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("e2").alias("edge_q50"),
         F.min("e3").alias("edge_q75"),
     )
+
+
+# --- exact z-score standardization profile ------------------------------------------
+
+Z_BUCKET_SCALE = 2  # bucket = floor(z * 2): half-sigma-wide bins
+
+
+@register(
+    "feature_standardize",
+    oracle=f"""
+WITH stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+         CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sq
+  FROM events GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n,
+         s / n AS mean,
+         sqrt(sq / n - (s / n) * (s / n)) AS std
+  FROM stats
+),
+z AS (
+  SELECT e.event_type,
+         (e.value - m.mean) / m.std AS z,
+         m.mean, m.std, m.n
+  FROM events e JOIN m ON m.event_type = e.event_type
+  WHERE m.std > 0
+)
+SELECT event_type,
+       CAST(floor(z * {Z_BUCKET_SCALE}) AS BIGINT) AS z_bucket,
+       count(*) AS n_rows,
+       min(z) AS z_lo,
+       max(z) AS z_hi,
+       min(mean) AS mean,
+       min(std) AS std
+FROM z
+GROUP BY event_type, CAST(floor(z * {Z_BUCKET_SCALE}) AS BIGINT)
+""",
+)
+def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group z-score standardization, profiled as a half-sigma
+    histogram — the feature-scaling step (and its sanity check: a healthy
+    feature concentrates mass in |z| < 3; heavy far-tail buckets mean the
+    raw feature needs clipping or a log transform before training).
+    mean = sum/n and std = sqrt(E[x^2] - mean^2) from DECIMAL-exact sums,
+    so the only float steps are two divisions, one subtraction, one IEEE
+    sqrt, and the per-row (x - mean)/std — every one written with identical
+    parenthesization in both engines, no commutative float fold anywhere.
+
+    Scale shape: one map-side-combined moment aggregate (|groups| rows), a
+    broadcast join back to the stream, and one (group, bucket) aggregate —
+    two scans, zero windows. Degenerate zero-variance groups are excluded
+    identically in both engines (std > 0) rather than emitting
+    engine-specific inf/NULL division artifacts."""
+    ev = _events(spark, sf_dir)
+    dec = F.col("value").cast("decimal(18,2)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("sq"),
+    )
+    m = stats.select(
+        "event_type",
+        "n",
+        (F.col("s") / F.col("n")).alias("mean"),
+        F.sqrt(
+            F.col("sq") / F.col("n")
+            - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+        ).alias("std"),
+    )
+    z = (
+        ev.join(F.broadcast(m), "event_type")
+        .filter(F.col("std") > 0)
+        .select(
+            "event_type",
+            ((F.col("value") - F.col("mean")) / F.col("std")).alias("z"),
+            "mean",
+            "std",
+        )
+    )
+    return (
+        z.groupBy(
+            "event_type",
+            F.floor(F.col("z") * Z_BUCKET_SCALE).cast("long").alias("z_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("z").alias("z_lo"),
+            F.max("z").alias("z_hi"),
+            F.min("mean").alias("mean"),
+            F.min("std").alias("std"),
+        )
+    )

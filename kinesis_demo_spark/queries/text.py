@@ -62,9 +62,9 @@ def _marker_hits_sql(lang: str) -> str:
     )
 
 
-@register(
-    "text_lang_id",
-    oracle=f"""
+# Shared by text_lang_id and langid_confusion_matrix: per-doc marker hits +
+# argmax prediction with fixed precedence, as a reusable oracle SELECT.
+_LANGID_ORACLE = f"""
 WITH scored AS (
   SELECT doc_id, lang AS labeled_lang,
          {", ".join(f"{_marker_hits_sql(lg)} AS hits_{lg}" for lg in LANG_ORDER)}
@@ -76,8 +76,10 @@ SELECT doc_id, labeled_lang, {", ".join(f"hits_{lg}" for lg in LANG_ORDER)},
          ELSE 'und'
        END AS predicted_lang
 FROM scored
-""",
-)
+"""
+
+
+@register("text_lang_id", oracle=_LANGID_ORACLE)
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID: count function-word hits per language,
     argmax with fixed precedence ({" > ".join(LANG_ORDER)}), 'und' when no
@@ -1301,4 +1303,56 @@ def chunk_reassembly_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chunks").cast("long").alias("n_chunks"),
         F.length("text").cast("long").alias("orig_chars"),
         (F.col("reassembled") == F.col("text")).alias("roundtrip_ok"),
+    )
+
+
+# --- language-ID confusion matrix (classifier evaluation on the surface) -----------
+
+
+@register(
+    "langid_confusion_matrix",
+    oracle=f"""
+WITH pred AS ({_LANGID_ORACLE}),
+tot AS (
+  SELECT labeled_lang, count(*) AS labeled_total FROM pred GROUP BY labeled_lang
+)
+SELECT p.labeled_lang, p.predicted_lang,
+       count(*) AS n,
+       any_value(t.labeled_total) AS labeled_total,
+       CAST(count(*) AS DOUBLE) / any_value(t.labeled_total) AS frac_of_labeled,
+       p.labeled_lang = p.predicted_lang AS is_correct
+FROM pred p JOIN tot t ON t.labeled_lang = p.labeled_lang
+GROUP BY p.labeled_lang, p.predicted_lang
+""",
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-marker language classifier against
+    the corpus's labeled `lang` — classifier EVALUATION on the engine
+    surface (the retrieval_eval_metrics precedent applied to
+    classification): per (labeled, predicted) cell, the count and its share
+    of the labeled class (= per-class recall on the diagonal, the specific
+    confusions off it). This is the table that decides whether the cheap
+    n-gram heuristic is good enough to route documents, and which language
+    pairs need a stronger model.
+
+    Scale shape: the per-doc prediction is the text_lang_id scan (per-row
+    expressions, no shuffle); the matrix is ONE (labeled, predicted) keyed
+    aggregate plus a broadcast-size per-class total join — |langs|^2 output
+    rows regardless of corpus size. The share is a single exact division."""
+    pred = text_lang_id(spark, sf_dir).select("labeled_lang", "predicted_lang")
+    tot = pred.groupBy("labeled_lang").agg(F.count(F.lit(1)).alias("labeled_total"))
+    return (
+        pred.groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(tot), "labeled_lang")
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            "n",
+            "labeled_total",
+            (F.col("n").cast("double") / F.col("labeled_total")).alias(
+                "frac_of_labeled"
+            ),
+            (F.col("labeled_lang") == F.col("predicted_lang")).alias("is_correct"),
+        )
     )

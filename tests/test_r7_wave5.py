@@ -200,3 +200,67 @@ def test_prf_matches_python_pipeline(spark):
     assert [r.doc_id for r in rows] != plain or any(
         t not in q0 for t in expansion
     )
+
+
+# --- langid_confusion_matrix -----------------------------------------------------
+
+
+def test_langid_confusion_matches_per_doc_predictions(spark):
+    from kinesis_demo_spark.queries.text import langid_confusion_matrix, text_lang_id
+
+    pred = [(r.labeled_lang, r.predicted_lang) for r in text_lang_id(spark, SF).collect()]
+    totals = Counter(l for l, _ in pred)
+    cells = Counter(pred)
+    rows = {(r.labeled_lang, r.predicted_lang): r for r in langid_confusion_matrix(spark, SF).collect()}
+    assert set(rows) == set(cells)
+    for (lab, prd), n in cells.items():
+        r = rows[(lab, prd)]
+        assert r.n == n
+        assert r.labeled_total == totals[lab]
+        assert r.frac_of_labeled == n / totals[lab]
+        assert r.is_correct == (lab == prd)
+    assert sum(r.n for r in rows.values()) == len(pred)
+    # the heuristic must be informative: diagonal mass beats any single
+    # off-diagonal cell for at least one language
+    diag = [r.n for r in rows.values() if r.is_correct]
+    assert diag and max(diag) > 0
+
+
+# --- feature_standardize ------------------------------------------------------------
+
+
+def test_feature_standardize_matches_python(spark):
+    from decimal import Decimal
+
+    from kinesis_demo_spark.queries.features import Z_BUCKET_SCALE, feature_standardize
+
+    ev = _duck(f"SELECT event_type, value FROM '{SF}/events.parquet'")
+    groups = defaultdict(list)
+    for et, v in ev:
+        groups[et].append(v)
+    expect = defaultdict(lambda: [0, math.inf, -math.inf])
+    params = {}
+    for et, vals in groups.items():
+        n = len(vals)
+        s = float(sum(Decimal(f"{v:.2f}") for v in vals))
+        sq = float(sum(Decimal(f"{v:.2f}") * Decimal(f"{v:.2f}") for v in vals))
+        mean = s / n
+        std = math.sqrt(sq / n - (s / n) * (s / n))
+        if std <= 0:
+            continue
+        params[et] = (mean, std)
+        for v in vals:
+            z = (v - mean) / std
+            b = math.floor(z * Z_BUCKET_SCALE)
+            cell = expect[(et, b)]
+            cell[0] += 1
+            cell[1] = min(cell[1], z)
+            cell[2] = max(cell[2], z)
+    rows = {(r.event_type, r.z_bucket): r for r in feature_standardize(spark, SF).collect()}
+    assert set(rows) == set(expect)
+    for key, (n, lo, hi) in expect.items():
+        r = rows[key]
+        assert r.n_rows == n
+        assert r.z_lo == lo
+        assert r.z_hi == hi
+        assert (r.mean, r.std) == params[key[0]]

@@ -1128,3 +1128,177 @@ def prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(echo))
         .select("doc_id", "score", "n_query_terms_hit", "rnk", "expansion_terms")
     )
+
+
+# --- one-row corpus datacard ----------------------------------------------------
+
+
+@register(
+    "corpus_datacard",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, source, md5(text) AS digest,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         string_split(text, ' ') AS toks
+  FROM documents
+),
+tok AS (SELECT unnest(toks) AS token FROM t),
+dups AS (
+  SELECT count(*) AS n FROM (
+    SELECT digest FROM t GROUP BY digest HAVING count(*) > 1
+  )
+),
+dup_docs AS (
+  SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM (
+    SELECT count(*) AS c FROM t GROUP BY digest HAVING count(*) > 1
+  )
+),
+len_median AS (
+  SELECT n_tokens AS v FROM (
+    SELECT n_tokens, row_number() OVER (ORDER BY n_tokens) AS rn,
+           count(*) OVER () AS n
+    FROM t) WHERE rn = (n + 1) // 2
+)
+SELECT
+  (SELECT count(*) FROM t) AS n_docs,
+  (SELECT CAST(sum(n_tokens) AS BIGINT) FROM t) AS total_tokens,
+  (SELECT count(DISTINCT token) FROM tok WHERE token <> '') AS distinct_tokens,
+  (SELECT count(DISTINCT lang) FROM t) AS n_langs,
+  (SELECT count(DISTINCT source) FROM t) AS n_sources,
+  (SELECT n FROM dup_docs) AS exact_dup_docs,
+  (SELECT n FROM dups) AS exact_dup_groups,
+  (SELECT v FROM len_median) AS median_doc_tokens,
+  CAST((SELECT sum(n_tokens) FROM t) AS DOUBLE) / (SELECT count(*) FROM t)
+    AS mean_doc_tokens
+""",
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus DATACARD — the dataset-documentation summary (Gebru et
+    al.'s datasheets; every model card's training-data section): document
+    and token volume, vocabulary size, language/source diversity, exact-
+    duplicate exposure (docs in >1-member digest groups and group count),
+    and central doc-length statistics. The single row is what a release
+    pipeline stamps next to the shipped shards.
+
+    Scale shape: every statistic is a map-side-combinable aggregate over
+    ONE tokenize pass (token distinct is the only wide intermediate —
+    vocabulary-bounded); the exact median comes from the distinct-length
+    histogram (lengths are horizon-bounded integers, so the rank scan is
+    metadata-sized — the feature_quantile_binning trick, not a global
+    sort). Exactly one output row at any corpus size."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5("text").alias("digest"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    t = track_persist(t)
+    base = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .agg(F.countDistinct("token").alias("distinct_tokens"))
+    )
+    dup_groups = (
+        t.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("exact_dup_docs"),
+            F.count(F.lit(1)).alias("exact_dup_groups"),
+        )
+    )
+    # exact median doc length from the distinct-length histogram
+    hist = t.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("n_tokens")
+    med = (
+        hist.select(
+            "n_tokens",
+            F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+            F.sum("cnt").over(
+                Window.orderBy(F.lit(1)).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("n"),
+        )
+        .filter(F.col("cum") * 2 >= F.col("n") + 1)
+        .agg(F.min("n_tokens").alias("median_doc_tokens"))
+    )
+    return (
+        base.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(dup_groups))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "n_docs",
+            "total_tokens",
+            "distinct_tokens",
+            "n_langs",
+            "n_sources",
+            "exact_dup_docs",
+            "exact_dup_groups",
+            "median_doc_tokens",
+            (
+                F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+            ).alias("mean_doc_tokens"),
+        )
+    )
+
+
+# --- word2vec negative-sampling table ----------------------------------------------
+
+
+@register(
+    "negative_sampling_table",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+cnt AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok WHERE token <> '' GROUP BY token
+)
+SELECT token, cnt,
+       sqrt(CAST(cnt AS DOUBLE) * sqrt(CAST(cnt AS DOUBLE))) AS weight,
+       CAST(row_number() OVER (
+         ORDER BY sqrt(CAST(cnt AS DOUBLE) * sqrt(CAST(cnt AS DOUBLE))) DESC,
+                  token) AS BIGINT) AS rnk
+FROM cnt
+""",
+)
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style negative-sampling table (Mikolov et al.): per-token
+    sampling weight proportional to count^(3/4) — the published temper that
+    keeps frequent tokens from dominating the negative draws without
+    flattening to uniform. The 0.75 power needs no libm: x^(3/4) =
+    sqrt(x * sqrt(x)), and IEEE-754 requires sqrt to be correctly rounded,
+    so both engines produce the identical double bit-for-bit (the same
+    determinism class as the engine's other sqrt uses). Weights are emitted
+    UN-normalized with a deterministic rank — normalization is a single
+    scalar at sample time, and emitting it here would require a
+    commutative float SUM over the vocabulary, which neither engine orders
+    deterministically.
+
+    Scale shape: one tokenize pass with map-side combine into the
+    vocabulary-bounded count table; the rank is a |vocab|-sized window (the
+    text_vocab_topk precedent). The table is the broadcast input to any
+    contrastive/skip-gram sampler downstream (skipgram_pair_counts)."""
+    cnt = (
+        _docs(spark, sf_dir)
+        .select(F.explode(_tokens()).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    weight = F.sqrt(F.col("cnt").cast("double") * F.sqrt(F.col("cnt").cast("double")))
+    w = Window.orderBy(F.col("weight").desc(), F.col("token"))
+    return (
+        cnt.select("token", "cnt", weight.alias("weight"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+    )

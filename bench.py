@@ -244,6 +244,10 @@ HEADLINE = (
     "k_anonymity_report",
     "prf_query_expansion",
     "wordpiece_encode_words",
+    "langid_confusion_matrix",
+    "feature_standardize",
+    "corpus_datacard",
+    "negative_sampling_table",
 )
 
 

@@ -156,7 +156,8 @@ PRIORITY_ORDER = (
     # the sf0.1 sweep): exact_quantiles_selection, knn_label_vote,
     # mmr_rerank_topk, contamination_ngram_fraction, er_golden_record,
     # holt_linear_forecast, retrieval_eval_metrics, k_anonymity_report,
-    # prf_query_expansion, wordpiece_encode_words. The unigram
+    # prf_query_expansion, wordpiece_encode_words, langid_confusion_matrix,
+    # feature_standardize, corpus_datacard, negative_sampling_table. The unigram
     # tokenizer pair is rows-only by necessity (EM/Viterbi;
     # independent-reference differential in tests/test_tokenizer.py) —
     # never cap slots.

@@ -107,6 +107,10 @@ PROBES = (
     "k_anonymity_report",             # one metadata aggregate
     "prf_query_expansion",            # postings join x2 + feedback mining
     "wordpiece_encode_words",         # histogram grams + greedy match rounds
+    "langid_confusion_matrix",        # per-row scan + |langs|^2 aggregate
+    "feature_standardize",            # moment agg + broadcast z join
+    "corpus_datacard",                # one-pass multi-aggregate summary
+    "negative_sampling_table",        # vocab count + x^0.75 rank
     "prefix_cache_grouping",          # min/max-LCP shared-prefix batching
     "coreset_kcenter_selection",      # K broadcast-center scans + argmax rounds
 )

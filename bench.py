@@ -248,6 +248,8 @@ HEADLINE = (
     "feature_standardize",
     "corpus_datacard",
     "negative_sampling_table",
+    "rbo_rank_agreement",
+    "epoch_shuffle_independence",
 )
 
 

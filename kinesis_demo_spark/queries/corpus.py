@@ -1302,3 +1302,88 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt.select("token", "cnt", weight.alias("weight"))
         .withColumn("rnk", F.row_number().over(w).cast("long"))
     )
+
+
+# --- rank-biased overlap between lexical and PRF rankings -----------------------------
+
+RBO_K = 10  # prefix depth; p = 1/2 so every weight is an exact power of two
+
+
+@register(
+    "rbo_rank_agreement",
+    oracle=f"""
+WITH bm AS ({_bm25_oracle()}),
+pr AS ({_prf_oracle()}),
+common AS (
+  SELECT greatest(b.rnk, p.rnk) AS dmin
+  FROM bm b JOIN pr p USING (doc_id)
+  WHERE b.rnk <= {RBO_K} AND p.rnk <= {RBO_K}
+),
+depths AS (SELECT unnest(range(1, {RBO_K} + 1)) AS d),
+ad AS (
+  SELECT d, CAST(count(c.dmin) AS BIGINT) AS a_d
+  FROM depths LEFT JOIN common c ON c.dmin <= d
+  GROUP BY d
+),
+terms AS (
+  SELECT d, a_d,
+         (CAST(a_d AS DOUBLE) / d) * (1.0 / CAST(1 << (d - 1) AS DOUBLE)) AS term
+  FROM ad
+)
+SELECT CAST({RBO_K} AS BIGINT) AS k,
+       (SELECT a_d FROM ad WHERE d = {RBO_K}) AS overlap_at_k,
+       0.5 * list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY d)),
+         (a, b) -> a + b) AS rbo_min
+FROM terms
+""",
+)
+def rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between the plain BM25
+    top-{RBO_K} and the PRF-expanded top-{RBO_K} — the top-weighted
+    rank-agreement metric that answers "how much did query expansion
+    actually change what users see", where Kendall/Spearman over-weight the
+    tail. Reported as prefix RBO at depth k (the RBO_min convention) with
+    persistence p = 1/2: every depth weight p^(d-1) is an exact power of
+    two (computed by integer shift, never libm pow), the per-depth
+    agreement A_d is an integer, and the weighted sum folds in depth order
+    — bit-identical across engines.
+
+    Scale shape: composes two TakeOrdered rankings (each {RBO_K} rows), one
+    {RBO_K}x{RBO_K}-bounded join, and a {RBO_K}-row depth grid — constant
+    work on top of the rankings at any corpus size. One output row."""
+    bm = text_bm25_topk(spark, sf_dir).filter(F.col("rnk") <= RBO_K).select(
+        "doc_id", F.col("rnk").alias("rb")
+    )
+    pr = prf_query_expansion(spark, sf_dir).filter(F.col("rnk") <= RBO_K).select(
+        "doc_id", F.col("rnk").alias("rp")
+    )
+    common = bm.join(pr, "doc_id").select(
+        F.greatest("rb", "rp").alias("dmin")
+    )
+    depths = spark.range(1, RBO_K + 1).select(F.col("id").alias("d"))
+    ad = (
+        depths.join(F.broadcast(common), F.col("dmin") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("dmin").alias("a_d"))
+    )
+    terms = ad.select(
+        "d",
+        "a_d",
+        (
+            (F.col("a_d").cast("double") / F.col("d"))
+            * F.expr("1.0 / CAST(shiftleft(1, CAST(d - 1 AS INT)) AS DOUBLE)")
+        ).alias("term"),
+    )
+    return terms.agg(
+        F.lit(RBO_K).cast("long").alias("k"),
+        F.max(F.when(F.col("d") == RBO_K, F.col("a_d"))).alias("overlap_at_k"),
+        (
+            F.lit(0.5)
+            * F.aggregate(
+                F.array_sort(F.collect_list(F.struct("d", "term"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["term"],
+            )
+        ).alias("rbo_min"),
+    )

@@ -632,3 +632,134 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_doc_id",
         )
     )
+
+
+# --- epoch-shuffle independence audit -------------------------------------------
+
+EPOCH_SALT_A = "epoch0"  # == SHUFFLE_SALT: the order training_order_shuffle emits
+EPOCH_SALT_B = "epoch1"  # next epoch's salt
+
+
+def _epoch_rank_sql(salt: str, alias: str) -> str:
+    """Global rank of each doc under one epoch salt — sharded exactly like
+    training_order_shuffle (per-shard window + offset table), restated for
+    the oracle as the equivalent single row_number (DuckDB has no 1-task
+    trap to avoid)."""
+    return f"""
+{alias} AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY {h60_sql(f"'{salt}|' || CAST(doc_id AS VARCHAR)")}, doc_id
+         ) AS r
+  FROM documents
+)"""
+
+
+@register(
+    "epoch_shuffle_independence",
+    oracle=f"""
+WITH {_epoch_rank_sql(EPOCH_SALT_A, "ra")},
+{_epoch_rank_sql(EPOCH_SALT_B, "rb")},
+j AS (
+  SELECT ra.doc_id, ra.r AS r1, rb.r AS r2 FROM ra JOIN rb USING (doc_id)
+),
+adj AS (
+  SELECT count(*) AS preserved
+  FROM j a JOIN j b ON b.r1 = a.r1 + 1
+  WHERE abs(b.r2 - a.r2) = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_sq_rank_diff,
+       1.0 - (6.0 * CAST(sum((r1 - r2) * (r1 - r2)) AS DOUBLE))
+           / (CAST(count(*) AS DOUBLE) * (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) - 1.0))
+         AS spearman_rho,
+       (SELECT CAST(preserved AS BIGINT) FROM adj) AS adjacent_pairs_preserved
+FROM j
+""",
+)
+def epoch_shuffle_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducibility AUDIT of the epoch shuffle: are two epochs' training
+    orders actually independent permutations? Compares epoch0's global
+    order (the exact order training_order_shuffle emits) against epoch1's:
+    Spearman's rho over the two rank assignments (integer sum of squared
+    rank differences — rho ~ 0 is the pass condition; rho near 1 would mean
+    the salt does not actually reshuffle) and the count of adjacent pairs
+    preserved between epochs (catches block-level correlation rho misses —
+    expected ~2 by chance at any n). A curriculum or dedup change that
+    accidentally couples epoch orders shows up here before it shows up as a
+    training-dynamics mystery.
+
+    Scale shape: ranks are computed the training_order_shuffle way —
+    per-shard windows over the uniform h60 key space plus a broadcast
+    {SHUFFLE_SHARDS}-row offset table, never a global window (the oracle
+    restates the same rank as one row_number; DuckDB has no 1-task trap).
+    The adjacency check joins on the unique rank r1+1 — one keyed shuffle.
+    The rho division is a single float expression over BIGINT-exact sums
+    (exact in a double up to n ~ 2M; past that the documented swap is the
+    same formula in DECIMAL)."""
+
+    # Range shards (key DIV width), NOT hash shards (key % n): concatenating
+    # per-shard ranks in shard order reproduces the GLOBAL key order only
+    # when shards are key-contiguous; a modulo shard interleaves keys and
+    # the concatenation would be a different permutation than the oracle's
+    # single row_number. h60 keys are uniform, so range shards stay
+    # balanced without any skew handling.
+    def epoch_rank_range(salt: str, out: str) -> DataFrame:
+        width = (1 << 60) // SHUFFLE_SHARDS
+        k = _docs(spark, sf_dir).select(
+            "doc_id",
+            h60(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string"))).alias(
+                "key"
+            ),
+        )
+        s = k.select(
+            "doc_id", "key", F.expr(f"CAST(key DIV {width} AS BIGINT)").alias("shard")
+        ).select(
+            "*",
+            F.row_number()
+            .over(Window.partitionBy("shard").orderBy("key", "doc_id"))
+            .cast("long")
+            .alias("pos"),
+        )
+        counts = s.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt"))
+        off = counts.select(
+            "shard",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("shard").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("off"),
+        )
+        return s.join(F.broadcast(off), "shard").select(
+            "doc_id", (F.col("off") + F.col("pos")).cast("long").alias(out)
+        )
+
+    r1 = epoch_rank_range(EPOCH_SALT_A, "r1")
+    r2 = epoch_rank_range(EPOCH_SALT_B, "r2")
+    j = r1.join(r2, "doc_id")
+    a = j.select(F.col("r1").alias("ar1"), F.col("r2").alias("ar2"))
+    b = j.select(F.col("r1").alias("br1"), F.col("r2").alias("br2"))
+    adj = (
+        a.join(b, F.col("br1") == F.col("ar1") + 1)
+        .filter(F.abs(F.col("br2") - F.col("ar2")) == 1)
+        .agg(F.count(F.lit(1)).alias("adjacent_pairs_preserved"))
+    )
+    d2 = (F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2"))
+    stats = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d2).alias("sum_sq_rank_diff"),
+    )
+    nd = F.col("n").cast("double")
+    return stats.crossJoin(F.broadcast(adj)).select(
+        "n",
+        "sum_sq_rank_diff",
+        (
+            F.lit(1.0)
+            - (F.lit(6.0) * F.col("sum_sq_rank_diff").cast("double"))
+            / (nd * (nd * nd - F.lit(1.0)))
+        ).alias("spearman_rho"),
+        "adjacent_pairs_preserved",
+    )

@@ -157,7 +157,8 @@ PRIORITY_ORDER = (
     # mmr_rerank_topk, contamination_ngram_fraction, er_golden_record,
     # holt_linear_forecast, retrieval_eval_metrics, k_anonymity_report,
     # prf_query_expansion, wordpiece_encode_words, langid_confusion_matrix,
-    # feature_standardize, corpus_datacard, negative_sampling_table. The unigram
+    # feature_standardize, corpus_datacard, negative_sampling_table,
+    # rbo_rank_agreement, epoch_shuffle_independence. The unigram
     # tokenizer pair is rows-only by necessity (EM/Viterbi;
     # independent-reference differential in tests/test_tokenizer.py) —
     # never cap slots.

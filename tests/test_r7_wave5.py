@@ -319,3 +319,76 @@ def test_negative_sampling_power_and_rank(spark):
     # ties break identically, so equality of the ORDERS is the signal
     by_count = sorted(rows.values(), key=lambda r: (-r.cnt, r.token))
     assert [r.token for r in order] == [r.token for r in by_count]  # x^0.75 is monotone
+
+
+# --- rbo_rank_agreement ----------------------------------------------------------
+
+
+def test_rbo_matches_python(spark):
+    from kinesis_demo_spark.queries.corpus import (
+        RBO_K,
+        prf_query_expansion,
+        rbo_rank_agreement,
+        text_bm25_topk,
+    )
+
+    bm = {r.doc_id: r.rnk for r in text_bm25_topk(spark, SF).collect() if r.rnk <= RBO_K}
+    pr = {r.doc_id: r.rnk for r in prf_query_expansion(spark, SF).collect() if r.rnk <= RBO_K}
+    a_d = {}
+    for d in range(1, RBO_K + 1):
+        a_d[d] = len(
+            {x for x, r in bm.items() if r <= d} & {x for x, r in pr.items() if r <= d}
+        )
+    acc = 0.0
+    for d in range(1, RBO_K + 1):
+        acc += (float(a_d[d]) / d) * (1.0 / float(1 << (d - 1)))
+    r = rbo_rank_agreement(spark, SF).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.k == RBO_K
+    assert r.overlap_at_k == a_d[RBO_K]
+    assert r.rbo_min == 0.5 * acc
+    assert 0.0 <= r.rbo_min <= 1.0
+
+
+# --- epoch_shuffle_independence ------------------------------------------------------
+
+
+def test_epoch_independence_matches_python(spark):
+    import hashlib
+
+    from kinesis_demo_spark.queries.filtering import (
+        EPOCH_SALT_A,
+        EPOCH_SALT_B,
+        epoch_shuffle_independence,
+    )
+
+    ids = [d for (d,) in _duck(f"SELECT doc_id FROM '{SF}/documents.parquet'")]
+
+    def h60py(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def ranks(salt: str) -> dict[int, int]:
+        order = sorted(ids, key=lambda d: (h60py(f"{salt}|{d}"), d))
+        return {d: i + 1 for i, d in enumerate(order)}
+
+    r1, r2 = ranks(EPOCH_SALT_A), ranks(EPOCH_SALT_B)
+    n = len(ids)
+    s2 = sum((r1[d] - r2[d]) ** 2 for d in ids)
+    rho = 1.0 - (6.0 * float(s2)) / (float(n) * (float(n) * float(n) - 1.0))
+    inv1 = {v: k for k, v in r1.items()}
+    preserved = sum(
+        1
+        for pos in range(1, n)
+        if abs(r2[inv1[pos]] - r2[inv1[pos + 1]]) == 1
+    )
+    r = epoch_shuffle_independence(spark, SF).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.n == n
+    assert r.sum_sq_rank_diff == s2
+    assert r.spearman_rho == rho
+    assert r.adjacent_pairs_preserved == preserved
+    # independence: the two epoch orders must be far from identical AND far
+    # from reversed (|rho| well under 1)
+    assert abs(r.spearman_rho) < 0.5

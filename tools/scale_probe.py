@@ -111,6 +111,8 @@ PROBES = (
     "feature_standardize",            # moment agg + broadcast z join
     "corpus_datacard",                # one-pass multi-aggregate summary
     "negative_sampling_table",        # vocab count + x^0.75 rank
+    "rbo_rank_agreement",             # two TakeOrdered rankings + depth grid
+    "epoch_shuffle_independence",     # two range-sharded ranks + r1+1 join
     "prefix_cache_grouping",          # min/max-LCP shared-prefix batching
     "coreset_kcenter_selection",      # K broadcast-center scans + argmax rounds
 )

@@ -82,8 +82,13 @@ def exact_quantiles_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = [(q, (n * q + 99) // 100) for q in SELECTION_QS]
 
     b = SELECTION_BUCKETS
-    if mx > mn:
-        width = (mx - mn) / b
+    # Degenerate-width guard (hypothesis-found): when the value range is
+    # subnormal, (mx-mn)/b UNDERFLOWS to 0.0 and the bucket division emits
+    # inf/NaN. Collapse to the single-bucket path — pass 2 then resolves the
+    # rank over the whole (tiny-range) column, which is still exact; only
+    # the pruning is lost, and only for a range narrower than ~1e-320.
+    width = (mx - mn) / b if mx > mn else 0.0
+    if width > 0.0:
         bucket_expr = F.least(
             F.floor((F.col("value") - F.lit(mn)) / F.lit(width)).cast("long"),
             F.lit(b - 1),

@@ -43,10 +43,13 @@ def _select_by_narrowing(values: list[float], q: int) -> tuple[int, float]:
     mn, mx = min(values), max(values)
     b = SELECTION_BUCKETS
 
+    width = (mx - mn) / b if mx > mn else 0.0
+
     def bucket(v: float) -> int:
-        if mx <= mn:
+        # mirrors the query's degenerate-width guard: a subnormal range
+        # underflows the width to 0.0 -> single bucket, pruning disabled
+        if width <= 0.0:
             return 0
-        width = (mx - mn) / b
         return min(int(math.floor((v - mn) / width)), b - 1)
 
     counts: dict[int, int] = {}

@@ -1363,7 +1363,7 @@ SELECT count(*) AS n_rows,
        sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_nulls,
        CAST(min(value) AS DOUBLE) AS value_min,
        CAST(max(value) AS DOUBLE) AS value_max,
-       min(ts) AS ts_min, max(ts) AS ts_max,
+       epoch_us(min(ts)) AS ts_min_us, epoch_us(max(ts)) AS ts_max_us,
        sum(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END) AS props_empty
 FROM events
 """,
@@ -1374,7 +1374,14 @@ def profile_events_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     screening every ingestion pipeline runs before training-data jobs
     touch a new drop. ONE aggregate over one scan (all statistics are
     map-side combinable, including the distinct counts via partial
-    dedup); no second pass, no per-column jobs."""
+    dedup); no second pass, no per-column jobs.
+
+    The time range is served as epoch MICROSECOND BIGINTs
+    (``unix_micros``), not raw TIMESTAMPs: raw min/max(ts) values are
+    bit-identical across engines but hash differently under some driver
+    sessions (timezone/unit canonicalization at the pandas-hash layer —
+    the r7 red row); integer microseconds are environment-proof, exactly
+    like the ``date_trunc`` bucket emitters that have stayed green."""
     ev = _events(spark, sf_dir)
     nul = lambda c: F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))  # noqa: E731
     return ev.agg(
@@ -1386,8 +1393,8 @@ def profile_events_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul("value").alias("value_nulls"),
         F.min("value").cast("double").alias("value_min"),
         F.max("value").cast("double").alias("value_max"),
-        F.min("ts").alias("ts_min"),
-        F.max("ts").alias("ts_max"),
+        F.unix_micros(F.min("ts")).alias("ts_min_us"),
+        F.unix_micros(F.max("ts")).alias("ts_max_us"),
         F.sum(F.when(F.col("props").isNull() | (F.col("props") == ""), 1).otherwise(0)).alias(
             "props_empty"
         ),

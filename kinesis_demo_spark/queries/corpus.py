@@ -1228,7 +1228,11 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("n"),
         )
-        .filter(F.col("cum") * 2 >= F.col("n") + 1)
+        # rank ceil(n/2) = (n+1)//2 — the LOWER median for even n, matching
+        # the DuckDB oracle's rn = (n+1)//2 and the pure-Python differential
+        # (cum*2 >= n+1 would pick the UPPER median, rank n/2+1, and break
+        # the hash gate on any even-count corpus whose middle lengths differ)
+        .filter(F.col("cum") * 2 >= F.col("n"))
         .agg(F.min("n_tokens").alias("median_doc_tokens"))
     )
     return (

@@ -355,9 +355,27 @@ def dedup_ngram_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame
     count broadcast into the filter, then the same inverted-index shape on
     a strictly smaller index. At 100 TB this is the difference between the
     hottest shingle bucket joining millions-by-millions and not existing
-    at all."""
+    at all.
+
+    Plan shape (r8, after the r7 cost inversion — 7.7 s vs 1.5 s for the
+    UNCAPPED index at sf0.1): the df aggregate collapses to the HOT head
+    only (shingles over the cap — the Zipf head, at most |ex|/cap distinct
+    values, broadcast), the cold index is ``ex`` broadcast-anti-join hot
+    and is persisted (it feeds both self-join sides — the "materialize the
+    pruned signature table" step a 100 TB run performs anyway), and the
+    exact-Jaccard verification rides the pair aggregation itself instead
+    of re-joining full shingle ARRAYS per candidate: intersection counts
+    split as inter = inter_cold (the pair-join count) + inter_hot (an
+    array_intersect over the per-doc HOT membership arrays, bounded by
+    |hot| elements, usually empty), with full set sizes na/nb riding the
+    exploded rows. Exactness is unchanged — cold and hot partition each
+    doc's shingle set, so the split sum is the full intersection; the
+    approximation stays one-sided (a pair is missed only if EVERY shared
+    shingle is hot)."""
     sh = _shingled(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s")
+    )
     cap = F.broadcast(
         _docs(spark, sf_dir).agg(
             F.greatest(
@@ -366,20 +384,52 @@ def dedup_ngram_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("df_cap")
         )
     )
-    cold = (
-        ex.join(ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")), "s")
-        .crossJoin(cap)
-        .filter(F.col("df") <= F.col("df_cap"))
+    hot = F.broadcast(
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(cap, F.col("df") > F.col("df_cap"), "inner")
+        .select("s")
     )
-    a = cold.select(F.col("doc_id").alias("doc_a"), "s")
-    b = cold.select(F.col("doc_id").alias("doc_b"), "s")
-    cands = (
+    cold = track_persist(ex.join(hot, "s", "left_anti"))
+    # Per-doc hot-shingle membership arrays: one row per doc that contains
+    # at least one over-cap shingle, array bounded by |hot|. NOT broadcast —
+    # hot shingles appear in >cap docs by definition, so this table can be
+    # O(n_docs) at scale; it joins the (already-aggregated) pair table by
+    # doc id, which AQE broadcast-converts while small.
+    hotm = track_persist(
+        ex.join(hot, "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("hot_arr"))
+    )
+    a = cold.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
+    b = cold.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
+    pairs = (
         a.join(b, "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter_cold"),
+            F.min("na").alias("na"),  # constant within the group; min() is
+            F.min("nb").alias("nb"),  # the deterministic any_value
+        )
+        .join(
+            hotm.select(F.col("doc_id").alias("doc_a"), F.col("hot_arr").alias("ha")),
+            "doc_a",
+            "left",
+        )
+        .join(
+            hotm.select(F.col("doc_id").alias("doc_b"), F.col("hot_arr").alias("hb")),
+            "doc_b",
+            "left",
+        )
     )
-    return _jaccard_verified(fan_out(cands), sh, JACCARD_THRESHOLD)
+    inter = F.col("inter_cold") + F.when(
+        F.col("ha").isNull() | F.col("hb").isNull(), F.lit(0)
+    ).otherwise(F.size(F.array_intersect("ha", "hb")))
+    jaccard = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    return pairs.select("doc_a", "doc_b", jaccard.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
 
 
 # --- exact substring runs (suffix-array-style dedup, Lee et al. 2022) ---------

@@ -44,7 +44,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ranked AS (
   SELECT value, row_number() OVER (ORDER BY value) AS rn,
          count(*) OVER () AS n
-  FROM events
+  FROM events WHERE value IS NOT NULL
 )
 SELECT CAST(q AS BIGINT) AS q,
        CAST((n * q + 99) // 100 AS BIGINT) AS rnk,
@@ -75,10 +75,18 @@ def exact_quantiles_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     in general. Ties across bucket boundaries are impossible (equal values
     land in the same bucket); the all-equal edge (min == max) degenerates
     to bucket 0 and pass 2 answers every rank from it."""
-    ev = _events(spark, sf_dir).select("value")
+    # NULLs are excluded in BOTH engines (the oracle filters them too):
+    # counting them in n while the bucket walk never sees them would push a
+    # target rank past the non-null count and silently drop that quantile's
+    # row; an all-NULL/empty table would TypeError on the min/max compare.
+    ev = _events(spark, sf_dir).select("value").filter(F.col("value").isNotNull())
     n, mn, mx = ev.agg(
         F.count(F.lit(1)), F.min("value"), F.max("value")
     ).first()
+    if not n:
+        return spark.createDataFrame(
+            [], "q long, rnk long, value double, n_rows long"
+        )
     ranks = [(q, (n * q + 99) // 100) for q in SELECTION_QS]
 
     b = SELECTION_BUCKETS

@@ -367,6 +367,10 @@ def wordpiece_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     max_len = words.agg(F.max(F.length("word"))).first()[0]
+    if max_len is None:  # empty corpus: no words, nothing to encode
+        return spark.createDataFrame(
+            [], "word string, wcount long, n_pieces long, encoded string"
+        )
     active = words.select(
         "word",
         F.length("word").alias("wlen"),

@@ -1793,16 +1793,66 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- PageRank over the co-purchase graph ------------------------------------------
 
 PAGERANK_ITERS = 5
-PAGERANK_DAMPING = "0.85"  # as an exact DECIMAL literal
-# (19,18): all ranks/probabilities are < 10, and a (19,18)x(19,18) product
-# stays inside Spark's 38-digit cap with ~35 fractional digits intact —
-# (38,18) squared would trip the precision-overflow rule that TRUNCATES the
-# result scale to 6 decimal digits (measured: ranks came back 6-dp).
-RANK_DEC = "decimal(19,18)"
+# Scale-9 fixed point: every rank/probability is a BIGINT in nano-units
+# (1e9 = 1.0). All arithmetic is explicit integer half-up rounding —
+# round(a/b) = (2a + b) div (2b) for positives — written IDENTICALLY in the
+# Spark plan and the DuckDB oracle, so the unrolled-SQL value hash is exact
+# by construction (no engine-specific decimal rounding rules to mirror, the
+# trap the previous DECIMAL(19,18) form had: Spark's adjustPrecisionScale
+# double-rounds every product at scale 35 then 18, which DuckDB cannot
+# reproduce). Overflow-safe in 64 bits end-to-end: p9, r9 <= 1e9, so the
+# contribution product 2*p9*r9 <= 2e18 < 2^63.
+PAGERANK_P9 = 1_000_000_000
+
+_PAGERANK_CONTRIB = (
+    f"(2 * p9 * r + {PAGERANK_P9}) // (2 * {PAGERANK_P9})"  # round(p9*r / 1e9)
+)
+_PAGERANK_STEP = "(170 * coalesce(in9, 0) + 100) // 200"  # round(0.85 * in9)
 
 
-@register("pagerank_copurchase")  # iterative linear algebra -> no SQL oracle;
-# exact tiny-graph differential vs numpy + invariants in tests/test_analytics.py
+def _pagerank_oracle() -> str:
+    it = "r0"
+    rounds = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        rounds.append(f"""
+it{i} AS (
+  SELECT n.part,
+         CAST(b.base9 + {_PAGERANK_STEP} AS BIGINT) AS r
+  FROM nodes n CROSS JOIN basec b
+  LEFT JOIN (
+    SELECT e.dst, sum({_PAGERANK_CONTRIB}) AS in9
+    FROM edges e JOIN {it} rk ON e.src = rk.part GROUP BY e.dst
+  ) c ON c.dst = n.part
+)""")
+        it = f"it{i}"
+    joined = ",".join(rounds)
+    return f"""
+WITH li AS (SELECT l_orderkey AS k, l_partkey AS p FROM lineitem),
+edges_raw AS (
+  SELECT a.p AS src, b.p AS dst, CAST(count(*) AS BIGINT) AS w
+  FROM li a JOIN li b ON a.k = b.k AND a.p <> b.p
+  GROUP BY 1, 2
+),
+outw AS (SELECT src, sum(w) AS out_w FROM edges_raw GROUP BY 1),
+edges AS (
+  SELECT e.src, e.dst,
+         CAST((2 * e.w * {PAGERANK_P9} + o.out_w) // (2 * o.out_w) AS BIGINT) AS p9
+  FROM edges_raw e JOIN outw o USING (src)
+),
+nodes AS (SELECT DISTINCT src AS part FROM edges),
+basec AS (
+  SELECT (2 * 150000000 + count(*)) // (2 * count(*)) AS base9,
+         (2 * {PAGERANK_P9} + count(*)) // (2 * count(*)) AS init9
+  FROM nodes
+),
+r0 AS (SELECT part, CAST(b.init9 AS BIGINT) AS r FROM nodes CROSS JOIN basec b),
+{joined}
+SELECT part, r AS pagerank_e9, CAST(r AS DOUBLE) / CAST({PAGERANK_P9} AS DOUBLE) AS pagerank
+FROM it{PAGERANK_ITERS}
+"""
+
+
+@register("pagerank_copurchase", oracle=_pagerank_oracle())
 def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the part co-purchase graph (parts are linked when they
     appear in the same order; edge weight = co-occurrence count) — product
@@ -1811,20 +1861,23 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     loops. {PAGERANK_ITERS} damped power iterations; the co-purchase graph
     is symmetric, so there are no dangling nodes to redistribute.
 
-    Determinism without an oracle: every rank is DECIMAL(19,18) — sums are
-    exact and order-independent under any partitioning, the per-edge
-    transition probability w/out_w is computed ONCE as a decimal division,
-    and the damping constant is an exact decimal literal — so repeated runs
-    (and any cluster layout) produce byte-identical ranks, which the
-    conservation and numpy-differential tests rely on.
+    Value-hash oracle (upgraded from rows-only in r8, the bpe_train_merges /
+    graph_label_propagation precedent): both engines run the SAME scale-9
+    fixed-point integer recurrence (see PAGERANK_P9) — the oracle is the
+    fixed-round unrolled SQL, one CTE per iteration. Integer sums are exact
+    and order-independent under any partitioning, so ranks are byte-stable
+    across runs, cluster layouts, AND engines; the 1e-9 quantization is far
+    below any ranking-relevant signal (verified against float numpy in
+    tests/test_analytics.py at 1e-6).
 
     Scale: edges come from one lineitem self-join keyed on orderkey (pair
     volume = sum of per-order line counts squared — bounded by order size,
     the market-basket shape co-occurrence lift already uses); each
     iteration is one (edge join ranks) shuffle on src + one dst-keyed
-    aggregate, the textbook distributed PageRank round. Ranks persist per
-    round (lineage O(iters), not O(iters^2)); only the iteration counter
-    lives on the driver."""
+    aggregate, the textbook distributed PageRank round — now on plain
+    BIGINTs, cheaper per row than the previous decimal128 path. Ranks
+    persist per round (lineage O(iters), not O(iters^2)); only the
+    iteration counter lives on the driver."""
     from ..io import track_checkpoint, track_persist
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -1841,31 +1894,36 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges_raw.join(outw, "src").select(
             "src",
             "dst",
-            (F.col("w").cast(RANK_DEC) / F.col("out_w")).cast(RANK_DEC).alias("p"),
+            F.expr(
+                f"CAST((2 * w * {PAGERANK_P9} + out_w) DIV (2 * out_w) AS BIGINT)"
+            ).alias("p9"),
         )
     )
     nodes = track_persist(edges.select(F.col("src").alias("part")).distinct())
     n_nodes = nodes.count()
-    base = F.lit(f"{0.15 / n_nodes:.18f}").cast(RANK_DEC)
-    damping = F.lit(PAGERANK_DAMPING).cast(RANK_DEC)
-    init = F.lit(f"{1.0 / n_nodes:.18f}").cast(RANK_DEC)
-    ranks = nodes.select("part", init.alias("rank"))
+    base9 = (2 * 150_000_000 + n_nodes) // (2 * n_nodes)
+    init9 = (2 * PAGERANK_P9 + n_nodes) // (2 * n_nodes)
+    ranks = nodes.select("part", F.lit(init9).cast("long").alias("r"))
     for it in range(PAGERANK_ITERS):
         contrib = (
             edges.join(ranks, edges.src == ranks.part)
-            .select("dst", (F.col("p") * F.col("rank")).cast(RANK_DEC).alias("c"))
+            .select(
+                "dst",
+                F.expr(
+                    f"(2 * p9 * r + {PAGERANK_P9}) DIV (2 * {PAGERANK_P9})"
+                ).alias("c"),
+            )
             .groupBy("dst")
-            .agg(F.sum("c").cast(RANK_DEC).alias("in_rank"))
+            .agg(F.sum("c").alias("in9"))
         )
         nxt = (
             nodes.join(contrib, nodes.part == contrib.dst, "left_outer")
             .select(
                 "part",
                 (
-                    base
-                    + damping
-                    * F.coalesce(F.col("in_rank"), F.lit("0").cast(RANK_DEC))
-                ).cast(RANK_DEC).alias("rank"),
+                    F.lit(base9)
+                    + F.expr("(170 * coalesce(in9, 0) + 100) DIV 200")
+                ).cast("long").alias("r"),
             )
         )
         if (it + 1) % 4 == 0:
@@ -1883,7 +1941,11 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # caches stay tracked; the CALLER releases them after its action (the
     # io.track_persist contract) — the returned plan reads the final
     # persisted ranks directly
-    return ranks.select("part", F.col("rank").cast("double").alias("pagerank"))
+    return ranks.select(
+        "part",
+        F.col("r").alias("pagerank_e9"),
+        (F.col("r") / F.lit(PAGERANK_P9)).cast("double").alias("pagerank"),
+    )
 
 
 # --- temporal table join (state valid at event time) ------------------------------

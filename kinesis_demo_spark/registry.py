@@ -57,114 +57,100 @@ DRIVER_CORRECTNESS_CAP = 50
 # Queries whose PLANS CHANGED this round always stay/return in-cap so the
 # change is externally re-verified.
 #
-# Round-7 rotation (VERDICT r6 #1: burn the never-driver-checked backlog to
-# ZERO): all 43 hash-checkable queries that have never had a driver
-# CORRECTNESS row are promoted in-cap — the r5 analytics/DQ/event suite,
-# the relational-semantics shapes, the text/corpus stragglers, the four
-# static streaming differentials, and the two late-r6 registrations
-# (dedup_ngram_jaccard_df_capped, mine_hard_negatives). NO oracle-None rows
-# are spent cap slots this round (r6 wasted 2 — VERDICT r6 Wrong #1); the
-# two remaining never-checked rows-only queries (pca_embedding_components,
-# packing_efficiency_report) keep their local numpy/Python differentials as
-# evidence. The remaining slots carry the round's NEW registrations (first
-# driver rows) and re-verify rows whose plans r7 touched. After this round
-# every hash-checkable query in the registry has at least one green driver
-# row.
+# Driver-row ledger as of r7 (VERDICT r7 What's missing #1): 200 of the 253
+# registered queries have at least one green driver CORRECTNESS row
+# (rounds r2-r7); 52 hash-checkable queries plus the rows-only
+# packing_efficiency_report have never been driver-checked — they are green
+# in every local gate (tests/test_oracle_parity.py driver-faithful
+# canonicalization at sf0.001/sf0.01 + the sf0.1 full-registry sweep,
+# PARITY_SF0.1.json 253/253) and 12 were independently re-verified by the
+# r7 judge, but the EXTERNAL gate has never seen them.
 #
-# Rotated out (ALL green in r6, plans untouched in r7; ledger in
+# Round-8 rotation (VERDICT r7 #1: burn that 52-query promotion pool; 50
+# slots, so it takes two rounds): in-cap this round are
+#   - profile_events_columns — the one r7 red row (hash-only, driver-env
+#     timestamp sensitivity), re-promoted after the unix_micros hardening;
+#   - dedup_ngram_jaccard_df_capped — plan restructured this round (the r7
+#     cost-inversion fix: broadcast hot-head anti-join + persisted cold
+#     index + ride-along intersection counts), must be externally
+#     re-verified;
+#   - pagerank_copurchase — oracle upgraded from rows-only to a scale-9
+#     fixed-point unrolled-SQL value hash (the bpe_train_merges precedent);
+#     first hash row;
+#   - 47 of the 52-query pool, including the three whose plans r8 touched
+#     (corpus_datacard median-rank fix, exact_quantiles_selection NULL
+#     handling, wordpiece_encode_words empty-corpus guard).
+# Deferred to the r9 pool (the remaining 5 — all five were independently
+# re-run against their oracles by the r7 judge this round, so they carry
+# the strongest non-driver evidence while they wait): dedup_semdedup_prune,
+# graph_kcore, graph_triangle_clustering, rbo_rank_agreement,
+# retrieval_eval_metrics. The unigram tokenizer pair and the other
+# rows-only queries (pca_embedding_components, packing_efficiency_report,
+# approx_* family, uuid_generate) keep their local differentials as
+# evidence and never spend cap slots.
+#
+# Rotated out (ALL green in r7, plans untouched in r8; ledger in
 # COVERAGE.md, re-verified every round by tests/test_oracle_parity.py and
-# the sf0.1 full-registry parity sweep): the entire r6 in-cap set — the
-# TPC-H completion set, the PQ/truncated ANN pair, the Python DataSource
-# pair, SQL modern surfaces, PIT/temporal joins, the r5 LLM-pipeline
-# continuation block, and the re-verified iteratives.
+# the sf0.1 full-registry parity sweep): the r7 in-cap set minus the two
+# re-promotions above — the relational-semantics shapes, the
+# event-analytics/DQ suite, the text/corpus stragglers, the static
+# streaming differentials, and the BPE pair.
 PRIORITY_ORDER = (
-    # relational semantics + analytics shapes — first driver rows
-    "variant_props_extract",
-    "rfm_customer_segments",
-    "lineitem_2d_histogram",
-    "orders_share_by_priority",
-    "bag_set_ops_priorities",
-    "not_in_null_semantics",
-    "hierarchical_revenue_shares",
-    "lateral_top_lineitems_per_order",
-    "revenue_month_over_month",
-    "null_safe_join_semantics",
-    "join_size_prediction",
-    "bloom_prefilter_semi_join",
-    # late-r6 LLM-pipeline registrations — first driver rows
-    "dedup_ngram_jaccard_df_capped",
-    "mine_hard_negatives",
-    "embedding_source_drift",
-    # text/corpus stragglers — first driver rows
-    "text_source_novelty",
-    "text_freq_quality",
-    "text_bigram_lm",
-    "pseudonymize_user_activity",
-    "udtf_sentence_split",
-    "split_train_val_test",
-    # static streaming differentials — first driver rows
-    "streaming_static_enrich",
-    "streaming_dedup_events",
-    "streaming_hopping_counts",
-    # event-analytics / DQ suite — first driver rows
-    "funnel_user_stages",
-    "cohort_weekly_retention",
-    "event_transition_matrix",
-    "event_cooccurrence_lift",
-    "hopping_window_counts",
-    "scd2_user_state_intervals",
+    # r8 fixes / upgrades — re-verify externally
     "profile_events_columns",
-    "outliers_value_mad",
-    "skew_concentration_report",
-    "seasonal_hour_anomalies",
-    "dq_constraint_violations",
-    "trend_slope_per_user",
-    "rolling_active_users",
-    "twap_value_per_user",
-    "interval_union_coverage",
-    "top_event_paths",
-    "cusum_value_alarms",
-    "trimmed_mean_value_by_type",
-    "table_checksums",
-    # r7 new registrations + changed-plan re-verifications fill the
-    # remaining slots.
-    "dedup_substring_runs",
-    "bpe_train_merges",  # first HASH row — oracle upgraded from rows-only in r7
-    "bpe_encode_corpus",
-    "streaming_outer_interval_join",  # drain harness re-scoped in r7 — re-verify
-    # r7 filtering/data-selection suite (queries/filtering.py) — first driver
-    # rows. The cap is full at 50, so the round's remaining new registrations
-    # form the r8 promotion pool (each local-strict verified at
-    # sf0.001/sf0.01/sf0.1 + the hostile session): lm_fluency_score,
-    # token_shard_assembly, ann_hamming_binary, dedup_clusters_star,
-    # graph_triangle_clustering, incremental_join_view_merge,
-    # dedup_rate_by_source, ab_test_stats, attribution_last_touch,
-    # sample_priority_weighted, concat_chunk_sequences,
-    # feature_hash_vectorize, feature_quantile_binning,
-    # ts_autocorr_components, dedup_semdedup_prune; plus the r7 third
-    # (continuation) wave — dedup_incremental_batch,
-    # graph_label_propagation, graph_kcore, compaction_plan,
-    # pareto_frontier_parts, cdc_merge_apply, dedup_sorted_neighborhood,
-    # search_phrase_positions, mutual_nearest_lsh, assoc_rules_copurchase,
-    # span_corruption_plan, skipgram_pair_counts, vocab_coverage_curve,
-    # dedup_cross_source_matrix, benford_first_digit_dq,
-    # text_intradoc_repeats, chunk_reassembly_roundtrip, ann_recall_report,
-    # streaming_session_windows, prefix_cache_grouping,
-    # coreset_kcenter_selection — all hostile-session
-    # verified at sf0.01 AND sf0.1. The r7 fourth/fifth waves extend the
-    # pool the same way (hostile-session verified at sf0.001 AND sf0.01 +
-    # the sf0.1 sweep): exact_quantiles_selection, knn_label_vote,
-    # mmr_rerank_topk, contamination_ngram_fraction, er_golden_record,
-    # holt_linear_forecast, retrieval_eval_metrics, k_anonymity_report,
-    # prf_query_expansion, wordpiece_encode_words, langid_confusion_matrix,
-    # feature_standardize, corpus_datacard, negative_sampling_table,
-    # rbo_rank_agreement, epoch_shuffle_independence. The unigram
-    # tokenizer pair is rows-only by necessity (EM/Viterbi;
-    # independent-reference differential in tests/test_tokenizer.py) —
-    # never cap slots.
-    "filter_gopher_rules",
-    "dsir_importance_resample",
-    "training_order_shuffle",
+    "dedup_ngram_jaccard_df_capped",
+    "pagerank_copurchase",
+    # r8-touched pool members — first driver rows AND changed-plan checks
+    "corpus_datacard",
+    "exact_quantiles_selection",
+    "wordpiece_encode_words",
+    # promotion pool wave 1 (r7 filtering/selection suite) — first driver rows
+    "lm_fluency_score",
+    "token_shard_assembly",
+    "ann_hamming_binary",
+    "dedup_clusters_star",
+    "incremental_join_view_merge",
+    "dedup_rate_by_source",
+    "ab_test_stats",
+    "attribution_last_touch",
+    "sample_priority_weighted",
+    "concat_chunk_sequences",
+    "feature_hash_vectorize",
+    "feature_quantile_binning",
+    "ts_autocorr_components",
+    # promotion pool wave 3 (r7 continuation) — first driver rows
+    "dedup_incremental_batch",
+    "graph_label_propagation",
+    "compaction_plan",
+    "pareto_frontier_parts",
+    "cdc_merge_apply",
+    "dedup_sorted_neighborhood",
+    "search_phrase_positions",
+    "mutual_nearest_lsh",
+    "assoc_rules_copurchase",
+    "span_corruption_plan",
+    "skipgram_pair_counts",
+    "vocab_coverage_curve",
+    "dedup_cross_source_matrix",
+    "benford_first_digit_dq",
+    "text_intradoc_repeats",
+    "chunk_reassembly_roundtrip",
+    "ann_recall_report",
+    "streaming_session_windows",
+    "prefix_cache_grouping",
+    "coreset_kcenter_selection",
+    # promotion pool waves 4/5 — first driver rows
+    "knn_label_vote",
+    "mmr_rerank_topk",
+    "contamination_ngram_fraction",
+    "er_golden_record",
+    "holt_linear_forecast",
+    "k_anonymity_report",
+    "prf_query_expansion",
+    "langid_confusion_matrix",
+    "feature_standardize",
+    "negative_sampling_table",
+    "epoch_shuffle_independence",
 )
 
 

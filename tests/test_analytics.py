@@ -332,10 +332,12 @@ def test_pagerank_matches_numpy_on_tiny_graph(spark, tmp_path_factory):
     # co-purchase edges with multiplicity: (1,2)x2 both ways, (2,3)x1 both ways
     want = _numpy_pagerank([(1, 2), (1, 2), (2, 1), (2, 1), (2, 3), (3, 2)], PAGERANK_ITERS)
     assert set(got) == set(want)
+    # scale-9 fixed point quantizes each op at 0.5e-9; five iterations over
+    # this 3-node graph accumulate well under 1e-6 vs float numpy
     for k in got:
-        assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
-    # rank mass conservation on a dangling-free graph
-    assert abs(sum(got.values()) - 1.0) < 1e-9
+        assert abs(got[k] - want[k]) < 1e-6, (k, got[k], want[k])
+    # rank mass conservation on a dangling-free graph (up to quantization)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
 
 
 def test_pagerank_is_deterministic_across_runs(spark):
@@ -347,7 +349,7 @@ def test_pagerank_is_deterministic_across_runs(spark):
     release_persisted()
     r2 = {r.part: r.pagerank for r in pagerank_copurchase(spark, sf).collect()}
     release_persisted()
-    assert r1 == r2  # byte-identical, the DECIMAL-arithmetic guarantee
+    assert r1 == r2  # byte-identical, the integer fixed-point guarantee
 
 
 def test_temporal_join_equal_timestamp_interval_boundary(spark, tmp_path_factory):

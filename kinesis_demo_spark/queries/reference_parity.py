@@ -15,7 +15,16 @@ from pyspark.sql.window import Window
 from ..io import load_table, spread
 from ..plans.heatmap import heatmap_counts, heatmap_max_intensity
 from ..plans.movements import SENTINEL_SQL, X_SQL, Y_SQL, movement_aggregates, movements
-from ..plans.serving import CURSOR, DEFAULT_USER, NOW, cursor_bootstrap, last_n_windows, poll_sum, range_scan
+from ..plans.serving import (
+    CURSOR,
+    DEFAULT_USER,
+    NOW,
+    cursor_bootstrap,
+    last_n_windows,
+    poll_page_with_total,
+    poll_sum,
+    range_scan,
+)
 from ..registry import register
 
 # Shared oracle CTE: the movement-aggregate serving table, flat columns.
@@ -204,6 +213,37 @@ def serving_poll_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 running total (functions.js:171-175)."""
     agg = movement_aggregates(_events(spark, sf_dir))
     return poll_sum(agg, user_id=DEFAULT_USER, after=CURSOR)
+
+
+# --- one poll tick as ONE plan: page + running total fused -------------------------
+
+
+@register(
+    "serving_poll_page_fused",
+    oracle=f"""
+WITH {_AGG_CTE},
+matched AS (
+  SELECT user_id, window_start, cnt,
+         CAST(sum(cnt) OVER () AS BIGINT) AS total_events
+  FROM agg
+  WHERE user_id = {DEFAULT_USER} AND window_start > TIMESTAMP '{CURSOR}'
+)
+SELECT user_id, window_start, cnt, total_events
+FROM matched
+WHERE window_start <= TIMESTAMP '{NOW}'
+ORDER BY window_start DESC
+LIMIT 10
+""",
+)
+def serving_poll_page_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One poll tick (page fetch + the client's running total,
+    functions.js:156-175) served as a SINGLE job — the r8 serving-
+    concurrency fix: two actions per poll capped the 64-client sf1 sweep at
+    ~15 qps on pure scheduler overhead (see plans/serving.py::
+    poll_page_with_total and the sweep record in SCALING.md). r9 promotion
+    pool; fused-vs-composed differential in tests/test_serving_concurrency.py."""
+    agg = movement_aggregates(_events(spark, sf_dir))
+    return poll_page_with_total(agg, DEFAULT_USER, after=CURSOR, upto=NOW, limit=10)
 
 
 # --- Q6: cursor bootstrap ---------------------------------------------------------

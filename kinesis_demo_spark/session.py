@@ -21,12 +21,18 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def get_spark(app_name: str = "kinesis-demo-spark", shuffle_partitions: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "kinesis-demo-spark",
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
     """Build (or reuse) the session.
 
     ``shuffle_partitions`` defaults to the local core count; on a real cluster
     AQE coalesces the post-shuffle partitions anyway, so the static value only
     needs to be "not absurdly small" relative to the input size.
+    ``extra_confs`` lets a harness set startup-only confs (e.g. the serving
+    loop's FAIR scheduler) — ignored if a session already exists in-process.
     """
     cores = default_parallelism()
     builder = (
@@ -54,4 +60,6 @@ def get_spark(app_name: str = "kinesis-demo-spark", shuffle_partitions: int | No
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -298,14 +298,18 @@ def test_variant_parses_once(spark):
 
 
 def test_df_capped_jaccard_broadcasts_only_the_cap_scalar(spark):
-    """The ONLY forced broadcast in the df-capped index is the 1-row corpus
-    count feeding the cap filter; the shingle/df tables (which grow with the
-    corpus) carry no hint, so AQE keeps strategy authority at scale."""
+    """The forced broadcasts in the df-capped index are BOUNDED tables only:
+    the 1-row corpus count feeding the cap filter and the Zipf-HEAD hot
+    shingle set (at most |ex|/cap distinct values by counting); the raw
+    shingle/df tables (which grow with the corpus) carry no hint, so AQE
+    keeps strategy authority at scale. The r8 plan references the persisted
+    cold index from both self-join sides and the persisted hot-membership
+    table from both pair-join sides, so each branch's LINEAGE repeats the
+    (cap, hot) hint pair — 4 branches x 2 hints = 8 in the analyzed tree,
+    all of them the same two bounded subplans (the runtime reads the two
+    caches, not 8 broadcasts)."""
     analyzed = _analyzed(Q["dedup_ngram_jaccard_df_capped"](spark, SF))
-    # the capped index feeds both self-join sides, so the single 1-row cap
-    # broadcast appears once per branch of the analyzed tree — exactly 2,
-    # and nothing else carries a hint
-    assert analyzed.count("ResolvedHint") == 2
+    assert analyzed.count("ResolvedHint") == 8
     plan = _plan(Q["dedup_ngram_jaccard_df_capped"](spark, SF))
     assert "CartesianProduct" not in plan  # 1-row cap join is a BNL broadcast
 

@@ -38,7 +38,7 @@ from concurrent.futures import ThreadPoolExecutor
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from kinesis_demo_spark.io import load_table
-from kinesis_demo_spark.plans.serving import events_aggregates, poll_sum, range_scan
+from kinesis_demo_spark.plans.serving import poll_many, poll_page_with_total, serving_table
 from kinesis_demo_spark.session import get_spark
 
 # Each poll scans this much window-time past its cursor (the reference client
@@ -47,10 +47,88 @@ from kinesis_demo_spark.session import get_spark
 POLL_HORIZON_SEC = 4 * 3600
 
 
+class _Coalescer:
+    """Serving-front request coalescer: clients enqueue poll params; a
+    dispatcher thread drains the queue every ``window_ms`` (or when
+    ``max_batch`` is waiting) and answers the whole batch with ONE
+    ``poll_many`` job, then hands each client its rows. One Spark job per
+    poll capped the 64-client sweep near 30 qps — compile+schedule is the
+    fixed cost — so the front amortizes it exactly like BatchGetItem does
+    for the reference's serving store."""
+
+    def __init__(self, spark, agg, window_ms: float = 10.0, max_batch: int = 64):
+        import threading
+
+        self.spark, self.agg = spark, agg
+        self.window_s = window_ms / 1000.0
+        self.max_batch = max_batch
+        self.lock = threading.Condition()
+        self.pending: list = []  # (poll_id, user, after, upto, event)
+        self.results: dict = {}
+        self.closed = False
+        self._seq = 0
+        self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
+        self._thread.start()
+
+    def poll(self, user: int, after, upto):
+        import threading
+
+        done = threading.Event()
+        with self.lock:
+            self._seq += 1
+            pid = self._seq
+            self.pending.append((pid, user, after, upto, done))
+            if len(self.pending) >= self.max_batch:
+                self.lock.notify()
+        done.wait()
+        return self.results.pop(pid)
+
+    def _dispatch_loop(self):
+        while True:
+            with self.lock:
+                if not self.pending:
+                    if self.closed:
+                        return
+                    self.lock.wait(self.window_s)
+                if not self.pending:
+                    continue
+                batch, self.pending = self.pending, []
+            probes = self.spark.createDataFrame(
+                [(pid, u, a, up) for pid, u, a, up, _ in batch],
+                "poll_id long, user_id long, after timestamp, upto timestamp",
+            )
+            rows = poll_many(self.agg, probes, limit=10).collect()
+            by_pid: dict[int, list] = {pid: [] for pid, *_ in batch}
+            for r in rows:
+                by_pid[r["poll_id"]].append(r)
+            for pid, _, _, _, done in batch:
+                self.results[pid] = by_pid[pid]
+                done.set()
+
+    def close(self):
+        with self.lock:
+            self.closed = True
+            self.lock.notify()
+        self._thread.join(timeout=10)
+
+
 def run_serving_loop(
-    spark, sf_dir: str, requests: int = 200, clients: int = 4, budget_sec: float = 2.0
+    spark, sf_dir: str, requests: int = 200, clients: int = 4, budget_sec: float = 2.0,
+    coalesce: bool = False,
 ) -> dict:
-    agg = events_aggregates(load_table(spark, sf_dir, "events")).persist()
+    # serving_table (not the bare aggregate): range-clustered by
+    # (user_id, window_start) before persist so the in-memory batch stats
+    # prune non-matching batches per poll — the r8 64-client fix, with the
+    # fused one-job-per-poll plan below (two jobs/poll saturated the
+    # scheduler at ~15 qps; see SCALING.md serving sweep).
+    # 8 range partitions, not defaultParallelism: every poll job launches one
+    # task per cached partition regardless of batch pruning, so at high
+    # client counts the LOCAL scheduler's task throughput is the ceiling —
+    # 32 partitions = 32 tasks/poll saturated at ~24 qps; 8 quadruples the
+    # job rate while each partition still holds only ~2 MB of aggregate.
+    # (On a real cluster the same knob is "serving-table partition count
+    # scaled to request volume, not scan parallelism".)
+    agg = serving_table(load_table(spark, sf_dir, "events"), partitions=8).persist()
     bounds = agg.agg(
         {"window_start": "min", "user_id": "max"}
     ).collect()[0]
@@ -61,6 +139,8 @@ def run_serving_loop(
     ).total_seconds()
     n_strides = max(1, int(t_span // POLL_HORIZON_SEC))
 
+    front = _Coalescer(spark, agg, max_batch=max(clients, 8)) if coalesce else None
+
     def one_poll(i: int) -> float:
         # deterministic request mix: client i polls user (i mod users) with a
         # cursor walking forward through the fixture's time range — every
@@ -70,13 +150,19 @@ def run_serving_loop(
         after = t_min + datetime.timedelta(seconds=(i % n_strides) * POLL_HORIZON_SEC)
         upto = after + datetime.timedelta(seconds=POLL_HORIZON_SEC)
         t0 = time.perf_counter()
-        rows = range_scan(
-            agg, user, after=str(after), upto=str(upto), descending=True, limit=10
-        ).collect()
-        total = poll_sum(agg, user, after=str(after)).collect()[0][0]
+        if front is not None:
+            rows = front.poll(user, after, upto)
+        else:
+            # ONE action per poll tick: the page and the client's running
+            # total fused (plans/serving.py::poll_page_with_total)
+            rows = poll_page_with_total(
+                agg, user, after=str(after), upto=str(upto), limit=10
+            ).collect()
         dt = time.perf_counter() - t0
         if rows:  # running total over ws>after covers the (after,upto] page
-            assert total >= sum(r["cnt"] for r in rows), "poll invariant broken"
+            assert rows[0]["total_events"] >= sum(r["cnt"] for r in rows), (
+                "poll invariant broken"
+            )
 
         return dt
 
@@ -85,6 +171,8 @@ def run_serving_loop(
     with ThreadPoolExecutor(max_workers=clients) as pool:
         lat = sorted(pool.map(one_poll, range(requests)))
     wall = time.perf_counter() - t_start
+    if front is not None:
+        front.close()
     agg.unpersist()  # callers (bench.py) share the session; leave no cache behind
 
     def pct(p: float) -> float:
@@ -114,11 +202,29 @@ def main() -> int:
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
+    ap.add_argument("--coalesce", action="store_true",
+                    help="batch concurrent polls into one poll_many job")
     args = ap.parse_args()
-    spark = get_spark("kinesis-demo-spark-serving")
+    # FAIR scheduling: N poll clients = N concurrent tiny jobs; FIFO lets a
+    # queue build head-of-line tails at high client counts. Startup-only
+    # conf, so it lives here (the harness owns its process). Serving jobs
+    # are micro-jobs over a cached table: 8 shuffle partitions (matched
+    # rows per poll are horizon-bounded) and AQE OFF — adaptive re-planning
+    # adds a per-stage optimization round that costs more latency than it
+    # saves on kilobyte shuffles. Batch/analytics sessions keep AQE on;
+    # this is the serving profile.
+    spark = get_spark(
+        "kinesis-demo-spark-serving",
+        shuffle_partitions=8,
+        extra_confs={
+            "spark.scheduler.mode": "FAIR",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     stats = run_serving_loop(
-        spark, args.sf_dir, args.requests, args.clients, args.budget_sec
+        spark, args.sf_dir, args.requests, args.clients, args.budget_sec,
+        coalesce=args.coalesce,
     )
     print(json.dumps(stats))
     return 1 if stats["value"] > args.budget_sec else 0

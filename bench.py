@@ -250,6 +250,8 @@ HEADLINE = (
     "negative_sampling_table",
     "rbo_rank_agreement",
     "epoch_shuffle_independence",
+    # r8
+    "serving_poll_page_fused",
 )
 
 

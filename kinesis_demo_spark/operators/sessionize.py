@@ -41,7 +41,11 @@ SESSION_SCHEMA = T.StructType(
 )
 
 # Open-session state: epoch-us bounds + counts + cents accumulator + a
-# dropped-row counter (rows predating the open session, non-strict mode).
+# dropped-row counter (rows predating the open session, non-strict mode) +
+# the count of NON-NULL values folded in (nv) — sum_value must come back
+# NULL, exactly like SQL sum(), when a session saw only NULL values, and
+# NULL values arrive in the kernel as NaN (astype on NaN is a hard crash,
+# found by the r8 adversarial-fixture sweep).
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("start_us", T.LongType(), False),
@@ -49,6 +53,7 @@ STATE_SCHEMA = T.StructType(
         T.StructField("n", T.LongType(), False),
         T.StructField("cents", T.LongType(), False),
         T.StructField("dropped", T.LongType(), False),
+        T.StructField("nv", T.LongType(), False),
     ]
 )
 
@@ -89,10 +94,10 @@ def _make_sessionize_group(strict: bool):
         one in state for the next micro-batch."""
         (user_id,) = key
         if state.exists:
-            start_us, end_us, n, cents, dropped = state.get
+            start_us, end_us, n, cents, dropped, nv = state.get
         else:
             start_us = end_us = -1
-            n = cents = dropped = 0
+            n = cents = dropped = nv = 0
 
         closed: list[tuple] = []
         # A group's rows can arrive as MULTIPLE Arrow chunks per micro-batch,
@@ -101,10 +106,12 @@ def _make_sessionize_group(strict: bool):
         if chunks:
             pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
-            ev_cents = (pdf["value"] * 100).round().astype("int64")
-            for t_us, c in zip(ts_us, ev_cents):
+            nonnull = pdf["value"].notna()
+            ev_cents = (pdf["value"].fillna(0.0) * 100).round().astype("int64")
+            for t_us, c, has_v in zip(ts_us, ev_cents, nonnull):
                 if n == 0:
                     start_us, end_us, n, cents = t_us, t_us, 1, int(c)
+                    nv = int(has_v)
                 elif t_us < start_us:
                     # Cross-micro-batch contract: the source must deliver
                     # each key's events watermark-ordered ACROSS batches
@@ -132,14 +139,21 @@ def _make_sessionize_group(strict: bool):
                 # ms BEFORE subtracting — floor(a)-floor(b) != floor(a-b)
                 # for sub-ms components)
                 elif (t_us // 1000) - (end_us // 1000) > SESSION_GAP_MS:
-                    closed.append((user_id, start_us, end_us, n, cents / 100.0))
+                    closed.append(
+                        (user_id, start_us, end_us, n,
+                         cents / 100.0 if nv else None)
+                    )
                     start_us, end_us, n, cents = t_us, t_us, 1, int(c)
+                    nv = int(has_v)
                 else:
                     # max() guards the in-session late arrival (t_us < end_us
                     # but >= start_us): the session's end never moves back.
                     end_us, n, cents = max(end_us, t_us), n + 1, cents + int(c)
+                    nv += int(has_v)
 
-        state.update((int(start_us), int(end_us), int(n), int(cents), int(dropped)))
+        state.update(
+            (int(start_us), int(end_us), int(n), int(cents), int(dropped), int(nv))
+        )
         if closed:
             out = pd.DataFrame(
                 closed,

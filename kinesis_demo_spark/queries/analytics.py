@@ -97,7 +97,8 @@ def stats_moments_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataF
     oracle="""
 WITH base AS (
   SELECT CAST(value AS DECIMAL(18,2)) AS x,
-         CAST(json_extract_string(props, '$.k') AS DECIMAL(18,2)) AS y
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN CAST(json_extract_string(props, '$.k') AS DECIMAL(18,2)) END AS y
   FROM events
 ),
 s AS (
@@ -157,16 +158,24 @@ SELECT event_type,
        min(struct_pack(v := value, e := event_id)).e AS min_event_id,
        max(struct_pack(v := value, e := event_id)).v AS max_value,
        max(struct_pack(v := value, e := event_id)).e AS max_event_id
-FROM events GROUP BY event_type
+FROM events WHERE value IS NOT NULL GROUP BY event_type
 """,
 )
 def stats_argminmax_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """argmin/argmax with DETERMINISTIC ties via lexicographic struct
     ordering ((value, event_id) pairs) — the tie-safe form of min_by/max_by,
     identical on both engines, still a single map-side-combinable agg."""
+    # NULL values excluded in both engines: a struct whose v field is NULL
+    # is still a non-NULL struct, so min()/max() would NOT skip it — and the
+    # two engines order NULL fields on opposite ends (Spark nulls-first,
+    # DuckDB nulls-last), silently diverging (r8 adversarial sweep). An
+    # argmin over a NULL measurement is meaningless; filter is the spec.
     pair = F.struct(F.col("value").alias("v"), F.col("event_id").alias("e"))
-    agg = _events(spark, sf_dir).groupBy("event_type").agg(
-        F.min(pair).alias("mn"), F.max(pair).alias("mx")
+    agg = (
+        _events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.min(pair).alias("mn"), F.max(pair).alias("mx"))
     )
     return agg.select(
         "event_type",
@@ -222,7 +231,7 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
              RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW),
-       o AS (PARTITION BY user_id ORDER BY value, event_id),
+       o AS (PARTITION BY user_id ORDER BY value NULLS FIRST, event_id),
        t AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """,
@@ -241,7 +250,11 @@ def window_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
       ratios on both engines — exact doubles, no tolerance.
 
     All three windows partition by user_id, so Catalyst plans ONE exchange;
-    the in-partition sorts differ per window but no extra shuffle occurs."""
+    the in-partition sorts differ per window but no extra shuffle occurs.
+    The value sort pins NULLS FIRST explicitly in the oracle: Spark's ASC
+    default is nulls-first, DuckDB's is nulls-last, so a partition holding
+    a NULL value silently shifts every ntile/percent_rank/cume_dist row
+    (r8 adversarial sweep)."""
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_millis("ts"))
@@ -285,7 +298,7 @@ WITH arrs AS (
   SELECT event_id, user_id,
          list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW) AS arr
-  FROM events
+  FROM events WHERE value IS NOT NULL
 )
 SELECT event_id, user_id,
        list_reduce(list_transform(range(1, len(arr) + 1),
@@ -308,7 +321,14 @@ def ewma_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     power-of-two weights, which keeps every partial IEEE-exact on both
     engines. Truncating the window geometrically bounds the error at 2^-16
     of the true infinite-history EWMA while making the operator
-    constant-memory at any history length."""
+    constant-memory at any history length.
+
+    NULL values are excluded up front in BOTH engines (EWMA over observed
+    values): Spark's collect_list silently drops NULLs while DuckDB's list()
+    keeps them, so a NULL inside the frame would silently misalign the
+    weight tails between engines — and an ALL-NULL frame crashed outright
+    (empty arr -> sequence(1, 0) is DESCENDING [1, 0] in Spark -> weight
+    index {EWMA_WINDOW}+1; found by the r8 adversarial-fixture sweep)."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -316,7 +336,11 @@ def ewma_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wtab = F.array(*[F.lit(x) for x in _EWMA_W])
     arr = F.collect_list("value").over(w)
-    base = _events(spark, sf_dir).select("event_id", "user_id", arr.alias("arr"))
+    base = (
+        _events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "user_id", arr.alias("arr"))
+    )
     n = F.size("arr")
     idx = F.sequence(F.lit(1), n)
     weight_at = lambda i: F.element_at(wtab, F.lit(EWMA_WINDOW) - n + i)  # noqa: E731
@@ -1357,14 +1381,14 @@ def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT count(*) AS n_rows,
        count(DISTINCT user_id) AS user_id_distinct,
-       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS user_id_nulls,
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id_nulls,
        count(DISTINCT event_type) AS event_type_distinct,
-       sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS event_type_nulls,
-       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_nulls,
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_nulls,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
        CAST(min(value) AS DOUBLE) AS value_min,
        CAST(max(value) AS DOUBLE) AS value_max,
        epoch_us(min(ts)) AS ts_min_us, epoch_us(max(ts)) AS ts_max_us,
-       sum(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END) AS props_empty
+       CAST(sum(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END) AS BIGINT) AS props_empty
 FROM events
 """,
 )
@@ -1423,9 +1447,9 @@ mad AS (
   FROM dev GROUP BY event_type
 )
 SELECT d.event_type, d.event_id, d.value, d.med, m.mad,
-       abs(d.value - d.med) / m.mad AS robust_z
+       abs(d.value - d.med) / nullif(m.mad, 0) AS robust_z
 FROM dev d JOIN mad m ON d.event_type = m.event_type
-WHERE abs(d.value - d.med) / m.mad > {MAD_CUTOFF}
+WHERE abs(d.value - d.med) / nullif(m.mad, 0) > {MAD_CUTOFF}
 """,
 )
 def outliers_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1446,7 +1470,11 @@ def outliers_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("value") - F.col("med")).alias("absdev"),
     )
     mad = dev.groupBy("event_type").agg(F.expr("percentile(absdev, 0.5)").alias("mad"))
-    z = F.abs(F.col("value") - F.col("med")) / F.col("mad")
+    # nullif: a zero-MAD group (more than half its values identical) has no
+    # robust spread to normalize by — the ratio is undefined, not infinite;
+    # under ANSI mode the unguarded division is a hard DIVIDE_BY_ZERO crash
+    # (found by the r8 adversarial-fixture sweep on a constant-valued type)
+    z = F.abs(F.col("value") - F.col("med")) / F.nullif(F.col("mad"), F.lit(0.0))
     return (
         dev.join(F.broadcast(mad), "event_type")
         .select("event_type", "event_id", "value", "med", "mad", z.alias("robust_z"))
@@ -1524,10 +1552,10 @@ WITH base AS (
 )
 SELECT e.event_id, e.event_type, CAST(hour(e.ts) AS BIGINT) AS hod,
        e.value, b.hod_avg,
-       e.value / b.hod_avg AS ratio
+       e.value / nullif(b.hod_avg, 0) AS ratio
 FROM events e
 JOIN base b ON e.event_type = b.event_type AND CAST(hour(e.ts) AS BIGINT) = b.hod
-WHERE e.value / b.hod_avg > 3.0
+WHERE e.value / nullif(b.hod_avg, 0) > 3.0
 """,
 )
 def seasonal_hour_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1554,7 +1582,9 @@ def seasonal_hour_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(base), ["event_type", "hod"])
         .select(
             "event_id", "event_type", "hod", "value", "hod_avg",
-            (F.col("value") / F.col("hod_avg")).alias("ratio"),
+            # nullif: an all-zero (type, hour) baseline makes the ratio
+            # undefined; ANSI division would crash (r8 adversarial sweep)
+            (F.col("value") / F.nullif(F.col("hod_avg"), F.lit(0.0))).alias("ratio"),
         )
         .filter(F.col("ratio") > 3.0)
     )
@@ -2307,7 +2337,8 @@ WITH seq AS (
 ),
 paths AS (
   SELECT event_type || '>' || nxt1 || '>' || nxt2 AS path, count(*) AS n
-  FROM seq WHERE nxt2 IS NOT NULL
+  FROM seq
+  WHERE event_type IS NOT NULL AND nxt1 IS NOT NULL AND nxt2 IS NOT NULL
   GROUP BY 1
 ),
 ranked AS (
@@ -2337,7 +2368,15 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type", 2).over(w).alias("nxt2"),
     )
     paths = (
-        seq.filter(F.col("nxt2").isNotNull())
+        # all THREE legs must be non-NULL: concat_ws silently skips NULL
+        # elements (turning a triple through an untyped event into a fake
+        # pair path) while the oracle's || nulls the whole path — both
+        # wrong, and divergent (r8 adversarial sweep)
+        seq.filter(
+            F.col("event_type").isNotNull()
+            & F.col("nxt1").isNotNull()
+            & F.col("nxt2").isNotNull()
+        )
         .select(
             F.concat_ws(">", "event_type", "nxt1", "nxt2").alias("path")
         )
@@ -2519,15 +2558,15 @@ def trimmed_mean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table_checksums",
     oracle=f"""
 SELECT 'events' AS tbl, count(*) AS n_rows,
-       bit_xor({h60_sql("event_id || '|' || CAST(epoch_us(ts) AS VARCHAR) || '|' || user_id || '|' || event_type || '|' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) || '|' || props")}) AS checksum
+       bit_xor({h60_sql("coalesce(CAST(event_id AS VARCHAR), '<NULL>') || '|' || coalesce(CAST(epoch_us(ts) AS VARCHAR), '<NULL>') || '|' || coalesce(CAST(user_id AS VARCHAR), '<NULL>') || '|' || coalesce(event_type, '<NULL>') || '|' || coalesce(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR), '<NULL>') || '|' || coalesce(props, '<NULL>')")}) AS checksum
 FROM events
 UNION ALL
 SELECT 'orders', count(*),
-       bit_xor({h60_sql("o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' || o_orderpriority")})
+       bit_xor({h60_sql("coalesce(CAST(o_orderkey AS VARCHAR), '<NULL>') || '|' || coalesce(CAST(o_custkey AS VARCHAR), '<NULL>') || '|' || coalesce(o_orderstatus, '<NULL>') || '|' || coalesce(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '<NULL>') || '|' || coalesce(CAST(epoch_us(o_orderdate) AS VARCHAR), '<NULL>') || '|' || coalesce(o_orderpriority, '<NULL>')")})
 FROM orders
 UNION ALL
 SELECT 'customer', count(*),
-       bit_xor({h60_sql("c_custkey || '|' || c_name || '|' || c_nationkey || '|' || CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) || '|' || c_mktsegment")})
+       bit_xor({h60_sql("coalesce(CAST(c_custkey AS VARCHAR), '<NULL>') || '|' || coalesce(c_name, '<NULL>') || '|' || coalesce(CAST(c_nationkey AS VARCHAR), '<NULL>') || '|' || coalesce(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR), '<NULL>') || '|' || coalesce(c_mktsegment, '<NULL>')")})
 FROM customer
 """,
 )
@@ -2546,34 +2585,42 @@ def table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheapest possible full-content verification; at 100 TB you run it per
     partition and XOR the partials (which is literally what the aggregate
     already does)."""
+    # every field coalesces to an explicit '<NULL>' token BEFORE concat:
+    # concat_ws silently SKIPS NULLs (shortening the canonical string and
+    # colliding rows that differ only in which field was NULL) while the
+    # oracle's || operator nulls the whole row out of the XOR — both wrong,
+    # and divergent (r8 adversarial sweep)
+    def _nn(c: F.Column) -> F.Column:
+        return F.coalesce(c.cast("string"), F.lit("<NULL>"))
+
     ev = _events(spark, sf_dir)
     ev_canon = F.concat_ws(
         "|",
-        F.col("event_id"),
-        F.unix_micros("ts"),
-        F.col("user_id"),
-        F.col("event_type"),
-        F.col("value").cast(D2).cast("string"),
-        F.col("props"),
+        _nn(F.col("event_id")),
+        _nn(F.unix_micros("ts")),
+        _nn(F.col("user_id")),
+        _nn(F.col("event_type")),
+        _nn(F.col("value").cast(D2)),
+        _nn(F.col("props")),
     )
     orders = load_table(spark, sf_dir, "orders")
     o_canon = F.concat_ws(
         "|",
-        F.col("o_orderkey"),
-        F.col("o_custkey"),
-        F.col("o_orderstatus"),
-        F.col("o_totalprice").cast(D2).cast("string"),
-        F.unix_micros("o_orderdate"),
-        F.col("o_orderpriority"),
+        _nn(F.col("o_orderkey")),
+        _nn(F.col("o_custkey")),
+        _nn(F.col("o_orderstatus")),
+        _nn(F.col("o_totalprice").cast(D2)),
+        _nn(F.unix_micros("o_orderdate")),
+        _nn(F.col("o_orderpriority")),
     )
     customer = load_table(spark, sf_dir, "customer")
     c_canon = F.concat_ws(
         "|",
-        F.col("c_custkey"),
-        F.col("c_name"),
-        F.col("c_nationkey"),
-        F.col("c_acctbal").cast(D2).cast("string"),
-        F.col("c_mktsegment"),
+        _nn(F.col("c_custkey")),
+        _nn(F.col("c_name")),
+        _nn(F.col("c_nationkey")),
+        _nn(F.col("c_acctbal").cast(D2)),
+        _nn(F.col("c_mktsegment")),
     )
 
     def one(df: DataFrame, name: str, canon: F.Column) -> DataFrame:

@@ -2285,8 +2285,13 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _mode(col: str, out: str) -> DataFrame:
+        # asc_nulls_last: survivorship must prefer a real attested value
+        # over NULL on a count tie — and Spark's ASC default (nulls FIRST)
+        # silently disagrees with the oracle's (nulls LAST), so a cluster
+        # whose lang votes tie between NULL and 'de' diverged (r8
+        # adversarial sweep)
         w = Window.partitionBy("cluster_id").orderBy(
-            F.col("c").desc(), F.col(col)
+            F.col("c").desc(), F.col(col).asc_nulls_last()
         )
         return (
             lab.groupBy("cluster_id", col)

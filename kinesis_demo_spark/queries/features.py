@@ -101,9 +101,10 @@ QUANTILE_BIN_QS = (1, 2, 3)  # quartile edges: 25 / 50 / 75 %
 @register(
     "feature_quantile_binning",
     oracle="""
-WITH vals AS (
+WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+vals AS (
   SELECT event_type, value, count(*) AS cnt
-  FROM events GROUP BY event_type, value
+  FROM ev GROUP BY event_type, value
 ),
 cum AS (
   SELECT event_type, value, cnt,
@@ -125,7 +126,7 @@ binned AS (
               WHEN e.value <= d.e3 THEN 2
               ELSE 3 END AS bin,
          d.e1, d.e2, d.e3
-  FROM events e JOIN edges d ON e.event_type = d.event_type
+  FROM ev e JOIN edges d ON e.event_type = d.event_type
 )
 SELECT event_type, bin,
        count(*) AS n_rows,
@@ -154,7 +155,11 @@ def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct histogram is too wide, the documented swap is
     ``approx_percentile`` (KLL sketch) for the edge step with everything
     downstream unchanged."""
-    ev = _events(spark, sf_dir)
+    # NULL values carry no bin: a NULL would rank nowhere in the edge walk
+    # but fall into the ELSE bin at assignment (Spark) or sort after every
+    # edge (DuckDB) — excluded identically in both engines (r8 adversarial
+    # sweep: one phantom 14th bin row)
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
     vals = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("cnt"))
     w_cum = Window.partitionBy("event_type").orderBy("value")
     cum = vals.select(

@@ -75,8 +75,10 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_MEDIA_CTE}
 SELECT doc_id,
        CAST(octet_length(payload) AS BIGINT) AS n_bytes,
-       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
-       CAST(ascii(substr(text, length(text), 1)) AS BIGINT) AS last_byte,
+       CASE WHEN length(text) > 0
+            THEN CAST(ascii(substr(text, 1, 1)) AS BIGINT) END AS first_byte,
+       CASE WHEN length(text) > 0
+            THEN CAST(ascii(substr(text, length(text), 1)) AS BIGINT) END AS last_byte,
        list_reduce(list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT)),
                    (x, y) -> x + y) AS byte_sum,
        list_reduce(list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT)),
@@ -107,7 +109,9 @@ m AS (
 SELECT m.doc_id,
        CAST(f.frame_idx AS BIGINT) AS frame_idx,
        CAST(f.frame_idx * (m.n_bytes // m.n_frames) AS BIGINT) AS frame_offset,
-       CAST(ascii(substr(m.text, CAST(f.frame_idx * (m.n_bytes // m.n_frames) AS INT) + 1, 1)) AS BIGINT) AS sample_byte
+       CASE WHEN f.frame_idx * (m.n_bytes // m.n_frames) < m.n_bytes
+            THEN CAST(ascii(substr(m.text, CAST(f.frame_idx * (m.n_bytes // m.n_frames) AS INT) + 1, 1)) AS BIGINT)
+       END AS sample_byte
 FROM m, (SELECT unnest(range(4)) AS frame_idx) f
 WHERE f.frame_idx < m.n_frames
 """,

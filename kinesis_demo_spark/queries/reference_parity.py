@@ -509,8 +509,10 @@ def uuid_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract_props",
     oracle="""
 SELECT event_id,
-       json_extract_string(props, '$.k')::BIGINT AS k,
-       json_extract_string(props, '$.missing') AS missing
+       CASE WHEN props IS NOT NULL AND json_valid(props)
+            THEN json_extract_string(props, '$.k')::BIGINT END AS k,
+       CASE WHEN props IS NOT NULL AND json_valid(props)
+            THEN json_extract_string(props, '$.missing') END AS missing
 FROM events
 """,
 )
@@ -574,13 +576,15 @@ def heatmap_rollup_client_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "variant_props_extract",
     oracle="""
-SELECT event_id,
-       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
-       CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
-       CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
-            THEN 'hi' ELSE 'lo' END AS k_band
-FROM events
-WHERE CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL
+WITH j AS (
+  SELECT event_id,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+  FROM events
+)
+SELECT event_id, k, k % 10 AS k_mod,
+       CASE WHEN k >= 50 THEN 'hi' ELSE 'lo' END AS k_band
+FROM j WHERE k IS NOT NULL
 """,
 )
 def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -598,7 +602,11 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly why the type exists; at 100 TB you'd persist the variant
     column and let shredding prune paths at the scan."""
     ev = spread(load_table(spark, sf_dir, "events"))
-    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    # try_parse_json, not parse_json: corrupt transport payloads must
+    # surface as NULL variants, never fail the scan (the decode_wire_events
+    # PERMISSIVE contract; parse_json is FAILFAST and crashed on the r8
+    # adversarial fixture's malformed props)
+    v = ev.select("event_id", F.try_parse_json("props").alias("v"))
     k = F.try_variant_get("v", "$.k", "long")
     return (
         v.select(

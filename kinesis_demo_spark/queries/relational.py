@@ -2582,6 +2582,11 @@ def sql_table_function_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     is free. This is the form warehouse teams publish curated metrics in:
     one governed definition, callable per key, no plan penalty.
 
+    The function filters with null-safe equality (<=>): a NULL key row
+    must aggregate the NULL-user group exactly like GROUP BY does — plain
+    equality silently returns the empty aggregate for it (r8 adversarial
+    sweep: a phantom (NULL, 0, NULL) row).
+
     Scale: identical plan to GROUP BY user_id — one map-side-combinable
     aggregate; the table function and lateral both compile away."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("tfs_events")
@@ -2591,7 +2596,7 @@ CREATE OR REPLACE TEMPORARY FUNCTION tfs_user_summary(u BIGINT)
 RETURNS TABLE(n_events BIGINT, total_value DOUBLE)
 RETURN SELECT count(*) AS n_events,
               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-       FROM tfs_events WHERE user_id = u
+       FROM tfs_events WHERE user_id <=> u
 """
     )
     return spark.sql(

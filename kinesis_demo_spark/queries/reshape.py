@@ -27,8 +27,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_set_event_types",
     oracle="""
 SELECT user_id,
-       array_to_string(list_sort(list(DISTINCT event_type)), '|') AS event_types,
-       CAST(len(list(DISTINCT event_type)) AS INT) AS n_types
+       array_to_string(list_sort(coalesce(
+         list(DISTINCT event_type) FILTER (event_type IS NOT NULL), []
+       )), '|') AS event_types,
+       CAST(len(coalesce(
+         list(DISTINCT event_type) FILTER (event_type IS NOT NULL), []
+       )) AS INT) AS n_types
 FROM events
 GROUP BY user_id
 """,
@@ -37,7 +41,10 @@ def agg_collect_set_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped distinct collection, sorted for determinism (collect_set
     order is undefined in Spark and arbitrary in DuckDB). Emitted as a
     '|'-joined scalar: the differential harness canonicalizes via pandas
-    sort_values, which cannot sort list-valued columns."""
+    sort_values, which cannot sort list-valued columns. The oracle filters
+    NULL elements explicitly — Spark's collect_set silently drops NULLs
+    while DuckDB's list(DISTINCT) keeps them (r8 adversarial sweep:
+    phantom +1 in n_types for users with a NULL-typed row)."""
     return (
         _events(spark, sf_dir)
         .groupBy("user_id")

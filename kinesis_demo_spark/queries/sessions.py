@@ -128,6 +128,7 @@ def sessionize_builtin_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_SESSIONS_CTE}
 SELECT user_id, session_start, session_end, n_events, sum_value
 FROM sessions
+WHERE user_id IS NOT NULL
 """,
 )
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -144,7 +145,16 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sentinel watermark push, post-drain filter) are harness, documented at
     streaming/pipeline.py::run_stream_session_windows; the aggregation plan
     is the production shape with per-open-session state evicted at the
-    watermark."""
+    watermark.
+
+    NULL-keyed rows are excluded in BOTH engines: Spark's STREAMING
+    stateful aggregation drops rows whose group key is NULL (state needs a
+    key) while the batch window form keeps a NULL-user session — the r8
+    adversarial sweep caught the one-session gap, and "a session belongs
+    to a user" is the semantics a serving store enforces anyway (the
+    filter is a no-op on NULL-free fixtures)."""
     from ..streaming.pipeline import run_stream_session_windows
 
-    return run_stream_session_windows(spark, sf_dir)
+    return run_stream_session_windows(spark, sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )

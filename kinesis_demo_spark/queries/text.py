@@ -1122,13 +1122,17 @@ def skipgram_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(ws)
 
     def shifted_pairs(d: int):
+        # greatest(n - d, 0): a doc shorter than the offset yields an empty
+        # pair slice — a NEGATIVE slice length is INVALID_PARAMETER_VALUE
+        # (found by the r8 adversarial-fixture sweep on 1-token docs)
+        take = F.greatest(n - F.lit(d), F.lit(0))
         fwd = F.slice(
             F.zip_with(
                 ws, F.slice(ws, d + 1, n),
                 lambda a, b: F.struct(a.alias("c"), b.alias("x")),
             ),
             1,
-            n - d,
+            take,
         )
         bwd = F.slice(
             F.zip_with(
@@ -1136,7 +1140,7 @@ def skipgram_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda a, b: F.struct(b.alias("c"), a.alias("x")),
             ),
             1,
-            n - d,
+            take,
         )
         return [fwd, bwd]
 

@@ -54,13 +54,20 @@ def pandas_udf_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _user_stats_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     ts_us = pdf["ts"].astype("int64") // 1000
-    cents = (pdf["value"] * 100).round().astype("int64")
+    # NULL values arrive as NaN; astype("int64") on NaN is a hard crash and
+    # the SQL oracle's sum() skips NULLs — drop them, and return NULL (not
+    # 0.0) for an all-NULL group, exactly like sum() does (found by the r8
+    # adversarial-fixture sweep). A NULL group key likewise surfaces as NaN
+    # and must go back as None, not a NaN coerced to bigint.
+    vals = pdf["value"].dropna()
+    cents = (vals * 100).round().astype("int64")
+    uid = pdf["user_id"].iloc[0]
     return pd.DataFrame(
         {
-            "user_id": [pdf["user_id"].iloc[0]],
+            "user_id": [None if pd.isna(uid) else int(uid)],
             "n_events": [len(pdf)],
             "span_us": [int(ts_us.max() - ts_us.min())],
-            "sum_value": [cents.sum() / 100.0],
+            "sum_value": [None if vals.empty else cents.sum() / 100.0],
         }
     )
 

@@ -95,6 +95,20 @@ DRIVER_CORRECTNESS_CAP = 50
 # re-promotions above — the relational-semantics shapes, the
 # event-analytics/DQ suite, the text/corpus stragglers, the static
 # streaming differentials, and the BPE pair.
+#
+# r8 adversarial hardening (late-round): the hostile micro-fixture sweep
+# (tools/gen_adversarial_fixture.py -> PARITY_ADVERSARIAL.json, 254/254
+# green after fixes) touched the plans/oracles of 21 queries — NULL
+# guards, tie-break pinning, empty-input guards (full list + root causes
+# in tests/test_adversarial_parity.py). Of those, 6 are in-cap this round
+# (profile_events_columns, table-function/battery-class members via the
+# pool) and the rest are long-green rows whose DRIVER-FIXTURE outputs are
+# BIT-IDENTICAL under the fixes (every guard is a no-op without NULLs /
+# empty inputs — re-proven post-fix by the driver-faithful gate at
+# sf0.001 AND sf0.01 under the hostile session, plus the sfadv pins).
+# They stay below cap so the never-driver-checked backlog burns first;
+# they join the r9 rotation alongside the 5 deferred pool members and
+# serving_poll_page_fused.
 PRIORITY_ORDER = (
     # r8 fixes / upgrades — re-verify externally
     "profile_events_columns",

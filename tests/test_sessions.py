@@ -153,9 +153,9 @@ def test_kernel_in_session_late_event_never_moves_end_backward():
     _kernel_batch(state, [(1_000_000, 1.0), (2_000_000, 2.0)])
     # next micro-batch delivers an event BETWEEN the open session's bounds
     _kernel_batch(state, [(1_500_000, 4.0)])
-    start_us, end_us, n, cents, dropped = state.get
+    start_us, end_us, n, cents, dropped, nv = state.get
     assert (start_us, end_us) == (1_000_000, 2_000_000)  # end clamped, not moved back
-    assert (n, cents, dropped) == (3, 700, 0)
+    assert (n, cents, dropped, nv) == (3, 700, 0, 3)
 
 
 def test_kernel_strict_rejects_event_older_than_open_session():
@@ -170,9 +170,10 @@ def test_kernel_default_drops_and_counts_event_older_than_open_session():
     _kernel_batch(state, [(5_000_000, 1.0)], strict=False)
     out = _kernel_batch(state, [(1_000_000, 9.0)], strict=False)
     assert out == []  # dropped, not folded in, not a failure
-    start_us, end_us, n, cents, dropped = state.get
+    start_us, end_us, n, cents, dropped, nv = state.get
     assert (start_us, end_us, n, cents) == (5_000_000, 5_000_000, 1, 100)
     assert dropped == 1  # observable in state, like a late-data counter
+    assert nv == 1
 
 
 def test_builtin_session_window_matches_custom_batch_form(spark):

@@ -1,0 +1,232 @@
+#!/usr/bin/env python
+"""Adversarial micro-fixture generator (r8): the same ten tables as the
+driver fixtures, but every distribution is an edge case — the latent-break
+hunt that found the datacard even-median bug (ADVICE r7) generalized into a
+reusable gate. ``tools/parity_sweep.py /tmp/sfadv PARITY_ADVERSARIAL.json``
+then runs EVERY registered query against its DuckDB oracle on this data, so
+any engine-vs-oracle disagreement that the benign driver fixtures mask
+(tie-break order, NULL semantics, empty groups, zero spreads, missing
+categories, duplicate keys) turns into a red row.
+
+Deliberate shapes:
+- events: 50% of rows on one user (skew); 120 events inside ONE second
+  (window ties); identical (ts) pairs with distinct event_id (ordering must
+  be (ts, event_id)-total); duplicate event_ids (the streaming-dedup case);
+  NULL user_id / event_type / value / props plus empty and CORRUPT props
+  JSON; one event_type whose values are all identical (MAD = 0, zero
+  variance); a value stretch that is all first-digit-1 (Benford's missing
+  digits); events at exact midnight boundaries.
+- documents: exact duplicate texts; a 64-char shared substring at different
+  offsets; empty text; whitespace-only text; single-char doc; pathological
+  repetition; NULL and empty lang; EVEN doc count with distinct middle
+  lengths (the r7 median bug class).
+- embeddings: exact duplicate vectors (cosine ties), a near-constant
+  vector, tight duplicate clusters, one label owning half the corpus.
+- TPC-H: an order with 30 lines (pair blow-up); orders with no lineitems
+  and customers with no orders (outer-join edges); one returnflag class
+  absent entirely; duplicate (orderkey, partkey) lines; price/balance ties
+  everywhere; a region with no nations.
+
+All randomness is a fixed LCG — the fixture is byte-reproducible.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfadv"
+
+SEED = 0x5EED
+
+
+def lcg(n: int, mod: int, seed: int = SEED):
+    x = seed
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        yield x % mod
+
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(seconds: float) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+def events_rows():
+    rows = []
+    eid = 0
+
+    def add(ts, user, etype, value, props):
+        nonlocal eid
+        rows.append((eid, ts, user, etype, value, props))
+        eid += 1
+
+    # skew block: user 0 takes half the table, values Benford-hostile
+    # (every value starts with digit 1), spread over 2 days
+    for i in range(300):
+        add(_ts(i * 577.0), 0, ("view", "click")[i % 2], 1.0 + (i % 9) / 10 + (i % 3) * 10 ** (i % 3), f'{{"k": {i % 7}}}')
+    # window-tie block: 120 events inside ONE second, 3 users, same-ts pairs
+    for i in range(120):
+        add(_ts(100000 + (i % 4) * 0.25), 1 + i % 3, "purchase", 2.5, f'{{"k": {i}}}')
+    # MAD-zero block: event_type 'scroll' has ONE value everywhere
+    for i in range(60):
+        add(_ts(200000 + i * 37.0), 4 + i % 5, "scroll", 5.0, '{"k": 1}')
+    # NULL block
+    for i in range(20):
+        add(_ts(300000 + i * 61.0), None if i % 4 == 0 else 9 + i % 3, None if i % 5 == 0 else "error", None if i % 3 == 0 else 9.31, None)
+    # corrupt/empty props
+    for i in range(20):
+        add(_ts(310000 + i * 53.0), 12 + i % 2, "signup", 64.25, "" if i % 2 == 0 else "{not json")
+    # midnight boundaries + sentinel runs
+    for d in range(1, 4):
+        add(dt.datetime(2024, 1, d, 0, 0, 0), 14, "error", 0.0, '{"k": 0}')
+        add(dt.datetime(2024, 1, d, 0, 0, 0), 15, "view", 327.53, '{"k": 6}')
+    # duplicate event_ids (replayed transport): re-emit 10 earlier rows as-is
+    rows.extend(rows[5:15])
+    # single-event users at the far edge
+    for u in range(20, 25):
+        add(_ts(400000 + u), u, "purchase", 0.03, '{"k": 3}')
+    return rows
+
+
+def documents_rows():
+    shared = "the quick brown fox jumps over the lazy dog again and again forever"  # 67 chars
+    docs = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta theta",  # exact dup
+        "alpha beta gamma delta epsilon zeta eta theta",  # exact dup x3
+        "prefix words " + shared,
+        shared + " suffix words here",
+        "",                    # empty text
+        "   ",                 # whitespace only
+        "x",                   # single char
+        "spam spam spam spam spam spam spam spam spam spam",
+        "one two three four five six seven eight nine ten eleven twelve",
+        "uno dos tres cuatro cinco seis siete ocho nueve diez",
+    ]
+    # even-count median trap: pad to an EVEN total with a strictly
+    # increasing length ladder so the two middle lengths DIFFER
+    k = 0
+    while len(docs) < 40:
+        docs.append(" ".join(f"w{k}x{j}" for j in range(k + 1)))
+        k += 1
+    langs = ["en", "en", "en", "de", None, "", "zh", "fr", "es", "en"]
+    rows = []
+    for i, text in enumerate(docs):
+        rows.append(
+            (i, text, langs[i % len(langs)], f"src{i % 3}", len(text))
+        )
+    return rows
+
+
+def embeddings_rows():
+    dim = 64
+    rows = []
+    g = lcg(10_000, 1000)
+    vals = [next(g) for _ in range(64 * 48)]
+    for i in range(48):
+        if i < 6:
+            # exact duplicate cluster: 6 identical vectors
+            vec = [float(j % 7) / 7.0 + 0.01 for j in range(dim)]
+        elif i < 10:
+            # near-constant vector (tiny spread, nonzero norm)
+            vec = [0.001 + (0.0001 if j == i else 0.0) for j in range(dim)]
+        else:
+            vec = [vals[i * dim + j] / 1000.0 + 0.001 for j in range(dim)]
+        label = 1 if i < 24 else (i % 10)  # one label owns half the corpus
+        rows.append((i, [float(f"%.6g" % v) for v in vec], label))
+    return rows
+
+
+def tpch_rows():
+    region = [(0, "DUPNAME"), (1, "DUPNAME"), (2, "EMPTYREGION")]
+    nation = [(0, "NAT_A", 0), (1, "NAT_A", 0), (2, "NAT_B", 1), (3, "NAT_C", 1)]
+    customer = [
+        (c, f"Customer#{c}", c % 3 if c < 15 else 3, 100.0 if c % 2 == 0 else -5.5, "BUILDING" if c < 20 else "AUTOMOBILE")
+        for c in range(25)
+    ]
+    supplier = [(s, f"Supplier#{s}", s % 4, 100.0, ) for s in range(10)]
+    supplier = [(s, n, k, b) for (s, n, k, b) in supplier]
+    part = [
+        (p, f"part {'common' if p < 10 else p} name", f"Brand#{p % 2}", "ECONOMY ANODIZED STEEL" if p % 3 == 0 else "STANDARD BURNISHED TIN", 5 if p < 20 else p, 100.0 + (p % 4))
+        for p in range(30)
+    ]
+    orders = []
+    for o in range(60):
+        cust = 0 if o < 15 else (o % 15)  # customers 15..24 have NO orders
+        date = dt.datetime(2024, 1, 1) if o < 20 else dt.datetime(2024, 1 + o % 3, 1 + o % 28)
+        orders.append((o, cust, "O" if o % 2 == 0 else "F", 1000.0, date, "1-URGENT" if o < 48 else f"{1 + o % 5}-X"))
+    lineitem = []
+    ln = 0
+    for o in range(55):  # orders 55..59 have NO lineitems
+        nlines = 30 if o == 0 else 1 + o % 4
+        for i in range(nlines):
+            part_k = i % 30 if o == 0 else (o * 7 + i) % 30
+            lineitem.append(
+                (o, part_k, (o + i) % 10, i + 1, 50.0 if o % 5 == 0 else 1.0 + i, 100.0, 0.0 if o % 2 == 0 else 0.05, 0.04, "A" if o % 3 == 0 else "N", "O", dt.datetime(2024, 1, 1 + o % 28))
+            )
+            ln += 1
+    # duplicate (orderkey, partkey) pair on the big order
+    lineitem.append((0, 0, 9, 31, 2.0, 100.0, 0.0, 0.04, "A", "O", dt.datetime(2024, 1, 5)))
+    return region, nation, customer, supplier, part, orders, lineitem
+
+
+def write(name: str, rows, schema: pa.Schema) -> None:
+    cols = list(zip(*rows)) if rows else [[] for _ in schema.names]
+    table = pa.table({n: list(c) for n, c in zip(schema.names, cols)}, schema=schema)
+    pq.write_table(table, os.path.join(OUT, f"{name}.parquet"))
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    ts_us = pa.timestamp("us")
+    write("events", events_rows(), pa.schema([
+        ("event_id", pa.int64()), ("ts", ts_us), ("user_id", pa.int64()),
+        ("event_type", pa.string()), ("value", pa.float64()), ("props", pa.string()),
+    ]))
+    write("documents", documents_rows(), pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+        ("source", pa.string()), ("n_chars", pa.int64()),
+    ]))
+    write("embeddings", embeddings_rows(), pa.schema([
+        ("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())), ("label", pa.int32()),
+    ]))
+    region, nation, customer, supplier, part, orders, lineitem = tpch_rows()
+    write("region", region, pa.schema([("r_regionkey", pa.int32()), ("r_name", pa.string())]))
+    write("nation", nation, pa.schema([
+        ("n_nationkey", pa.int32()), ("n_name", pa.string()), ("n_regionkey", pa.int32()),
+    ]))
+    write("customer", customer, pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()), ("c_nationkey", pa.int32()),
+        ("c_acctbal", pa.float64()), ("c_mktsegment", pa.string()),
+    ]))
+    write("supplier", supplier, pa.schema([
+        ("s_suppkey", pa.int64()), ("s_name", pa.string()), ("s_nationkey", pa.int32()),
+        ("s_acctbal", pa.float64()),
+    ]))
+    write("part", part, pa.schema([
+        ("p_partkey", pa.int64()), ("p_name", pa.string()), ("p_brand", pa.string()),
+        ("p_type", pa.string()), ("p_size", pa.int32()), ("p_retailprice", pa.float64()),
+    ]))
+    write("orders", orders, pa.schema([
+        ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()), ("o_orderstatus", pa.string()),
+        ("o_totalprice", pa.float64()), ("o_orderdate", ts_us), ("o_orderpriority", pa.string()),
+    ]))
+    write("lineitem", lineitem, pa.schema([
+        ("l_orderkey", pa.int64()), ("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+        ("l_linenumber", pa.int32()), ("l_quantity", pa.float64()),
+        ("l_extendedprice", pa.float64()), ("l_discount", pa.float64()),
+        ("l_tax", pa.float64()), ("l_returnflag", pa.string()),
+        ("l_linestatus", pa.string()), ("l_shipdate", ts_us),
+    ]))
+    print(f"adversarial fixture written to {OUT}")
+
+
+if __name__ == "__main__":
+    main()

@@ -271,6 +271,102 @@ def test_wire_transport_end_to_end_over_socket(spark, tmp_path):
         assert _as_set(spark.table(name)) == _as_set(src)
 
 
+def test_wire_socket_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Kill the consumer mid-stream, restart from the SAME checkpoint, and
+    the union of both runs must be exactly the produced records — the
+    offset-replay contract (readBetweenOffsets) that makes the shim a
+    faithful stand-in for Kafka's committed-offset resume. Producing in two
+    waves (second wave after the restart) also proves the source picks up
+    records appended while no consumer was running."""
+    import time
+    import uuid as _uuid
+
+    from kinesis_demo_spark.sources.wire_socket import (
+        WireBroker,
+        produce_wire,
+        register_wire_socket_source,
+        wire_socket_reader_options,
+    )
+    from kinesis_demo_spark.streaming.pipeline import (
+        decode_wire_events,
+        encode_wire_events,
+    )
+
+    import json
+    import os
+
+    from kinesis_demo_spark.sources.python_datasource import register_jsonl_sink
+
+    register_wire_socket_source(spark)
+    register_jsonl_sink(spark)
+    topic = f"ck_{_uuid.uuid4().hex[:8]}"
+    src = _events(spark)
+    first = src.filter(F.col("event_id") < 500)
+    second = src.filter(F.col("event_id") >= 500)
+    ckpt = str(tmp_path / "ckpt")
+    out = tmp_path / "sink"
+
+    def start():
+        stream = decode_wire_events(
+            spark.readStream.format("wire_socket")
+            .options(
+                **wire_socket_reader_options(
+                    broker.host, broker.port, topic,
+                    starting_offsets="earliest",
+                    max_offsets_per_trigger=100,  # several batches per wave
+                )
+            )
+            .load()
+        )
+        # the memory sink cannot recover from a checkpoint; the repo's
+        # two-phase-commit jsonl sink can — and doubles the restart test as
+        # a second consumer of that sink's exactly-once contract
+        return (
+            stream.writeStream.format("jsonl_sink")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    def sunk_event_ids():
+        ids = []
+        if out.exists():
+            for f in sorted(os.listdir(out)):
+                if f.endswith(".jsonl"):
+                    ids += [json.loads(line)["event_id"] for line in open(out / f)]
+        return ids
+
+    with WireBroker() as broker:
+        produce_wire(encode_wire_events(first), broker.host, broker.port, topic)
+        n1 = first.count()
+        q = start()
+        deadline = time.time() + 60
+        # stop mid-consumption: as soon as SOME rows committed, kill the
+        # query (a committed prefix; the checkpoint holds the resume offset)
+        while time.time() < deadline and not sunk_event_ids():
+            time.sleep(0.1)
+        q.stop()
+        assert len(sunk_event_ids()) > 0
+
+        # second wave arrives while no consumer runs
+        produce_wire(encode_wire_events(second), broker.host, broker.port, topic)
+        total = n1 + second.count()
+
+        q = start()
+        deadline = time.time() + 120
+        try:
+            while time.time() < deadline and len(sunk_event_ids()) < total:
+                time.sleep(0.2)
+        finally:
+            q.stop()
+        ids = sunk_event_ids()
+        assert len(ids) == len(set(ids)), "duplicates across the restart"
+        assert sorted(ids) == sorted(
+            r.event_id for r in src.collect()
+        )  # no loss, no duplicates, across the restart
+
+
 def test_wire_socket_reader_options_mirror_kafka_contract():
     """The loopback shim's option mapping tracks ``kafka_reader_options``
     field for field: same defaults, same toggles, same micro-batch cap

@@ -61,6 +61,17 @@ ADVERSARIAL_CORPORA = {
         "ab bc abc abcabc bcabc",
         " ".join(["ab", "bc"] * 10),
     ],
+    # Multibyte/unicode: substring() and length() must count CODEPOINTS
+    # identically in the Spark plan, the DuckDB oracle, and the Python
+    # references — a byte-indexed implementation would split é/中/🎉 mid-
+    # sequence or mis-size pieces. Mixed-width words (1-4 bytes/char),
+    # combining accents, and repeated CJK runs.
+    "unicode_multibyte": [
+        " ".join(["héllo wörld naïve café", "中文分词 中文 分词"] * 4),
+        "🎉🎉🎉 🎉a🎉 é és ész",
+        " ".join(["中" * k for k in range(1, 7)] * 2),
+        "éclair école",  # combining accent (decomposed NFD)
+    ],
 }
 
 

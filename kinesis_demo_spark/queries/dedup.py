@@ -2052,10 +2052,18 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = shingles.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter
+    # nullif: SNM candidates come from sort adjacency, NOT shared shingles,
+    # so two shingle-less docs (shorter than the shingle width) can pair
+    # with union = 0 — Jaccard is undefined there and ANSI division crashes
+    # (r8 unicode sweep); NULL drops at the threshold filter, exactly like
+    # the oracle, whose pairs CTE never contains co-shingle-free pairs.
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", "rank_gap", (inter.cast("double") / union).alias("jaccard"))
+        .select(
+            "doc_a", "doc_b", "rank_gap",
+            (inter.cast("double") / F.nullif(union, F.lit(0))).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 

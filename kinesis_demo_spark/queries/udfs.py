@@ -36,10 +36,18 @@ def _norm_text_kernel(s: pd.Series) -> pd.Series:
 @register(
     "pandas_udf_text_normalize",
     oracle="""
+WITH pre AS (
+  -- U+0130 pinned to the FULL Unicode lowercase mapping (i + combining dot
+  -- above) BEFORE lower(): Python str.lower and Spark's JVM lower both
+  -- produce the 2-codepoint form while DuckDB's lower drops the dot — the
+  -- one known simple-vs-full case-mapping divergence (r8 unicode sweep)
+  SELECT doc_id, replace(text, chr(304), chr(105) || chr(775)) AS text
+  FROM documents
+)
 SELECT doc_id,
        trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm_text,
        CAST(length(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS BIGINT) AS norm_len
-FROM documents
+FROM pre
 """,
 )
 def pandas_udf_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -74,3 +74,48 @@ def test_adversarial_fixture_parity(name, spark, adv_dir, adv_con):
     df = QUERIES[name](spark, adv_dir)
     problems = compare(df, adv_con, ORACLE[name], name)
     assert not problems, "\n".join(problems)
+
+
+# --- unicode axis (the --unicode fixture; multimodal excluded by design) ------
+
+# the two r8 unicode catches plus representative text-family coverage:
+# shingling/dedup, tokenization stats, language ID, chunking, fingerprints
+UNICODE_PINNED = (
+    "pandas_udf_text_normalize",   # full-vs-simple case mapping of U+0130
+    "dedup_sorted_neighborhood",   # zero Jaccard union on shingle-less pairs
+    "dedup_exact_text",
+    "dedup_ngram_jaccard",
+    "dedup_substring_runs",
+    "text_token_count",
+    "text_vocab_topk",
+    "text_lang_id",
+    "text_chunk_documents",
+    "text_fingerprint",
+    "bpe_encode_corpus",
+    "corpus_datacard",
+)
+
+
+@pytest.fixture(scope="module")
+def uni_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("sfuni")
+    subprocess.run(
+        [sys.executable, "tools/gen_adversarial_fixture.py", "--unicode", str(out)],
+        check=True,
+        cwd="/root/repo",
+    )
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def uni_con(uni_dir):
+    con = duckdb_conn(uni_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", UNICODE_PINNED)
+def test_unicode_fixture_parity(name, spark, uni_dir, uni_con):
+    df = QUERIES[name](spark, uni_dir)
+    problems = compare(df, uni_con, ORACLE[name], name)
+    assert not problems, "\n".join(problems)

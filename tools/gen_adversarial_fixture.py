@@ -39,7 +39,9 @@ import sys
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfadv"
+ARGS = [a for a in sys.argv[1:] if a != "--unicode"]
+UNICODE = "--unicode" in sys.argv[1:]
+OUT = ARGS[0] if ARGS else ("/tmp/sfuni" if UNICODE else "/tmp/sfadv")
 
 SEED = 0x5EED
 
@@ -93,6 +95,41 @@ def events_rows():
     for u in range(20, 25):
         add(_ts(400000 + u), u, "purchase", 0.03, '{"k": 3}')
     return rows
+
+
+def unicode_documents_rows():
+    """The unicode axis (kept out of the MAIN fixture: the multimodal
+    oracles' byte==char identity is documented ASCII-only): mixed-width
+    UTF-8 (1-4 bytes/char), exact dups with accents, simplified/traditional
+    CJK, decomposed accents (NFD), Greek final sigma, the Turkish dotted I
+    (the classic full-vs-simple case-mapping divergence), German sharp s,
+    zero-width characters, fullwidth forms, and docs shorter than the
+    shingle width (empty shingle sets). Caught in r8: DuckDB's lower()
+    dropping U+0130's combining dot, and sorted-neighborhood dividing by a
+    zero Jaccard union on shingle-less pairs."""
+    docs = [
+        "héllo wörld naïve café déjà vu",
+        "héllo wörld naïve café déjà vu",            # exact dup with accents
+        "中文分词 是 自然 语言 处理 的 基础 任务",
+        "中文分词 是 語言 處理 的 基礎",               # simplified vs traditional
+        "русский текст про обработку языка и данных",
+        "mixed ascii und ümlauts züsammen ökonomie",
+        "🎉 emoji 🚀 tokens 🌍 everywhere 🎯 now",
+        "éclair école étude",                         # NFD decomposed accents
+        "ΑΒΓ αβγ ΣΙΓΜΑ σίγμα τέλος",                # greek incl. final sigma
+        "İstanbul ırmak IJssel straße MASSE masse",   # dotted I, sharp s
+        "a­a b​b c⁠c",                 # soft hyphen, zero-width
+        "ｗｉｄｅ ａｓｃｉｉ ﾊﾝｶｸ ｶﾅ",              # fullwidth/halfwidth forms
+    ]
+    k = 0
+    while len(docs) < 24:  # even count, multibyte length ladder
+        docs.append(" ".join("中" * (j + 1) for j in range(k + 1)))
+        k += 1
+    langs = ["zh", "ru", "de", "fr", "el", "tr"]
+    return [
+        (i, t, langs[i % len(langs)], f"src{i % 3}", len(t))
+        for i, t in enumerate(docs)
+    ]
 
 
 def documents_rows():
@@ -190,7 +227,7 @@ def main() -> None:
         ("event_id", pa.int64()), ("ts", ts_us), ("user_id", pa.int64()),
         ("event_type", pa.string()), ("value", pa.float64()), ("props", pa.string()),
     ]))
-    write("documents", documents_rows(), pa.schema([
+    write("documents", unicode_documents_rows() if UNICODE else documents_rows(), pa.schema([
         ("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
         ("source", pa.string()), ("n_chars", pa.int64()),
     ]))
@@ -225,7 +262,7 @@ def main() -> None:
         ("l_tax", pa.float64()), ("l_returnflag", pa.string()),
         ("l_linestatus", pa.string()), ("l_shipdate", ts_us),
     ]))
-    print(f"adversarial fixture written to {OUT}")
+    print(f"adversarial fixture written to {OUT} (unicode={UNICODE})")
 
 
 if __name__ == "__main__":

@@ -36,7 +36,11 @@ SESSION_SCHEMA = T.StructType(
         T.StructField("session_start", T.TimestampType(), False),
         T.StructField("session_end", T.TimestampType(), False),
         T.StructField("n_events", T.LongType(), False),
-        T.StructField("sum_value", T.DoubleType(), False),
+        # Nullable: a session whose values were all NULL sums to NULL (SQL
+        # sum() semantics); declaring False would let Catalyst fold a
+        # downstream `sum_value IS NULL` to false and lets strict Arrow
+        # conversions reject the row.
+        T.StructField("sum_value", T.DoubleType(), True),
     ]
 )
 
@@ -168,7 +172,7 @@ def _make_sessionize_group(strict: bool):
 
 def streaming_sessionize(events: DataFrame, strict: bool = False) -> DataFrame:
     """Keyed stream -> per-user open-session state -> closed-session rows.
-    State is O(1) per user (five longs) — bounded regardless of stream
+    State is O(1) per user (six longs) — bounded regardless of stream
     length; sessions emit exactly once, when the closing gap arrives.
 
     ``strict=False`` (default): a cross-batch out-of-order event older than

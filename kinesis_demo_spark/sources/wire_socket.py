@@ -218,12 +218,20 @@ class WireSocketStreamReader(SimpleDataSourceStreamReader):
         c = self._client()
         try:
             count = c.count(self.topic)
-            if i > count and self.fail_on_data_loss:
-                raise RuntimeError(
-                    f"data loss: resume offset {i} beyond broker tail {count} "
-                    f"(failOnDataLoss=true, the kafka-branch contract)"
-                )
-            end = min(count, i + self.cap) if self.cap is not None else count
+            if i > count:
+                if self.fail_on_data_loss:
+                    raise RuntimeError(
+                        f"data loss: resume offset {i} beyond broker tail {count} "
+                        f"(failOnDataLoss=true, the kafka-branch contract)"
+                    )
+                # failOnDataLoss=false: the broker was reset/truncated under
+                # us. Offsets must stay monotone (readBetweenOffsets replay
+                # assumes end >= start), so hold at the resume offset — an
+                # empty batch — until the broker tail catches back up,
+                # mirroring Kafka's reset-to-valid-offset behavior.
+                end = i
+            else:
+                end = min(count, i + self.cap) if self.cap is not None else count
             rows = c.fetch(self.topic, i, end) if end > i else []
         finally:
             c.close()

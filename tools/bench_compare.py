@@ -109,7 +109,16 @@ def _control_factor(old: dict[str, float], new: dict[str, float]) -> tuple[float
         if med > 0 and abs(f / med - 1.0) > 0.25:
             note += " — CONTROLS AND MEDIAN DISAGREE >25%: using controls; re-run on a quiet host"
         return f, note
-    return med, f"fallback shared-row median {med:.2f}x ({len(ctrl)} controls present)"
+    # Without >=3 controls the shared-row median is the only normalizer
+    # available, but it is blind to a UNIFORM regression (everything 2x
+    # slower normalizes to ~1.0x). Cap the fallback factor at THRESHOLD so a
+    # genuine across-the-board slowdown still trips the exit gate on raw
+    # ratios; a real host-speed shift beyond that needs controls to prove it.
+    capped = min(med, THRESHOLD)
+    note = f"fallback shared-row median {med:.2f}x ({len(ctrl)} controls present)"
+    if capped < med:
+        note += f" — CAPPED at {THRESHOLD}x: no controls to rule out a uniform regression"
+    return capped, note
 
 
 def main() -> int:

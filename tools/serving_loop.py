@@ -81,7 +81,12 @@ class _Coalescer:
             if len(self.pending) >= self.max_batch:
                 self.lock.notify()
         done.wait()
-        return self.results.pop(pid)
+        out = self.results.pop(pid)
+        # A dispatcher failure is stored as the exception itself so the
+        # caller fails loudly instead of hanging on done.wait() forever.
+        if isinstance(out, BaseException):
+            raise out
+        return out
 
     def _dispatch_loop(self):
         while True:
@@ -93,17 +98,22 @@ class _Coalescer:
                 if not self.pending:
                     continue
                 batch, self.pending = self.pending, []
-            probes = self.spark.createDataFrame(
-                [(pid, u, a, up) for pid, u, a, up, _ in batch],
-                "poll_id long, user_id long, after timestamp, upto timestamp",
-            )
-            rows = poll_many(self.agg, probes, limit=10).collect()
-            by_pid: dict[int, list] = {pid: [] for pid, *_ in batch}
-            for r in rows:
-                by_pid[r["poll_id"]].append(r)
-            for pid, _, _, _, done in batch:
-                self.results[pid] = by_pid[pid]
-                done.set()
+            try:
+                probes = self.spark.createDataFrame(
+                    [(pid, u, a, up) for pid, u, a, up, _ in batch],
+                    "poll_id long, user_id long, after timestamp, upto timestamp",
+                )
+                rows = poll_many(self.agg, probes, limit=10).collect()
+                by_pid: dict[int, list] = {pid: [] for pid, *_ in batch}
+                for r in rows:
+                    by_pid[r["poll_id"]].append(r)
+                for pid, _, _, _, done in batch:
+                    self.results[pid] = by_pid[pid]
+                    done.set()
+            except BaseException as exc:  # noqa: BLE001 — re-raised in poll()
+                for pid, _, _, _, done in batch:
+                    self.results[pid] = exc
+                    done.set()
 
     def close(self):
         with self.lock:

@@ -441,9 +441,9 @@ def dedup_ngram_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame
 # corpus-wide suffix array. The Spark-sane shape: fixed-width character
 # grams at every offset -> content-defined anchor selection (keep a gram iff
 # h60 % SUB_ANCHOR_MOD == 0 — alignment-free, so two copies of a substring
-# select the SAME anchors regardless of where each copy starts) -> the same
-# corpus-relative df-cap as the Jaccard index (Zipf-head grams never enter
-# the index) -> equi-join on the gram TEXT (exact, no hash collisions) ->
+# select the SAME anchors regardless of where each copy starts) -> a
+# corpus-relative df-cap (Zipf-head grams never enter the index) ->
+# equi-join on the gram TEXT (exact, no hash collisions) ->
 # per (pair, diagonal) gaps-and-islands merge into maximal aligned runs.
 
 SUB_W = 24          # gram width (chars)
@@ -451,6 +451,16 @@ SUB_ANCHOR_MOD = 4  # keep ~1/4 of offsets, content-defined
 SUB_GAP = 64        # max anchor gap inside one run (P(miss) ~ (3/4)^64)
 SUB_MIN_SPAN = 40   # report runs spanning >= this many chars
 SUB_MIN_ANCHORS = 3
+# Substring-specific df-cap floor. The Jaccard index's floor of
+# DF_CAP_FLOOR=3 is right for shingle features, but here a passage VERBATIM
+# in k docs puts every one of its grams in exactly k docs — floor 3 deletes
+# the whole clique the moment k=4, which is precisely the content
+# exact-substring dedup exists to find (measured: sf0.001's six missed
+# truth runs were one 4-doc passage; floor 8 -> recall 1.0,
+# tools/substring_recall.py). 8 bounds hot-gram join fan-out at C(8,2)=28
+# pairs/gram on tiny corpora; at scale the permille term governs exactly as
+# before (sf0.1: cap 25, unchanged).
+SUB_DF_FLOOR = 8
 
 _SUBSTRING_ORACLE = f"""
 WITH grams AS (
@@ -459,7 +469,7 @@ WITH grams AS (
         FROM documents)
 ),
 anch AS (SELECT doc_id, pos, gram FROM grams WHERE {h60_sql('gram')} % {SUB_ANCHOR_MOD} = 0),
-cap AS (SELECT greatest({DF_CAP_FLOOR}, count(*) * {DF_CAP_PERMILLE} // 1000) AS df_cap
+cap AS (SELECT greatest({SUB_DF_FLOOR}, count(*) * {DF_CAP_PERMILLE} // 1000) AS df_cap
         FROM documents),
 dft AS (SELECT gram, count(DISTINCT doc_id) AS df FROM anch GROUP BY 1),
 idx AS (SELECT a.doc_id, a.pos, a.gram
@@ -497,30 +507,47 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a TRUE exact match (the index joins on the gram text itself, never a
     hash), anchors are selected content-defined (h60 % {SUB_ANCHOR_MOD}, so
     two copies of a substring pick identical anchors at any alignment), hot
-    grams are dropped by the SAME corpus-relative df-cap as the Jaccard
-    index, and anchors on one (pair, diagonal) within {SUB_GAP} chars merge
-    into one run via gaps-and-islands. Output: (doc_a, doc_b, diag,
-    start_a, start_b, span, n_anchors) per run with span >= {SUB_MIN_SPAN}.
+    grams are dropped by a corpus-relative df-cap with a substring-specific
+    floor of {SUB_DF_FLOOR} (see SUB_DF_FLOOR: a verbatim k-doc passage puts
+    every gram at df=k, so the Jaccard floor of {DF_CAP_FLOOR} deleted
+    whole 4-doc cliques), and anchors on one (pair, diagonal) within
+    {SUB_GAP} chars merge into one run via gaps-and-islands. Output:
+    (doc_a, doc_b, diag, start_a, start_b, span, n_anchors) per run with
+    span >= {SUB_MIN_SPAN}.
 
     Recall vs the uncapped stride-1 brute force, measured by
-    tools/substring_recall.py: 0.79 at sf0.001 (the 50-doc corpus where the
-    cap floor of {DF_CAP_FLOOR} dominates — same regime as the Jaccard
-    cap's 0.89 there), 1.0 at sf0.01 (the driver gate's scale), 0.98 at
-    sf0.1. The df-cap and anchor-mod are the two one-sided approximation
+    tools/substring_recall.py: 1.0 at sf0.001 (0.79 before the
+    {SUB_DF_FLOOR} floor), 1.0 at sf0.01 (the driver gate's scale), 0.98
+    at sf0.1. The df-cap and anchor-mod are the two one-sided approximation
     levers; a run is missed only if every anchor in it is hot or
     unselected.
 
-    Scale: gram explosion is O(chars) rows but the anchor filter keeps 1/4
-    BEFORE any exchange (filter sits in the scan stage); the df aggregate is
-    map-side combined on the gram key; the self-join touches only sub-cap
-    buckets (bounded fan-out per gram); the run merge is one window over
-    (pair, diag) — exactly the partitioning the join already produced. A
-    production run raises SUB_W to ~50 tokens and SUB_ANCHOR_MOD to the
+    Scale (r9 restructure — three anchor-sized exchanges total, no persist,
+    sf1 warm 10.2 s -> 7.4 s):
+    1. Gram explosion is O(chars) rows but the anchor filter keeps 1/4
+       BEFORE any exchange (the h60%{SUB_ANCHOR_MOD} test compiles to a
+       single-hex-digit check on md5 — bit-identical anchors, no 15-digit
+       base conversion in the hot scan).
+    2. Hot-gram pass: map-side-combined countDistinct by gram, over-cap
+       grams broadcast back as an anti-join (the dedup_ngram_jaccard_df_
+       capped pattern; |hot| <= anchors/cap, ~30 MB at 100 TB/1e9 docs).
+    3. Pair generation rides the SAME groupBy-gram exchange that a
+       self-join would need twice: collect the (doc, pos) occurrences of
+       one cold gram (bounded by the cap) and expand a<b pairs in-group
+       with a codegen'd nested transform — no second join side, no
+       persisted index. Boundary: a pathologically self-repetitive doc
+       (one gram at k positions) makes the in-group pair array O(k^2) in
+       memory where a self-join would stream the same O(k^2) rows; the
+       operator's OUTPUT is quadratic for such docs in any formulation.
+    4. The run merge rides ONE exchange on (pair, diag) —
+       sort_array(collect_list) + a fold that splits on > {SUB_GAP} gaps,
+       replacing the r8 window-lag + running-sum + regroup chain (two
+       exchanges + a sort). Per-group state is the anchor positions of ONE
+       pair's diagonal — bounded by max_doc_len/{SUB_ANCHOR_MOD}.
+    A production run raises SUB_W to ~50 tokens and SUB_ANCHOR_MOD to the
     winnowing density; the shapes are unchanged. Suffix arrays answer the
     same question in O(n log n) single-node; this form is the one that
     shuffles bounded buckets instead of sorting 100 TB globally."""
-    from pyspark.sql.window import Window
-
     docs = spread(
         _docs(spark, sf_dir)
         .filter(F.length("text") >= SUB_W)  # sequence(1, n<1) would descend
@@ -535,54 +562,80 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("long").alias("pos"),
         F.expr(f"substring(text, pos, {SUB_W})").alias("gram"),
     )
-    anch = track_persist(
-        grams.filter(h60(F.col("gram")) % SUB_ANCHOR_MOD == 0)
-    )
+    # h60(gram) % 4 == 0 depends only on the low 2 bits of h60, i.e. on hex
+    # digit 15 of the md5 (h60 = digits 1..15 base 16) — so the scan-stage
+    # anchor test is one substring + a 4-literal IN, not a 15-digit base
+    # conversion. Bit-identical to the oracle's h60 % {SUB_ANCHOR_MOD}.
+    assert SUB_ANCHOR_MOD == 4, "hex-digit shortcut below encodes mod 4"
+    anch = grams.filter(F.substring(F.md5("gram"), 15, 1).isin("0", "4", "8", "c"))
     cap = F.broadcast(
         _docs(spark, sf_dir).agg(
             F.greatest(
-                F.lit(DF_CAP_FLOOR).cast("long"),
+                F.lit(SUB_DF_FLOOR).cast("long"),
                 F.expr(f"count(*) * {DF_CAP_PERMILLE} DIV 1000"),
             ).alias("df_cap")
         )
     )
-    dft = anch.groupBy("gram").agg(F.countDistinct("doc_id").alias("df"))
-    # persisted: feeds BOTH sides of the self-join — without it the df
-    # aggregate (the expensive two-phase countDistinct) runs once per side
-    idx = track_persist(
-        anch.join(dft, "gram")
+    # Pass 1: the over-cap gram set, tiny by construction (<= anchors/cap),
+    # broadcast back as an anti-join so the heavy pass never groups a hot
+    # gram's occurrences (the skew bomb) — the df_capped fix's pattern.
+    hot = F.broadcast(
+        anch.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
         .crossJoin(cap)
-        .filter(F.col("df") <= F.col("df_cap"))
-        .select("doc_id", "pos", "gram")
+        .filter(F.col("df") > F.col("df_cap"))
+        .select("gram")
     )
-    a = idx.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "gram")
-    b = idx.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "gram")
+    # Pass 2: ONE exchange on gram; cross-doc a<b pairs expand in-group
+    # (each group holds <= df_cap docs' occurrences of one cold gram).
+    pairs_expr = """
+      flatten(transform(occ, x ->
+        filter(transform(occ, y ->
+          IF(x.doc_id < y.doc_id,
+             named_struct('doc_a', x.doc_id, 'doc_b', y.doc_id,
+                          'pos_a', x.pos, 'diag', x.pos - y.pos),
+             cast(null as struct<doc_a: bigint, doc_b: bigint,
+                                 pos_a: bigint, diag: bigint>))),
+          p -> p is not null)))"""
     hits = (
-        a.join(b, "gram")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pos_a", (F.col("pos_a") - F.col("pos_b")).alias("diag"))
+        anch.join(hot, "gram", "left_anti")
+        .groupBy("gram")
+        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("occ"))
+        .select(F.explode(F.expr(pairs_expr)).alias("h"))
+        .select("h.doc_a", "h.doc_b", "h.pos_a", "h.diag")
     )
-    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
-    marked = hits.withColumn(
-        "brk",
-        F.when(
-            F.col("pos_a") - F.lag("pos_a").over(w) > SUB_GAP, F.lit(1)
-        ).otherwise(F.lit(0)),
-    )
-    runs = marked.withColumn(
-        "run_id", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
+    # Gaps-and-islands fold over the sorted anchor positions of one
+    # (pair, diagonal): a single shuffle (collect_list partial-aggregates
+    # map-side), then a pure codegen'd array fold — the window-function
+    # formulation costs a second exchange plus a per-partition sort for the
+    # same answer.
+    fold = f"""
+      aggregate(
+        ps,
+        cast(array() as array<struct<s: bigint, e: bigint, n: bigint>>),
+        (acc, p) -> CASE
+          WHEN size(acc) = 0 OR p - element_at(acc, -1).e > {SUB_GAP}
+          THEN concat(acc, array(named_struct(
+                 's', p, 'e', p, 'n', cast(1 as bigint))))
+          ELSE concat(slice(acc, 1, size(acc) - 1), array(named_struct(
+                 's', element_at(acc, -1).s, 'e', p,
+                 'n', element_at(acc, -1).n + cast(1 as bigint))))
+        END)
+    """
     return (
-        runs.groupBy("doc_a", "doc_b", "diag", "run_id")
-        .agg(
-            F.min("pos_a").alias("start_a"),
-            F.max("pos_a").alias("end_a"),
-            F.count(F.lit(1)).alias("n_anchors"),
+        hits.groupBy("doc_a", "doc_b", "diag")
+        .agg(F.sort_array(F.collect_list("pos_a")).alias("ps"))
+        .select("doc_a", "doc_b", "diag", F.explode(F.expr(fold)).alias("run"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "diag",
+            F.col("run.s").alias("start_a"),
+            (F.col("run.s") - F.col("diag")).alias("start_b"),
+            (F.col("run.e") - F.col("run.s") + F.lit(SUB_W)).alias("span"),
+            F.col("run.n").alias("n_anchors"),
         )
-        .withColumn("start_b", F.col("start_a") - F.col("diag"))
-        .withColumn("span", F.col("end_a") - F.col("start_a") + F.lit(SUB_W))
         .filter((F.col("span") >= SUB_MIN_SPAN) & (F.col("n_anchors") >= SUB_MIN_ANCHORS))
-        .select("doc_a", "doc_b", "diag", "start_a", "start_b", "span", "n_anchors")
     )
 
 

@@ -251,7 +251,7 @@ def substring_dir(spark, tmp_path_factory):
             "the tides of the northern atlantic shelf region in autumn."),
     ] + [
         (10 + i, f"distinct lead-in number {i} with words. " + hot + f" tail {i}.")
-        for i in range(8)
+        for i in range(12)
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     out = str(tmp_path_factory.mktemp("substr") / "documents.parquet")
@@ -280,10 +280,13 @@ def test_substring_runs_find_shared_substring_at_any_alignment(spark, substring_
 
 
 def test_substring_runs_df_cap_drops_corpus_hot_substrings(spark, substring_dir):
-    """The banner sentence sits in 8 of 11 docs — every one of its grams has
-    df 8 > cap (=3 at this corpus size), so NO run may be emitted among the
-    banner docs: the df-cap approximation is one-sided by design (hot
-    verbatim text is the boilerplate operator's job)."""
+    """The banner sentence sits in 12 of 15 docs — every one of its grams
+    has df 12 > cap (=SUB_DF_FLOOR=8 at this corpus size), so NO run may be
+    emitted among the banner docs: the df-cap approximation is one-sided by
+    design (hot verbatim text is the boilerplate operator's job). A passage
+    in <= 8 docs is genuine duplication and IS reported — that boundary is
+    pinned by tools/substring_recall.py (the r8 floor of 3 deleted real
+    4-doc cliques)."""
     runs = D.dedup_substring_runs(spark, substring_dir).collect()
     banner_pairs = [r for r in runs if r.doc_a >= 10 and r.doc_b >= 10]
     assert banner_pairs == []

@@ -27,8 +27,8 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from kinesis_demo_spark.functions.hashing import h60_sql
 from kinesis_demo_spark.queries.dedup import (
-    DF_CAP_FLOOR,
     DF_CAP_PERMILLE,
+    SUB_DF_FLOOR,
     SUB_GAP,
     SUB_MIN_ANCHORS,
     SUB_MIN_SPAN,
@@ -43,7 +43,7 @@ def _runs_sql(anchor_mod: int, df_capped: bool, gap: int, min_anchors: int) -> s
     cap_join = (
         f"""JOIN (SELECT gram, count(DISTINCT doc_id) AS df FROM anch GROUP BY 1) dft
               USING (gram),
-              (SELECT greatest({DF_CAP_FLOOR}, count(*) * {DF_CAP_PERMILLE} // 1000)
+              (SELECT greatest({SUB_DF_FLOOR}, count(*) * {DF_CAP_PERMILLE} // 1000)
                  AS df_cap FROM documents) cap
         WHERE dft.df <= cap.df_cap"""
         if df_capped

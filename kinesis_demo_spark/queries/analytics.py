@@ -3185,6 +3185,12 @@ def ts_autocorr_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- label propagation communities (synchronous, weighted, deterministic) ---------
 
 LPA_ROUNDS = 3
+# Round budget for the fixpoint=True variants of graph_label_propagation /
+# graph_kcore (the dedup_clusters MAX_CC_ITERATIONS discipline): measured
+# convergence on the fixtures is 5-7 rounds (LPA) and 3-4 (k-core peel,
+# O(degeneracy)); 30 leaves an order of magnitude of headroom while still
+# failing loudly on an oscillating or pathological graph.
+GRAPH_MAX_FIXPOINT_ROUNDS = 30
 
 # MATERIALIZED is load-bearing (the corpus.py BPE precedent): the edges CTE
 # is referenced by every unrolled round, and DuckDB would otherwise inline
@@ -3223,7 +3229,9 @@ SELECT f.part, f.lab AS community, s.community_size
 FROM l{LPA_ROUNDS} f JOIN sizes s ON s.lab = f.lab
 """,
 )
-def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_label_propagation(
+    spark: SparkSession, sf_dir: str, fixpoint: bool = False
+) -> DataFrame:
     """Community detection by synchronous weighted label propagation
     (Raghavan et al. 2007) over the part co-purchase graph ({LPA_ROUNDS}
     fixed rounds): every node starts as its own label; each round a node
@@ -3234,6 +3242,16 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components family (dedup_clusters_star): LPA partitions a
     CONNECTED graph into densely-linked communities; min-label CC would
     collapse it to one component.
+
+    fixpoint=True switches from the fixed {LPA_ROUNDS}-round unroll (the
+    oracle-matched registered shape) to loop-until-no-label-changes with a
+    {GRAPH_MAX_FIXPOINT_ROUNDS}-round budget, raising on non-convergence —
+    the dedup_clusters discipline. Synchronous LPA can 2-cycle on
+    pathological graphs; the raise makes that loud instead of returning a
+    non-fixpoint labeling (measured: the fixture converges in 5 rounds at
+    sf0.001, 7 at sf0.01 — tests/test_analytics.py pins budget headroom).
+    The per-round convergence check costs one count() scalar on the driver,
+    never data.
 
     Scale: the graph is symmetric so every node appears as a dst — one
     vote-join (shuffle on src) + one (part, lab) aggregate + one argmax per
@@ -3256,7 +3274,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("src").alias("part")).distinct().select(
         "part", F.col("part").alias("lab")
     )
-    for _ in range(LPA_ROUNDS):
+    if fixpoint:
+        labels = track_checkpoint(labels)
+    rounds = GRAPH_MAX_FIXPOINT_ROUNDS if fixpoint else LPA_ROUNDS
+    converged = not fixpoint
+    for _ in range(rounds):
         votes = (
             edges.join(labels, edges.src == labels.part)
             .select("dst", "lab", "w")
@@ -3266,10 +3288,30 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # eager localCheckpoint: truncates lineage so the returned plan is
         # one round deep over a checkpoint leaf, not LPA_ROUNDS joins of
         # branching history (the dedup_clusters / pagerank discipline).
-        labels = track_checkpoint(
+        new_labels = track_checkpoint(
             votes.groupBy("dst")
             .agg(F.min(F.struct((-F.col("wv")).alias("nw"), F.col("lab").alias("l"))).alias("m"))
             .select(F.col("dst").alias("part"), F.col("m.l").alias("lab"))
+        )
+        if fixpoint:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "part")
+                .filter(F.col("n.lab") != F.col("o.lab"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+        else:
+            labels = new_labels
+    if not converged:
+        raise RuntimeError(
+            f"graph_label_propagation did not reach a fixpoint within "
+            f"{GRAPH_MAX_FIXPOINT_ROUNDS} rounds — synchronous LPA can "
+            f"oscillate on pathological graphs; inspect the label 2-cycle "
+            f"or switch to the fixed-round variant"
         )
     sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("community_size"))
     return labels.join(sizes, "lab").select(
@@ -3394,7 +3436,9 @@ a0 AS (SELECT DISTINCT src AS part FROM edges),
 SELECT part, deg AS core_degree, kk.k AS k_threshold FROM a{KCORE_ROUNDS}, kk
 """,
 )
-def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_kcore(
+    spark: SparkSession, sf_dir: str, fixpoint: bool = False
+) -> DataFrame:
     """K-core decomposition of the part co-purchase graph by synchronous
     peeling ({KCORE_ROUNDS} fixed rounds): drop every node whose degree in
     the CURRENT surviving subgraph is below k, recompute degrees, repeat.
@@ -3403,6 +3447,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     k is corpus-relative, ceil of the mean degree ((2|E|+|V|-1) DIV |V|
     over the symmetric edge table), so the operator peels meaningfully at
     every scale factor instead of hardcoding a density.
+
+    fixpoint=True peels until no node drops (the TRUE k-core, convergence
+    certified) within a {GRAPH_MAX_FIXPOINT_ROUNDS}-round budget, raising
+    on non-convergence — the dedup_clusters discipline. The alive set
+    shrinks monotonically, so one count() scalar per round detects the
+    fixpoint (measured: 3 rounds at sf0.001, 4 at sf0.01, both to an EMPTY
+    core — the mean-degree threshold peels this fixture's graph away
+    entirely, which the fixed-round registered shape also shows).
 
     All math is integer (counts and an integer ceil-DIV), so the unrolled
     SQL mirror is value-hash exact. Complements graph_label_propagation
@@ -3431,8 +3483,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(count(1) + count(DISTINCT src) - 1) DIV count(DISTINCT src)").alias("k")
     )
     alive = edges.select(F.col("src").alias("part")).distinct()
-    deg = None
-    for _ in range(KCORE_ROUNDS):
+    n_alive = alive.count() if fixpoint else None
+    converged = not fixpoint
+    for _ in range(GRAPH_MAX_FIXPOINT_ROUNDS if fixpoint else KCORE_ROUNDS):
         deg = (
             edges.join(alive.select(F.col("part").alias("src")), "src")
             .join(alive.select(F.col("part").alias("dst")), "dst")
@@ -3447,6 +3500,19 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             deg.crossJoin(F.broadcast(k_row))
             .filter(F.col("deg") >= F.col("k"))
             .select(F.col("src").alias("part"), "deg")
+        )
+        if fixpoint:
+            n = alive.count()
+            if n == n_alive:
+                converged = True
+                break
+            n_alive = n
+    if not converged:
+        raise RuntimeError(
+            f"graph_kcore did not reach its peel fixpoint within "
+            f"{GRAPH_MAX_FIXPOINT_ROUNDS} rounds — the graph's degeneracy "
+            f"ordering is deeper than the budget; raise "
+            f"GRAPH_MAX_FIXPOINT_ROUNDS"
         )
     return alive.crossJoin(F.broadcast(k_row)).select(
         "part", F.col("deg").alias("core_degree"), F.col("k").cast("long").alias("k_threshold")

@@ -480,3 +480,94 @@ def test_autocorr_matches_numpy_reference(spark):
                 assert abs(rv - expect) < 1e-9
                 checked += 1
     assert checked > 0
+
+
+def _copurchase_edges(sf_dir):
+    """Reference weighted co-purchase edge dict {(src, dst): w} via DuckDB."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH li AS (SELECT l_orderkey, l_partkey
+                    FROM read_parquet('{sf_dir}/lineitem.parquet'))
+        SELECT a.l_partkey, b.l_partkey, count(*)
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    con.close()
+    return {(s, d): w for s, d, w in rows}
+
+
+def test_kcore_fixpoint_matches_python_peel(spark):
+    """fixpoint=True must return the TRUE k-core: peel in plain Python to
+    convergence and compare survivor sets + degrees exactly. Also certifies
+    the fixture converges well inside GRAPH_MAX_FIXPOINT_ROUNDS (the
+    operator raises otherwise)."""
+    from kinesis_demo_spark.queries.analytics import graph_kcore
+
+    edges = _copurchase_edges(SF)
+    nodes = {s for s, _ in edges}
+    k = (len(edges) + len(nodes) - 1) // len(nodes)
+    alive = set(nodes)
+    deg: dict = {}
+    while True:
+        deg = {}
+        for (s, d), _w in edges.items():
+            if s in alive and d in alive:
+                deg[s] = deg.get(s, 0) + 1
+        new_alive = {n for n, dg in deg.items() if dg >= k}
+        if new_alive == alive:
+            break
+        alive = new_alive
+    got = {r.part: (r.core_degree, r.k_threshold)
+           for r in graph_kcore(spark, SF, fixpoint=True).collect()}
+    assert set(got) == alive
+    for n in alive:
+        assert got[n] == (deg[n], k)
+
+
+def test_lpa_fixpoint_matches_python_propagation(spark):
+    """fixpoint=True weighted synchronous LPA vs a plain-Python reference
+    run to convergence: identical label assignment (ties to smaller label,
+    exactly the struct-min rule)."""
+    from kinesis_demo_spark.queries.analytics import (
+        GRAPH_MAX_FIXPOINT_ROUNDS,
+        graph_label_propagation,
+    )
+
+    edges = _copurchase_edges(SF)
+    labels = {n: n for n in {s for s, _ in edges}}
+    for rnd in range(GRAPH_MAX_FIXPOINT_ROUNDS):
+        votes: dict = {}
+        for (s, d), w in edges.items():
+            key = (d, labels[s])
+            votes[key] = votes.get(key, 0) + w
+        new = {}
+        for (d, lab), wv in votes.items():
+            cur = new.get(d)
+            if cur is None or (-wv, lab) < cur:
+                new[d] = (-wv, lab)
+        new_labels = {d: lab for d, (_nw, lab) in new.items()}
+        if new_labels == labels:
+            break
+        labels = new_labels
+    else:
+        raise AssertionError("python LPA reference did not converge")
+    got = {r.part: (r.community, r.community_size)
+           for r in graph_label_propagation(spark, SF, fixpoint=True).collect()}
+    sizes: dict = {}
+    for lab in labels.values():
+        sizes[lab] = sizes.get(lab, 0) + 1
+    assert {p: c for p, (c, _s) in got.items()} == labels
+    for p, (c, s) in got.items():
+        assert s == sizes[c]
+    # On this small dense fixture the TRUE fixpoint collapses to one
+    # epidemic label (classic synchronous-LPA behavior on dense graphs) —
+    # the fixed-round registered variant stops early precisely to keep
+    # community structure. The differential above is the real check; this
+    # only pins that the collapse is total, so a future fixture change
+    # that breaks the expectation is noticed.
+    assert len(sizes) == 1 and len(labels) > 1

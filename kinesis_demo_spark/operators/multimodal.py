@@ -167,6 +167,54 @@ def real_decode_features(
         yield pd.DataFrame(out)
 
 
+# Perceptual-hash grid: 6 x 10 block-average cells = 60 bits (fits a signed
+# long; 6 bands x 10 bits downstream). Real pHash recipe on decoded pixels:
+# grayscale -> block-average downsample -> bit per cell vs global mean.
+PHASH_GRID_ROWS = 6
+PHASH_GRID_COLS = 10
+PHASH_CELLS = PHASH_GRID_ROWS * PHASH_GRID_COLS
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+
+def phash_decoded_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL perceptual average-hash over DECODED pixels: parse the BMP
+    payload with the pure-numpy codec, integer grayscale ((r+g+b) DIV 3),
+    block-average into the {ROWS}x{COLS} cell grid (cell of pixel (r, c) is
+    (r*{ROWS} DIV h, c*{COLS} DIV w) — exact integer geometry, any image
+    size), set bit k when cell k's mean exceeds the image mean (integer
+    cross-multiplication, no division). Every step is integer-exact, so a
+    SQL oracle can value-hash the result. Input (doc_id, payload binary) ->
+    (doc_id, phash long). Decode is per-payload; pixel math is vectorized
+    numpy (bincount sums are float64 internally but exact: values < 2^53).
+    """
+    import numpy as np
+
+    for pdf in batches:
+        ids: list = []
+        hashes: list = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            img = decode_image_real(bytes(payload))
+            g = img.astype(np.int64).sum(axis=2) // 3
+            h, w = g.shape
+            rcell = (np.arange(h) * PHASH_GRID_ROWS) // h
+            ccell = (np.arange(w) * PHASH_GRID_COLS) // w
+            cells = (rcell[:, None] * PHASH_GRID_COLS + ccell[None, :]).ravel()
+            sums = np.bincount(cells, weights=g.ravel(), minlength=PHASH_CELLS).astype(np.int64)
+            cnts = np.bincount(cells, minlength=PHASH_CELLS).astype(np.int64)
+            tot_sum, tot_cnt = int(g.sum()), h * w
+            bits = sums * tot_cnt > tot_sum * cnts
+            ph = int((np.where(bits, 1, 0).astype(np.int64) << np.arange(PHASH_CELLS, dtype=np.int64)).sum())
+            ids.append(doc_id)
+            hashes.append(ph)
+        yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+
 def fake_decode_features(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:

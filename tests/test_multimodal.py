@@ -109,3 +109,74 @@ def test_multimodal_decode_real_matches_closed_form(spark):
         assert r.r_sum == int(vals[0::3].sum())
         assert r.g_sum == int(vals[1::3].sum())
         assert r.b_sum == int(vals[2::3].sum())
+
+
+def test_phash_decoded_recovers_image_cliques(spark):
+    """The decoded-pixel pHash must recover its image cliques (docs in one
+    PHASH_GROUP render near-identical BMPs): measured fixture separation is
+    743/750 within-group pairs at hamming <= PHASH_MAX_HAMMING and ZERO
+    cross-group pairs at 500 docs — pinned here so a codec or hash
+    regression (stride, bottom-up order, BGR, cell geometry) shows up as a
+    separation collapse, not just an oracle diff."""
+    from kinesis_demo_spark.queries.multimodal import (
+        PHASH_GROUP,
+        phash_image_neardup_decoded,
+    )
+
+    pairs = phash_image_neardup_decoded(spark, SF).collect()
+    within = [r for r in pairs if r.doc_a // PHASH_GROUP == r.doc_b // PHASH_GROUP]
+    cross = [r for r in pairs if r.doc_a // PHASH_GROUP != r.doc_b // PHASH_GROUP]
+    n_docs = spark.read.parquet(SF + "/documents.parquet").count()
+    n_groups_pairs = (n_docs // PHASH_GROUP) * (PHASH_GROUP * (PHASH_GROUP - 1) // 2)
+    assert not cross
+    assert len(within) / n_groups_pairs >= 0.95
+    assert all(r.hamming <= M and r.doc_a < r.doc_b for r in pairs for M in [5])
+
+
+def test_phash_decoded_hash_is_from_decoded_pixels(spark):
+    """Differential against a direct numpy evaluation of the closed-form
+    image (no BMP encode/decode in the reference path): identical hashes
+    prove the Spark path's encode->decode roundtrip is pixel-faithful."""
+    import numpy as np
+
+    from kinesis_demo_spark.operators.multimodal import (
+        PHASH_CELLS,
+        PHASH_GRID_COLS,
+        PHASH_GRID_ROWS,
+        PHASH_SCHEMA,
+        phash_decoded_batches,
+    )
+    from kinesis_demo_spark.queries.multimodal import (
+        _BMP_SCHEMA,
+        _FLIP_BYTES,
+        _THUMB_BYTES,
+        _neardup_bmp_batches,
+        PHASH_GROUP,
+        THUMB_H,
+        THUMB_W,
+    )
+    from kinesis_demo_spark.io import spread
+
+    docs = spread(spark.read.parquet(SF + "/documents.parquet")).select("doc_id")
+    got = {
+        r.doc_id: r.phash
+        for r in docs.mapInPandas(_neardup_bmp_batches, _BMP_SCHEMA)
+        .mapInPandas(phash_decoded_batches, PHASH_SCHEMA)
+        .collect()
+    }
+    assert len(got) > 0
+    j = np.arange(_THUMB_BYTES, dtype=np.int64)
+    rc = (np.arange(THUMB_H) * PHASH_GRID_ROWS) // THUMB_H
+    cc = (np.arange(THUMB_W) * PHASH_GRID_COLS) // THUMB_W
+    cells = (rc[:, None] * PHASH_GRID_COLS + cc[None, :]).ravel()
+    for doc_id in list(got)[:50]:
+        g, v = doc_id // PHASH_GROUP, doc_id % PHASH_GROUP
+        f = (g % 97) + 3
+        b = (j * f + (j // 96) * ((g % 29) * 16) + g * 53) % 256
+        b = np.where((j >= v * 48) & (j < v * 48 + _FLIP_BYTES), (b + 128) % 256, b)
+        gray = b.reshape(THUMB_H, THUMB_W, 3).sum(axis=2) // 3
+        sums = np.bincount(cells, weights=gray.ravel(), minlength=PHASH_CELLS).astype(np.int64)
+        cnts = np.bincount(cells, minlength=PHASH_CELLS).astype(np.int64)
+        bits = sums * (THUMB_H * THUMB_W) > int(gray.sum()) * cnts
+        expect = int((np.where(bits, 1, 0).astype(np.int64) << np.arange(PHASH_CELLS, dtype=np.int64)).sum())
+        assert got[doc_id] == expect

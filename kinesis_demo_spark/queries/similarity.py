@@ -1006,12 +1006,160 @@ def embedding_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- distributed PCA (exact covariance + driver-side eigensolve) -------------------
+#
+# Verification split (r9): the r8 VERDICT proposed upgrading the eigensolve
+# to a fixed-round fixed-point power iteration (the pagerank precedent).
+# MEASURED REFUTATION: the embedding spectrum is near-flat — lambda1/lambda2
+# = 1.0131 at sf0.01 — so power iteration converges at 0.987^T and needs
+# ~350 rounds for 1% eigenvector resolution; at T=20 the fixed-point iterate
+# still misidentifies the dominant dimension (probe: /tmp-style prototype,
+# numbers in the r9 round notes). A 350-CTE oracle is not a verification,
+# it is a liability. Instead the pipeline is verified in two composable
+# halves: pca_scatter_moments value-hashes the DISTRIBUTED stage (the exact
+# integer scatter matrix — the only part that touches corpus-sized data),
+# and pca_effective_rank value-hashes a convergence-free spectral summary
+# (trace moments). The remaining unverified surface of
+# pca_embedding_components is one numpy eigh on a collected 64x64 matrix,
+# pinned to 1e-9 by its differential test.
 
 PCA_TOP_COMPONENTS = 4
+PCA_Q = 1000  # embedding quantization for the integer scatter path
+
+
+def _quantized_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, i, q): embeddings quantized to integers via
+    floor(v * {PCA_Q} + 0.5) — float32 widens exactly to double in both
+    engines, the product and +0.5 are IEEE-identical, floor is exact, so
+    the quantized values (and every integer sum of them) are bit-equal
+    across Spark and DuckDB with no ordered-fold machinery."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return emb.select("vec_id", F.posexplode("embedding").alias("d0", "v")).select(
+        "vec_id",
+        (F.col("d0") + 1).cast("long").alias("i"),
+        F.floor(F.col("v").cast("double") * PCA_Q + F.lit(0.5)).cast("long").alias("q"),
+    )
+
+
+_SCATTER_CTE = f"""
+e AS (
+  SELECT vec_id, CAST(u.i AS BIGINT) AS i,
+         CAST(floor(CAST(u.v AS DOUBLE) * {PCA_Q} + 0.5) AS BIGINT) AS q
+  FROM (SELECT vec_id, unnest(embedding) AS v,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings) u
+),
+mom AS (
+  SELECT a.i AS i, b.i AS j,
+         count(*) AS n, sum(a.q * b.q) AS sxy, sum(a.q) AS sx, sum(b.q) AS sy
+  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+),
+scat AS (SELECT i, j, CAST(n AS BIGINT) AS n, CAST(n * sxy - sx * sy AS BIGINT) AS m FROM mom)
+"""
+
+
+@register(
+    "pca_scatter_moments",
+    oracle=f"WITH {_SCATTER_CTE} SELECT i, j, m AS scatter, n AS n_vectors FROM scat",
+)
+def pca_scatter_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed stage of PCA, value-hash verified: the exact integer
+    scatter matrix M = n*X'X - (sum X)'(sum X) over embeddings quantized by
+    floor(v*{PCA_Q}+0.5) — M/(n*(n-1)) is the sample covariance of the
+    quantized corpus, and M is computed entirely in BIGINT (order-free
+    integer sums: exact under any partitioning, engine, or cluster layout,
+    which is what makes the hash possible where the float covariance needed
+    ordered folds). One (i <= j) upper triangle row per dimension pair.
+
+    Scale: the same two-stage shape as pca_embedding_components — per-pair
+    products map-side combine into (dims^2)/2 groups, corpus-independent
+    output size. Overflow bound: |m| <= n^2 * q_max^2; with |q| <= ~530
+    (unit-norm-ish embeddings x {PCA_Q}) BIGINT holds to n ~ 5e6 vectors;
+    beyond that the same plan runs on DECIMAL(38,0)/HUGEINT accumulators."""
+    e = _quantized_dims(spark, sf_dir)
+    return (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.i") <= F.col("b.i")),
+        )
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("a.q") * F.col("b.q")).alias("sxy"),
+            F.sum("a.q").alias("sx"),
+            F.sum("b.q").alias("sy"),
+        )
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("scatter"),
+            F.col("n").alias("n_vectors"),
+        )
+    )
+
+
+@register(
+    "pca_effective_rank",
+    oracle=f"""
+WITH {_SCATTER_CTE},
+full_m AS (
+  SELECT i, j, m FROM scat
+  UNION ALL
+  SELECT j, i, m FROM scat WHERE i < j
+),
+tr AS (SELECT sum(m) AS t FROM scat WHERE i = j),
+ss AS (SELECT sum(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS s2 FROM full_m),
+top AS (SELECT min(struct_pack(nv := -m, i := i)).i AS top_dim FROM scat WHERE i = j),
+nv AS (SELECT max(n) AS n_vectors FROM scat)
+SELECT nv.n_vectors,
+       CAST((SELECT count(*) FROM scat WHERE i = j) AS BIGINT) AS dim,
+       CAST(tr.t AS BIGINT) AS trace_scatter,
+       CAST((CAST(tr.t AS HUGEINT) * CAST(tr.t AS HUGEINT) * 1000000) // ss.s2 AS BIGINT)
+         AS effective_rank6,
+       CAST(CAST((CAST(tr.t AS HUGEINT) * CAST(tr.t AS HUGEINT) * 1000000) // ss.s2 AS BIGINT)
+            AS DOUBLE) / 1000000.0 AS effective_rank,
+       top.top_dim AS top_variance_dim
+FROM tr, ss, top, nv
+""",
+)
+def pca_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence-free spectral summary, value-hash verified: effective
+    rank erank = tr(C)^2 / tr(C^2) = (sum lambda)^2 / (sum lambda^2) — the
+    participation-ratio answer to "how many principal components carry the
+    variance" (near 1 for a rank-1 spectrum, near dim for a flat one; this
+    corpus measures ~flat, the very property that defeats fixed-round power
+    iteration, see the section note). Both traces are EXACT integer moments
+    of the scatter matrix — tr(C^2) = sum of squared entries by symmetry —
+    so unlike an eigensolve the summary needs no iteration and no floats
+    until the final display division (floor to 1e-6, identical in both
+    engines). Also reports the top-variance dimension (argmax of the
+    diagonal, ties to the smaller index).
+
+    Spark side collects the 2080-row scatter matrix (constant size, the
+    same driver boundary the eigensolve uses) and computes the moments in
+    arbitrary-precision Python ints; the oracle uses HUGEINT. Scale: the
+    distributed work is pca_scatter_moments' plan verbatim."""
+    rows = pca_scatter_moments(spark, sf_dir).collect()
+    tr = sum(r.scatter for r in rows if r.i == r.j)
+    s2 = sum(
+        r.scatter * r.scatter * (1 if r.i == r.j else 2) for r in rows
+    )
+    dim = sum(1 for r in rows if r.i == r.j)
+    n = max(r.n_vectors for r in rows)
+    er6 = (tr * tr * 1_000_000) // s2
+    top_dim = min(((-r.scatter, r.i) for r in rows if r.i == r.j))[1]
+    return spark.createDataFrame(
+        [(n, dim, tr, er6, er6 / 1_000_000.0, top_dim)],
+        "n_vectors bigint, dim bigint, trace_scatter bigint, "
+        "effective_rank6 bigint, effective_rank double, top_variance_dim bigint",
+    )
 
 
 @register("pca_embedding_components")  # eigensolve -> no SQL oracle; numpy
-# differential + invariants in tests/test_similarity_pq.py
+# differential + invariants in tests/test_similarity_pq.py; the distributed
+# stage and a convergence-free spectral summary ARE hash-verified via
+# pca_scatter_moments / pca_effective_rank (see section note)
 def pca_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA over the embedding corpus, the textbook two-stage
     shape: the EXPENSIVE part — mean vector and the full 64x64 covariance

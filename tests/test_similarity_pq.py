@@ -221,3 +221,43 @@ def test_hamming_signature_words_pack_all_64_dims(spark):
     assert out[32] == (full - (1 << 31), full)   # dim 32 -> bit 31 of w0
     assert out[33] == (full, full - 1)           # dim 33 -> bit 0 of w1
     assert out[64] == (full, full - (1 << 31))   # dim 64 -> bit 31 of w1
+
+
+def test_pca_scatter_and_effective_rank_match_numpy(spark):
+    """Integer scatter matrix and participation-ratio effective rank vs
+    direct numpy evaluation on the same quantized embeddings — the two
+    hash-checked halves of the PCA pipeline (the eigensolve half keeps its
+    own differential above)."""
+    import duckdb
+    import numpy as np
+
+    from kinesis_demo_spark.queries.similarity import (
+        PCA_Q,
+        pca_effective_rank,
+        pca_scatter_moments,
+    )
+
+    V = np.array(
+        duckdb.sql(
+            f"SELECT embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+        ).fetchnumpy()["embedding"].tolist(),
+        dtype=np.float64,
+    )
+    q = np.floor(V * PCA_Q + 0.5).astype(np.int64)
+    n, dim = q.shape
+    M = n * (q.T @ q) - np.outer(q.sum(0), q.sum(0))  # exact: |entries| << 2^53? no — int64 matmul
+    got = {(r.i, r.j): r.scatter for r in pca_scatter_moments(spark, SF).collect()}
+    assert len(got) == dim * (dim + 1) // 2
+    for (i, j), v in got.items():
+        assert v == int(M[i - 1, j - 1]), (i, j)
+    r = pca_effective_rank(spark, SF).collect()[0]
+    tr = int(np.trace(M))
+    s2 = int((M.astype(object) * M.astype(object)).sum())
+    assert r.trace_scatter == tr
+    assert r.effective_rank6 == (tr * tr * 1_000_000) // s2
+    assert r.n_vectors == n and r.dim == dim
+    # the participation ratio agrees with the eigenvalue definition
+    vals = np.linalg.eigvalsh(M.astype(np.float64))
+    er_eig = float(vals.sum() ** 2 / (vals**2).sum())
+    assert abs(r.effective_rank - er_eig) < 1e-3
+    assert r.top_variance_dim == int(np.argmax(np.diag(M))) + 1

@@ -57,114 +57,94 @@ DRIVER_CORRECTNESS_CAP = 50
 # Queries whose PLANS CHANGED this round always stay/return in-cap so the
 # change is externally re-verified.
 #
-# Driver-row ledger as of r7 (VERDICT r7 What's missing #1): 200 of the 253
-# registered queries have at least one green driver CORRECTNESS row
-# (rounds r2-r7); 52 hash-checkable queries plus the rows-only
-# packing_efficiency_report have never been driver-checked — they are green
-# in every local gate (tests/test_oracle_parity.py driver-faithful
-# canonicalization at sf0.001/sf0.01 + the sf0.1 full-registry sweep,
-# PARITY_SF0.1.json 253/253) and 12 were independently re-verified by the
-# r7 judge, but the EXTERNAL gate has never seen them.
+# Driver-row ledger as of r9 (recomputed from CORRECTNESS_r02..r08): 241 of
+# the r8-era 254 registered queries carry at least one green driver row;
+# after the r8 round the never-driver-checked hash-checkable backlog was
+# exactly 6 (the 5 deferred pool members + serving_poll_page_fused). Round
+# 9 adds 3 new hash-checkable queries (phash_image_neardup_decoded and the
+# PCA verification pair pca_scatter_moments / pca_effective_rank), so the
+# in-cap never-checked set below is 9 — after this round's driver pass the
+# backlog is 0 and every hash-checkable query in the registry has a green
+# external row. Rows-only remains 7 (approx_* x2, uuid_generate,
+# pca_embedding_components — whose distributed stage and spectral summary
+# ARE now hash-checked via the new PCA pair — packing_efficiency_report,
+# and the unigram tokenizer pair), each with its local differential.
 #
-# Round-8 rotation (VERDICT r7 #1: burn that 52-query promotion pool; 50
-# slots, so it takes two rounds): in-cap this round are
-#   - profile_events_columns — the one r7 red row (hash-only, driver-env
-#     timestamp sensitivity), re-promoted after the unix_micros hardening;
-#   - dedup_ngram_jaccard_df_capped — plan restructured this round (the r7
-#     cost-inversion fix: broadcast hot-head anti-join + persisted cold
-#     index + ride-along intersection counts), must be externally
+# Round-9 rotation (VERDICT r8 #1 + #2): 27 must-in slots —
+#   - 9 never-driver-checked hash-checkable queries (closes the ledger);
+#   - dedup_substring_runs — plan restructured this round (substring df-cap
+#     floor, in-group pair generation, fold-based run merge) and output
+#     changed at sf0.001 (4-doc cliques restored); must be externally
 #     re-verified;
-#   - pagerank_copurchase — oracle upgraded from rows-only to a scale-9
-#     fixed-point unrolled-SQL value hash (the bpe_train_merges precedent);
-#     first hash row;
-#   - 47 of the 52-query pool, including the three whose plans r8 touched
-#     (corpus_datacard median-rank fix, exact_quantiles_selection NULL
-#     handling, wordpiece_encode_words empty-corpus guard).
-# Deferred to the r9 pool (the remaining 5 — all five were independently
-# re-run against their oracles by the r7 judge this round, so they carry
-# the strongest non-driver evidence while they wait): dedup_semdedup_prune,
-# graph_kcore, graph_triangle_clustering, rbo_rank_agreement,
-# retrieval_eval_metrics. The unigram tokenizer pair and the other
-# rows-only queries (pca_embedding_components, packing_efficiency_report,
-# approx_* family, uuid_generate) keep their local differentials as
-# evidence and never spend cap slots.
-#
-# Rotated out (ALL green in r7, plans untouched in r8; ledger in
-# COVERAGE.md, re-verified every round by tests/test_oracle_parity.py and
-# the sf0.1 full-registry parity sweep): the r7 in-cap set minus the two
-# re-promotions above — the relational-semantics shapes, the
-# event-analytics/DQ suite, the text/corpus stragglers, the static
-# streaming differentials, and the BPE pair.
-#
-# r8 adversarial hardening (late-round): the hostile micro-fixture sweep
-# (tools/gen_adversarial_fixture.py -> PARITY_ADVERSARIAL.json, 254/254
-# green after fixes) touched the plans/oracles of 21 queries — NULL
-# guards, tie-break pinning, empty-input guards (full list + root causes
-# in tests/test_adversarial_parity.py). Of those, 6 are in-cap this round
-# (profile_events_columns, table-function/battery-class members via the
-# pool) and the rest are long-green rows whose DRIVER-FIXTURE outputs are
-# BIT-IDENTICAL under the fixes (every guard is a no-op without NULLs /
-# empty inputs — re-proven post-fix by the driver-faithful gate at
-# sf0.001 AND sf0.01 under the hostile session, plus the sfadv pins).
-# They stay below cap so the never-driver-checked backlog burns first;
-# they join the r9 rotation alongside the 5 deferred pool members and
-# serving_poll_page_fused.
+#   - graph_kcore / graph_label_propagation — registered plans are
+#     unchanged by the r9 fixpoint-mode addition (verified vs oracle), but
+#     the function bodies changed, so both return in-cap per the
+#     changed-plan rule's spirit (kcore is in the never-checked 9 anyway);
+#   - the 16 r8-adversarially-hardened queries whose plans/oracles changed
+#     below the cap without external re-verification (the other 5 of the
+#     21-query catch list — profile_events_columns, skipgram_pair_counts,
+#     feature_quantile_binning, er_golden_record,
+#     streaming_session_windows — got green r8 rows).
+# The remaining 23 slots are freshness rotation: exactly the 23 rows whose
+# last green driver row is r2 (oldest standing evidence in the record).
+# Everything else is long-green with plans untouched this round and keeps
+# pass(rN) + the local gates (tests/test_oracle_parity.py, the sf0.1 and
+# adversarial full-registry sweeps).
 PRIORITY_ORDER = (
-    # r8 fixes / upgrades — re-verify externally
-    "profile_events_columns",
-    "dedup_ngram_jaccard_df_capped",
-    "pagerank_copurchase",
-    # r8-touched pool members — first driver rows AND changed-plan checks
-    "corpus_datacard",
-    "exact_quantiles_selection",
-    "wordpiece_encode_words",
-    # promotion pool wave 1 (r7 filtering/selection suite) — first driver rows
-    "lm_fluency_score",
-    "token_shard_assembly",
-    "ann_hamming_binary",
-    "dedup_clusters_star",
-    "incremental_join_view_merge",
-    "dedup_rate_by_source",
-    "ab_test_stats",
-    "attribution_last_touch",
-    "sample_priority_weighted",
-    "concat_chunk_sequences",
-    "feature_hash_vectorize",
-    "feature_quantile_binning",
-    "ts_autocorr_components",
-    # promotion pool wave 3 (r7 continuation) — first driver rows
-    "dedup_incremental_batch",
+    # never-driver-checked (closes the ledger) — incl. the 3 r9-new queries
+    "dedup_semdedup_prune",
+    "graph_kcore",
+    "graph_triangle_clustering",
+    "rbo_rank_agreement",
+    "retrieval_eval_metrics",
+    "serving_poll_page_fused",
+    "phash_image_neardup_decoded",
+    "pca_scatter_moments",
+    "pca_effective_rank",
+    # r9 changed plans — external re-verification
+    "dedup_substring_runs",
     "graph_label_propagation",
-    "compaction_plan",
-    "pareto_frontier_parts",
-    "cdc_merge_apply",
-    "dedup_sorted_neighborhood",
-    "search_phrase_positions",
-    "mutual_nearest_lsh",
-    "assoc_rules_copurchase",
-    "span_corruption_plan",
-    "skipgram_pair_counts",
-    "vocab_coverage_curve",
-    "dedup_cross_source_matrix",
-    "benford_first_digit_dq",
-    "text_intradoc_repeats",
-    "chunk_reassembly_roundtrip",
-    "ann_recall_report",
-    "streaming_session_windows",
-    "prefix_cache_grouping",
-    "coreset_kcenter_selection",
-    # promotion pool waves 4/5 — first driver rows
-    "knn_label_vote",
-    "mmr_rerank_topk",
-    "contamination_ngram_fraction",
-    "er_golden_record",
-    "holt_linear_forecast",
-    "k_anonymity_report",
-    "prf_query_expansion",
-    "langid_confusion_matrix",
-    "feature_standardize",
-    "negative_sampling_table",
-    "epoch_shuffle_independence",
+    # r8 adversarial hardening — the 16 changed below-cap, now re-seen
+    "ewma_value_per_user",
+    "outliers_value_mad",
+    "seasonal_hour_anomalies",
+    "grouped_pandas_user_stats",
+    "variant_props_extract",
+    "sessionize_stateful_streaming",
+    "json_extract_props",
+    "stats_corr_value_props",
+    "stats_argminmax_value",
+    "agg_collect_set_event_types",
+    "table_checksums",
+    "top_event_paths",
+    "window_functions_battery",
+    "sql_table_function_summary",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    # freshness rotation: the 23 rows whose newest driver row is r2
+    "agg_window_count",
+    "ann_cosine_topk",
+    "ann_with_document_metadata",
+    "anti_join_customers_without_orders",
+    "cube_flag_status",
+    "dedup_embedding_cosine",
+    "dedup_exact_text",
+    "dedup_ngram_jaccard",
+    "distinct_part_supp_pairs",
+    "embedding_centroid_by_label",
+    "grouped_count_by_position",
+    "grouping_sets_priority_status",
+    "heatmap_rollup_client_order",
+    "join_orders_lineitem_priority",
+    "pipeline_training_corpus",
+    "rollup_flag_status",
+    "semi_join_customers_with_orders",
+    "sum_value_by_user",
+    "tpch_q18_large_orders",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_region_supplier_volume",
+    "window_lag_lead_user_values",
+    "window_topk_orders_per_customer",
 )
 
 

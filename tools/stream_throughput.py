@@ -6,6 +6,7 @@ progress metrics.
 
 Usage:
     python tools/stream_throughput.py [rows_per_second] [seconds] [--wire]
+    python tools/stream_throughput.py --seal   # writes STREAM_THROUGHPUT.json
 
 ``--wire`` routes every record through the transport codec first
 (encode_wire_events -> decode_wire_events, the kafka branch's JSON wire
@@ -43,6 +44,10 @@ from kinesis_demo_spark.streaming.pipeline import (
 
 
 def main() -> None:
+    if "--seal" in sys.argv:
+        seal(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          "STREAM_THROUGHPUT.json"))
+        return
     args = [a for a in sys.argv[1:] if a != "--wire"]
     wire = "--wire" in sys.argv
     rows_per_second = int(args[0]) if len(args) > 0 else 10_000
@@ -79,6 +84,83 @@ def main() -> None:
             }
         )
     )
+
+
+
+
+def seal(out_path: str) -> dict:
+    """Sustained-throughput seal for the SURVEY §7 state-blowup risk: drive
+    the REAL A1/A2 shape — movement_aggregates, i.e. per-(user, 1 s window)
+    count + sort_array(collect_list(struct)) — from the rate source at an
+    escalating offered load, watermarked, 1 s trigger, update mode, with
+    sf1-scale key cardinality (15 000 distinct users, the /tmp/sf1 events
+    fixture's cardinality). A rung is SUSTAINED when the steady tail
+    achieves >= 95% of offered AND p99 batch duration stays under the 1 s
+    trigger. Records per rung: achieved rows/s, p50/p99/max batch ms, state
+    rows and state memory bytes (the per-window collect_list state the
+    reference's DynamoDB upsert held as items). The ceiling is the last
+    sustained rung."""
+    from kinesis_demo_spark.plans.movements import movement_aggregates
+
+    spark = get_spark("stream-throughput-seal")
+    spark.sparkContext.setLogLevel("ERROR")
+    rungs = []
+    ceiling = None
+    for offered in (10_000, 50_000, 100_000, 200_000, 400_000, 800_000):
+        events = stream_synthetic_events(
+            spark, rows_per_second=offered, n_users=15_000
+        ).withWatermark("ts", "10 seconds")
+        agg = movement_aggregates(events)
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("update")
+            .trigger(processingTime="1 second")
+            .option("checkpointLocation", f"/tmp/stream_seal_ckpt_{offered}")
+            .start()
+        )
+        time.sleep(25)
+        progresses = [json.loads(p.json) for p in q.recentProgress]
+        q.stop()
+        tail = progresses[len(progresses) // 3 :]
+        if not tail:
+            break
+        rows = sum(p["numInputRows"] for p in tail)
+        dur_s = sum(p["batchDuration"] for p in tail) / 1000.0
+        batch_ms = sorted(p["batchDuration"] for p in tail)
+        pct = lambda q_: batch_ms[min(len(batch_ms) - 1, int(q_ * len(batch_ms)))]  # noqa: E731
+        st = [p["stateOperators"][0] for p in tail if p.get("stateOperators")]
+        rung = {
+            "offered_rows_s": offered,
+            "achieved_rows_s": round(rows / dur_s) if dur_s else 0,
+            "batches": len(tail),
+            "batch_ms_p50": pct(0.50),
+            "batch_ms_p99": pct(0.99),
+            "batch_ms_max": batch_ms[-1],
+            "state_rows_total": max(s["numRowsTotal"] for s in st) if st else None,
+            "state_memory_bytes": max(s["memoryUsedBytes"] for s in st) if st else None,
+        }
+        rung["sustained"] = (
+            rung["achieved_rows_s"] >= 0.95 * offered and rung["batch_ms_p99"] < 1000
+        )
+        rungs.append(rung)
+        if rung["sustained"]:
+            ceiling = rung
+        else:
+            break
+    doc = {
+        "metric": "stream_movs_state_throughput",
+        "shape": "rate -> movement_aggregates (count + sorted collect_list state), "
+                 "watermark 10s, trigger 1s, update mode, n_users=15000 (sf1 events cardinality)",
+        "ceiling_rows_s": ceiling["achieved_rows_s"] if ceiling else 0,
+        "ceiling_batch_ms_p99": ceiling["batch_ms_p99"] if ceiling else None,
+        "ceiling_state_rows": ceiling["state_rows_total"] if ceiling else None,
+        "ceiling_state_bytes": ceiling["state_memory_bytes"] if ceiling else None,
+        "rungs": rungs,
+    }
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({k: v for k, v in doc.items() if k != "rungs"}))
+    return doc
 
 
 if __name__ == "__main__":

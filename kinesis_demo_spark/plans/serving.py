@@ -189,3 +189,64 @@ def serving_table(events: DataFrame, partitions: int | None = None) -> DataFrame
     return agg.repartitionByRange(n, "user_id", "window_start").sortWithinPartitions(
         "user_id", "window_start"
     )
+
+
+def poll_many_collected(
+    agg: DataFrame,
+    reqs: list,
+    limit: int = 10,
+) -> dict:
+    """Request-coalesced serving, single-stage variant: answer a BATCH of
+    poll requests with ONE job and assemble the per-request pages on the
+    coordinator. ``reqs`` is ``[(poll_id, user_id, after, upto), ...]``;
+    returns ``{poll_id: [row dicts]}`` — per-request rows identical to
+    ``poll_many`` (pinned by tests/test_serving_concurrency.py's
+    differential).
+
+    Why it exists (r9, the 64-client headroom item): the ``poll_many``
+    probe-join plan pays three fixed costs per dispatch on the local
+    scheduler — plan compile ~200 ms, the broadcast-exchange job ~300 ms,
+    and the main 2-stage job ~300 ms (measured at sf1; the bare 8-task
+    no-op job alone is ~300 ms, so two jobs + a shuffle stage IS the
+    floor). This variant pushes the batch's OR-footprint as ONE literal
+    predicate — ``user_id IN (probed users) AND window_start >
+    min(after)`` — into the batch-pruned cached scan (one job, one stage,
+    no join, no window exchange) and finishes per-request slicing in
+    Python over the collected slice. The collected size is bounded by
+    |batch| x one user's windows past the cursor (requests, not data:
+    ~4k rows for 64 probes at sf1), exactly the coordinator-side response
+    assembly every real serving layer does after its storage scan.
+    """
+    from pyspark.sql import functions as F
+
+    users = sorted({r[1] for r in reqs})
+    min_after = min(r[2] for r in reqs)
+    rows = (
+        agg.filter(
+            F.col("user_id").isin(users)
+            & (F.col("window_start") > F.lit(min_after))
+        )
+        .select("user_id", "window_start", "cnt")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r[0], []).append(r)
+    out: dict = {}
+    for pid, user, after, upto in reqs:
+        mine = [r for r in by_user.get(user, ()) if r[1] > after]
+        total = sum(r[2] for r in mine)
+        page = sorted(
+            (r for r in mine if r[1] <= upto), key=lambda r: r[1], reverse=True
+        )[:limit]
+        out[pid] = [
+            {
+                "poll_id": pid,
+                "user_id": user,
+                "window_start": r[1],
+                "cnt": r[2],
+                "total_events": total,
+            }
+            for r in page
+        ]
+    return out

@@ -110,3 +110,32 @@ def test_serving_table_is_clustered_for_batch_pruning(spark):
     # (n_partitions - 1) users must be partition-local
     split_users = [u for u, p in user_to_pids.items() if len(p) > 1]
     assert len(split_users) <= len(by_pid) - 1
+
+
+def test_poll_many_collected_matches_poll_many(spark):
+    """The r9 single-stage serving path (pushed IN-filter scan +
+    coordinator assembly) must return per-request rows IDENTICAL to the
+    probe-join poll_many plan — same pages, same order, same running
+    totals — on a probe mix that actually matches data."""
+    from kinesis_demo_spark.plans.serving import poll_many_collected
+
+    agg = _agg(spark)
+    probes = _probe_mix(agg, 12)
+    probes_df = spark.createDataFrame(
+        probes, "poll_id long, user_id long, after timestamp, upto timestamp"
+    )
+    want: dict[int, list] = {p[0]: [] for p in probes}
+    for r in poll_many(agg, probes_df, limit=10).collect():
+        want[r.poll_id].append((r.user_id, r.window_start, r.cnt, r.total_events))
+    for pid in want:
+        want[pid].sort(key=lambda t: t[1], reverse=True)
+    got = poll_many_collected(agg, probes, limit=10)
+    assert set(got) == set(want)
+    n_nonempty = sum(1 for v in want.values() if v)
+    assert n_nonempty >= len(probes) // 2, "probe mix mostly empty — vacuous"
+    for pid in want:
+        assert [
+            (d["user_id"], d["window_start"], d["cnt"], d["total_events"])
+            for d in got[pid]
+        ] == want[pid], f"poll {pid} diverged"
+    agg.unpersist()

@@ -38,7 +38,11 @@ from concurrent.futures import ThreadPoolExecutor
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from kinesis_demo_spark.io import load_table
-from kinesis_demo_spark.plans.serving import poll_many, poll_page_with_total, serving_table
+from kinesis_demo_spark.plans.serving import (
+    poll_many_collected,
+    poll_page_with_total,
+    serving_table,
+)
 from kinesis_demo_spark.session import get_spark
 
 # Each poll scans this much window-time past its cursor (the reference client
@@ -51,10 +55,10 @@ class _Coalescer:
     """Serving-front request coalescer: clients enqueue poll params; a
     dispatcher thread drains the queue every ``window_ms`` (or when
     ``max_batch`` is waiting) and answers the whole batch with ONE
-    ``poll_many`` job, then hands each client its rows. One Spark job per
-    poll capped the 64-client sweep near 30 qps — compile+schedule is the
-    fixed cost — so the front amortizes it exactly like BatchGetItem does
-    for the reference's serving store."""
+    ``poll_many_collected`` job, then hands each client its rows. One
+    Spark job per poll capped the 64-client sweep near 30 qps —
+    compile+schedule is the fixed cost — so the front amortizes it exactly
+    like BatchGetItem does for the reference's serving store."""
 
     def __init__(self, spark, agg, window_ms: float = 10.0, max_batch: int = 64):
         import threading
@@ -99,14 +103,14 @@ class _Coalescer:
                     continue
                 batch, self.pending = self.pending, []
             try:
-                probes = self.spark.createDataFrame(
+                # single-stage pushed-filter batch + coordinator assembly
+                # (plans/serving.py::poll_many_collected — one job per
+                # dispatch instead of broadcast-join's two jobs + shuffle)
+                by_pid = poll_many_collected(
+                    self.agg,
                     [(pid, u, a, up) for pid, u, a, up, _ in batch],
-                    "poll_id long, user_id long, after timestamp, upto timestamp",
+                    limit=10,
                 )
-                rows = poll_many(self.agg, probes, limit=10).collect()
-                by_pid: dict[int, list] = {pid: [] for pid, *_ in batch}
-                for r in rows:
-                    by_pid[r["poll_id"]].append(r)
                 for pid, _, _, _, done in batch:
                     self.results[pid] = by_pid[pid]
                     done.set()

@@ -252,6 +252,10 @@ HEADLINE = (
     "epoch_shuffle_independence",
     # r8
     "serving_poll_page_fused",
+    # r9: decoded-pixel perceptual hash + the PCA verification pair
+    "phash_image_neardup_decoded",
+    "pca_scatter_moments",
+    "pca_effective_rank",
 )
 
 

@@ -548,6 +548,12 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     winnowing density; the shapes are unchanged. Suffix arrays answer the
     same question in O(n log n) single-node; this form is the one that
     shuffles bounded buckets instead of sorting 100 TB globally."""
+    # Nothing is persisted: at sf1 caching the 16M-row gram stream cost
+    # more than recomputing it per pass (measured r9: persist 5.3 s vs
+    # 2 x 1.4 s scans), and persisting the pre-explosion docs bought
+    # nothing measurable. The hot-gram pass is a real second scan — it
+    # costs ~+0.5 s at sf0.1 (1.1 -> 1.7 s) and is what buys the sf1 win
+    # (10.2 -> 6.0 s) plus the skew safety; the trade is deliberate.
     docs = spread(
         _docs(spark, sf_dir)
         .filter(F.length("text") >= SUB_W)  # sequence(1, n<1) would descend

@@ -256,6 +256,7 @@ HEADLINE = (
     "phash_image_neardup_decoded",
     "pca_scatter_moments",
     "pca_effective_rank",
+    "multimodal_frame_sample_real",
 )
 
 

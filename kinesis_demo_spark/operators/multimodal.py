@@ -267,3 +267,90 @@ def decode_features(media: DataFrame) -> DataFrame:
 def frame_sample(media: DataFrame) -> DataFrame:
     """media(doc_id, payload, ...) -> one row per sampled frame."""
     return media.select("doc_id", "payload").mapInPandas(fake_frame_sample, FRAMES_SCHEMA)
+
+
+# --- BMV container: the real frame-extraction path ---------------------------------
+#
+# A deliberately spec-simple video-ish container (the BMP of containers):
+#   magic "BMV1" | u32 n_frames | n_frames x u32 frame_byte_length | frames
+# with each frame a complete 24-bit BMP. Real containers (MP4/AVI) need
+# demux libraries this environment does not ship; BMV keeps the ENTIRE
+# production shape real — index parse, offset arithmetic, bounds checks,
+# per-frame codec invocation — behind the same seam a libav demuxer slots
+# into.
+
+BMV_MAGIC = b"BMV1"
+
+FRAME_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("r_sum", T.LongType(), False),
+        T.StructField("g_sum", T.LongType(), False),
+        T.StructField("b_sum", T.LongType(), False),
+    ]
+)
+
+
+def encode_bmv(frames: list) -> bytes:
+    """Wrap already-encoded BMP frame payloads in a BMV container."""
+    u32 = lambda v: int(v).to_bytes(4, "little")  # noqa: E731
+    head = BMV_MAGIC + u32(len(frames)) + b"".join(u32(len(f)) for f in frames)
+    return head + b"".join(frames)
+
+
+def decode_bmv(payload: bytes) -> list:
+    """Parse a BMV container back to its frame payloads (bytes each).
+    Validates magic, index bounds, and total length — a truncated or
+    corrupt index raises instead of decoding garbage offsets."""
+    buf = bytes(payload)
+    if buf[:4] != BMV_MAGIC:
+        raise ValueError("not a BMV container")
+    if len(buf) < 8:
+        raise ValueError("truncated BMV header")
+    n = int.from_bytes(buf[4:8], "little")
+    idx_end = 8 + 4 * n
+    if len(buf) < idx_end:
+        raise ValueError("truncated BMV frame index")
+    sizes = [
+        int.from_bytes(buf[8 + 4 * i : 12 + 4 * i], "little") for i in range(n)
+    ]
+    if idx_end + sum(sizes) > len(buf):
+        raise ValueError("BMV frame index overruns payload")
+    frames, off = [], idx_end
+    for s in sizes:
+        frames.append(buf[off : off + s])
+        off += s
+    return frames
+
+
+def real_frame_sample(stride: int):
+    """Build the Arrow-batched kernel: parse each BMV container, DECODE
+    every ``stride``-th frame with the real BMP codec, and emit exact
+    integer channel statistics per sampled frame — the row-expanding
+    (1 container -> N frames) shape real video frame extraction uses,
+    with the decode actually performed."""
+    import numpy as np
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in FRAME_FEATURES_SCHEMA}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for fi, frame in enumerate(decode_bmv(bytes(payload))):
+                    if fi % stride:
+                        continue
+                    img = decode_image_real(frame)
+                    h, w = img.shape[:2]
+                    sums = img.reshape(-1, 3).sum(axis=0, dtype="int64")
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(fi)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["r_sum"].append(int(sums[0]))
+                    out["g_sum"].append(int(sums[1]))
+                    out["b_sum"].append(int(sums[2]))
+            yield pd.DataFrame(out)
+
+    return _kernel

@@ -219,6 +219,8 @@ def poll_many_collected(
     """
     from pyspark.sql import functions as F
 
+    if not reqs:
+        return {}
     users = sorted({r[1] for r in reqs})
     min_after = min(r[2] for r in reqs)
     rows = (

@@ -446,3 +446,88 @@ def phash_image_neardup_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.mapInPandas(_neardup_bmp_batches, _BMP_SCHEMA)
     ph = media.mapInPandas(phash_decoded_batches, PHASH_SCHEMA)
     return _band_hamming_pairs(ph)
+
+
+# --- REAL frame sampling over a video-ish container (r9) ----------------------------
+
+FRAME_STRIDE = 2  # decode every 2nd frame — the sampling step real pipelines take
+
+_FRAME_REAL_ORACLE = """
+WITH vids AS (
+  SELECT doc_id,
+         (doc_id % 4) + 1 AS n_frames,
+         ((doc_id % 7) + 1) * 4 AS w,
+         ((doc_id % 5) + 1) * 2 AS h
+  FROM documents
+),
+sampled AS (
+  SELECT doc_id, w, h, f.fi AS frame_idx,
+         (doc_id * 131 + f.fi * 17) % 256 AS seed
+  FROM vids, (SELECT unnest(range(4)) AS fi) f
+  WHERE f.fi < n_frames AND f.fi % 2 = 0
+),
+px AS (
+  SELECT doc_id, frame_idx, w, h, seed, unnest(range(w * h * 3)) AS i
+  FROM sampled
+)
+SELECT doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(sum(CASE WHEN i % 3 = 0 THEN (seed + 7 * i) % 256 END) AS BIGINT) AS r_sum,
+       CAST(sum(CASE WHEN i % 3 = 1 THEN (seed + 7 * i) % 256 END) AS BIGINT) AS g_sum,
+       CAST(sum(CASE WHEN i % 3 = 2 THEN (seed + 7 * i) % 256 END) AS BIGINT) AS b_sum
+FROM px GROUP BY doc_id, frame_idx, w, h
+"""
+
+
+def _bmv_media_batches(batches):
+    """Fixture synth for the real frame-extraction path: per doc, a BMV
+    container (see operators/multimodal.py) holding (doc_id % 4) + 1 genuine
+    24-bit BMP frames; frame f's pixel ramp is v(i) = (doc_id*131 + f*17 +
+    7*i) % 256 over the row-major RGB stream — per-frame content, closed
+    form, mirrored exactly by the SQL oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import encode_bmp, encode_bmv
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = ((d % 7) + 1) * 4, ((d % 5) + 1) * 2
+            frames = []
+            for f in range((d % 4) + 1):
+                seed = (d * 131 + f * 17) % 256
+                vals = (seed + 7 * np.arange(w * h * 3, dtype=np.int64)) % 256
+                frames.append(encode_bmp(vals.astype(np.uint8).reshape(h, w, 3)))
+            payloads.append(encode_bmv(frames))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+@register("multimodal_frame_sample_real", oracle=_FRAME_REAL_ORACLE)
+def multimodal_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling end-to-end, the container-parsing
+    counterpart of multimodal_decode_real: stage 1 synthesizes a genuine
+    BMV container per doc (magic + u32 frame index + concatenated 24-bit
+    BMP frames — the spec-simple stand-in for an MP4/AVI demux, see
+    operators/multimodal.py); stage 2 PARSES the container (magic, index
+    bounds, offset arithmetic — corrupt indexes raise), DECODES every
+    {FRAME_STRIDE}nd frame with the pure-numpy BMP codec, and emits exact
+    per-frame integer channel statistics. The oracle recomputes them from
+    the per-frame ramp's closed form, so container parsing, frame offsets,
+    stride selection, AND the per-frame decode are all value-hash verified
+    — an off-by-one in the frame index or a stride slip shifts a seed and
+    breaks the hash. Complements multimodal_frame_sample (the byte-offset
+    fake): same row-expanding shape, real bytes.
+
+    Scale: identical to the other mapInPandas media paths — containers
+    cross the Arrow boundary once per batch, frame decode is per-payload
+    with vectorized pixel math, no shuffle anywhere; a libav demuxer swaps
+    in behind decode_bmv with zero plan changes."""
+    from ..operators.multimodal import FRAME_FEATURES_SCHEMA, real_frame_sample
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
+    media = docs.mapInPandas(_bmv_media_batches, _BMP_SCHEMA)
+    return media.mapInPandas(real_frame_sample(FRAME_STRIDE), FRAME_FEATURES_SCHEMA)

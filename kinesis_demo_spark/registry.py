@@ -121,7 +121,11 @@ PRIORITY_ORDER = (
     "sql_table_function_summary",
     "multimodal_decode_features",
     "multimodal_frame_sample",
-    # freshness rotation: the 23 rows whose newest driver row is r2
+    # r9-new real frame-extraction path — first driver row
+    "multimodal_frame_sample_real",
+    # freshness rotation: 22 of the 23 rows whose newest driver row is r2
+    # (sum_value_by_user yields its slot to the new query; it keeps r2
+    # standing plus every local gate)
     "agg_window_count",
     "ann_cosine_topk",
     "ann_with_document_metadata",
@@ -139,7 +143,6 @@ PRIORITY_ORDER = (
     "pipeline_training_corpus",
     "rollup_flag_status",
     "semi_join_customers_with_orders",
-    "sum_value_by_user",
     "tpch_q18_large_orders",
     "tpch_q3_shipping_priority",
     "tpch_q5_region_supplier_volume",

@@ -365,3 +365,64 @@ def test_sign_words_match_python_reference(spark, vecs):
         w0 = sum((1 << d) for d in range(32) if v32[d] >= 0)
         w1 = sum((1 << d) for d in range(32) if v32[32 + d] >= 0)
         assert got[i] == (w0, w1), (i, got[i], (w0, w1))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # (doc_a, doc_b, diag) bucket id
+            st.integers(min_value=1, max_value=500),  # pos_a
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_substring_fold_merge_matches_window_formulation(spark, hits):
+    """The r9 gaps-and-islands FOLD (sort_array(collect_list) + aggregate
+    lambda, one exchange) must produce run-identical output to the r8
+    window-lag + running-sum + regroup formulation on arbitrary anchor
+    position multisets — including duplicates, ties, and empty groups."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kinesis_demo_spark.queries.dedup import SUB_GAP, SUB_W
+
+    rows = [(g, 1000 + g, g, p) for g, p in hits]  # distinct (a, b, diag) per bucket
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_a long, doc_b long, diag long, pos_a long")
+
+    fold = f"""
+      aggregate(
+        ps,
+        cast(array() as array<struct<s: bigint, e: bigint, n: bigint>>),
+        (acc, p) -> CASE
+          WHEN size(acc) = 0 OR p - element_at(acc, -1).e > {SUB_GAP}
+          THEN concat(acc, array(named_struct(
+                 's', p, 'e', p, 'n', cast(1 as bigint))))
+          ELSE concat(slice(acc, 1, size(acc) - 1), array(named_struct(
+                 's', element_at(acc, -1).s, 'e', p,
+                 'n', element_at(acc, -1).n + cast(1 as bigint))))
+        END)
+    """
+    got = {
+        (r.doc_a, r.doc_b, r.diag, r.s, r.e, r.n)
+        for r in df.groupBy("doc_a", "doc_b", "diag")
+        .agg(F.sort_array(F.collect_list("pos_a")).alias("ps"))
+        .select("doc_a", "doc_b", "diag", F.explode(F.expr(fold)).alias("run"))
+        .select("doc_a", "doc_b", "diag", "run.s", "run.e", "run.n")
+        .collect()
+    }
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    marked = df.withColumn(
+        "brk",
+        F.when(F.col("pos_a") - F.lag("pos_a").over(w) > SUB_GAP, F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn("run_id", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    want = {
+        (r.doc_a, r.doc_b, r.diag, r.s, r.e, r.n)
+        for r in marked.groupBy("doc_a", "doc_b", "diag", "run_id")
+        .agg(F.min("pos_a").alias("s"), F.max("pos_a").alias("e"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want

@@ -531,3 +531,146 @@ def multimodal_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
     media = docs.mapInPandas(_bmv_media_batches, _BMP_SCHEMA)
     return media.mapInPandas(real_frame_sample(FRAME_STRIDE), FRAME_FEATURES_SCHEMA)
+
+
+# --- REAL audio decode over genuine WAV/PCM files (r9) ------------------------------
+
+AUDIO_WINDOW_FRAMES = 64  # per-window feature stride (frames), the VAD/ASR shape
+
+
+def _wav_media_batches(batches):
+    """Fixture side of the real audio codec path: synthesize a GENUINE
+    16-bit PCM WAV file per doc — channel count, sample rate, and length
+    doc_id-derived; interleaved raw sample k is the ramp
+    s(k) = ((seed + 11*k) % 4096) - 2048 (full int16 headroom untouched,
+    sign changes guaranteed). The payload leaving this stage is a
+    spec-compliant RIFF/WAVE file, not a text blob."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.audio import encode_wav
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            nch = (d % 2) + 1
+            rate = 8000 + (d % 3) * 4000
+            nframes = ((d % 9) + 1) * 50
+            seed = (d * 17) % 4096
+            raw = ((seed + 11 * np.arange(nframes * nch, dtype=np.int64)) % 4096) - 2048
+            payloads.append(
+                encode_wav(raw.astype(np.int16).reshape(nframes, nch), rate)
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+_AUDIO_REAL_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         (doc_id % 2) + 1 AS nch,
+         8000 + (doc_id % 3) * 4000 AS rate,
+         ((doc_id % 9) + 1) * 50 AS nframes,
+         (doc_id * 17) % 4096 AS seed
+  FROM documents
+),
+samp AS (
+  SELECT doc_id, nch, k.k AS k, ((seed + 11 * k.k) % 4096) - 2048 AS s
+  FROM p, (SELECT unnest(range(nframes * nch)) AS k) k
+),
+base AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN k % nch = 0 THEN s END) AS BIGINT) AS ch0_sum,
+         CAST(sum(CASE WHEN k % nch = nch - 1 THEN s END) AS BIGINT) AS chl_sum,
+         CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+         CAST(sum(s * s) AS BIGINT) AS energy
+  FROM samp GROUP BY doc_id
+),
+zc AS (
+  SELECT p.doc_id,
+         CAST(sum(CASE WHEN (((seed + 11 * ((f.f - 1) * nch)) % 4096) - 2048 < 0)
+                        <> (((seed + 11 * (f.f * nch)) % 4096) - 2048 < 0)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+  FROM p, (SELECT unnest(range(1, nframes)) AS f) f
+  GROUP BY p.doc_id
+)
+SELECT p.doc_id,
+       CAST(p.nch AS BIGINT) AS n_channels,
+       CAST(p.rate AS BIGINT) AS sample_rate,
+       CAST(p.nframes AS BIGINT) AS n_frames,
+       CAST(p.nframes * 1000 // p.rate AS BIGINT) AS duration_ms,
+       b.ch0_sum, b.chl_sum, b.peak_abs, b.energy, z.zero_crossings
+FROM p JOIN base b USING (doc_id) JOIN zc z USING (doc_id)
+"""
+
+
+@register("multimodal_audio_decode_real", oracle=_AUDIO_REAL_ORACLE)
+def multimodal_audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end, the third honest codec after BMP images
+    (multimodal_decode_real) and BMV containers (multimodal_frame_sample_real):
+    stage 1 ENCODES a genuine 16-bit PCM RIFF/WAVE file per doc (mono/stereo
+    alternating by doc_id, three sample rates, deterministic sample ramp);
+    stage 2 DECODES it with the pure-numpy WAV codec
+    (operators/audio.py:decode_audio_real — RIFF chunk walk, fmt validation,
+    interleaved-frame deinterleave) and emits exact integer features:
+    first/last channel sums (an interleave or endianness bug mixes them),
+    peak |sample|, total squared energy, and the channel-0 zero-crossing
+    count. The oracle recomputes every column from the ramp's closed form,
+    so the whole encode -> bytes -> decode -> feature path is value-hash
+    verified. MP3/AAC/non-PCM stay behind NotImplementedError — the seam a
+    libsndfile call slots into.
+
+    Scale: identical shape to the image paths — two narrow Arrow-batched
+    mapInPandas stages, payload crosses the JVM<->Python boundary once per
+    batch, vectorized sample math, no shuffle anywhere."""
+    from ..operators.audio import AUDIO_FEATURES_SCHEMA, audio_decode_features
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
+    media = docs.mapInPandas(_wav_media_batches, _BMP_SCHEMA)
+    return media.mapInPandas(audio_decode_features, AUDIO_FEATURES_SCHEMA)
+
+
+_AUDIO_WINDOW_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id,
+         (doc_id % 2) + 1 AS nch,
+         ((doc_id % 9) + 1) * 50 AS nframes,
+         (doc_id * 17) % 4096 AS seed
+  FROM documents
+),
+ch0 AS (
+  SELECT doc_id, f.f // {AUDIO_WINDOW_FRAMES} AS window_idx,
+         ((seed + 11 * (f.f * nch)) % 4096) - 2048 AS s
+  FROM p, (SELECT unnest(range(nframes)) AS f) f
+)
+SELECT doc_id,
+       CAST(window_idx AS BIGINT) AS window_idx,
+       CAST(count(*) AS BIGINT) AS n_frames_in_window,
+       CAST(sum(s * s) AS BIGINT) AS w_energy,
+       CAST(max(abs(s)) AS BIGINT) AS w_peak
+FROM ch0 GROUP BY doc_id, window_idx
+"""
+
+
+@register("audio_window_energy_real", oracle=_AUDIO_WINDOW_ORACLE)
+def audio_window_energy_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio features over REAL decoded samples — the row-expanding
+    (1 clip -> N windows) shape VAD/ASR preprocessing uses: decode each WAV
+    with the pure-numpy codec, take channel 0, and emit one row per
+    {AUDIO_WINDOW_FRAMES}-frame window with exact integer energy (sum of
+    squares) and peak |sample|. Window boundaries are frame-index integer
+    division, so the oracle reproduces them exactly from the fixture ramp's
+    closed form; a deinterleave slip (reading channel 1 for stereo docs) or
+    a window off-by-one shifts an energy sum and fails the hash.
+
+    Scale: the expansion happens INSIDE the Arrow kernel (vectorized
+    bincount per payload), so the plan stays a single narrow mapInPandas
+    chain — no explode, no shuffle; window count is bounded by clip length,
+    never corpus size."""
+    from ..operators.audio import AUDIO_WINDOW_SCHEMA, audio_window_energy
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
+    media = docs.mapInPandas(_wav_media_batches, _BMP_SCHEMA)
+    return media.mapInPandas(
+        audio_window_energy(AUDIO_WINDOW_FRAMES), AUDIO_WINDOW_SCHEMA
+    )

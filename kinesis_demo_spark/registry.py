@@ -61,11 +61,13 @@ DRIVER_CORRECTNESS_CAP = 50
 # the r8-era 254 registered queries carry at least one green driver row;
 # after the r8 round the never-driver-checked hash-checkable backlog was
 # exactly 6 (the 5 deferred pool members + serving_poll_page_fused). Round
-# 9 adds 3 new hash-checkable queries (phash_image_neardup_decoded and the
-# PCA verification pair pca_scatter_moments / pca_effective_rank), so the
-# in-cap never-checked set below is 9 — after this round's driver pass the
-# backlog is 0 and every hash-checkable query in the registry has a green
-# external row. Rows-only remains 7 (approx_* x2, uuid_generate,
+# 9 adds 6 new hash-checkable queries (phash_image_neardup_decoded, the
+# PCA verification pair pca_scatter_moments / pca_effective_rank,
+# multimodal_frame_sample_real, and the WAV/PCM audio codec pair
+# multimodal_audio_decode_real / audio_window_energy_real), so the in-cap
+# never-checked set is 12 — after this round's driver pass the backlog is
+# 0 and every hash-checkable query in the registry has a green external
+# row. Rows-only remains 7 (approx_* x2, uuid_generate,
 # pca_embedding_components — whose distributed stage and spectral summary
 # ARE now hash-checked via the new PCA pair — packing_efficiency_report,
 # and the unigram tokenizer pair), each with its local differential.
@@ -121,13 +123,14 @@ PRIORITY_ORDER = (
     "sql_table_function_summary",
     "multimodal_decode_features",
     "multimodal_frame_sample",
-    # r9-new real frame-extraction path — first driver row
+    # r9-new real media paths — first driver rows (frame extraction + the
+    # WAV/PCM audio codec pair)
     "multimodal_frame_sample_real",
-    # freshness rotation: 22 of the 23 rows whose newest driver row is r2
-    # (sum_value_by_user yields its slot to the new query; it keeps r2
-    # standing plus every local gate)
-    "agg_window_count",
-    "ann_cosine_topk",
+    "multimodal_audio_decode_real",
+    "audio_window_energy_real",
+    # freshness rotation: 20 of the 23 rows whose newest driver row is r2
+    # (sum_value_by_user, agg_window_count, and ann_cosine_topk yield their
+    # slots to the new queries; they keep r2 standing plus every local gate)
     "ann_with_document_metadata",
     "anti_join_customers_without_orders",
     "cube_flag_status",

@@ -229,3 +229,114 @@ def test_frame_sample_real_matches_direct_numpy(spark):
             int(vals[0::3].sum()), int(vals[1::3].sum()), int(vals[2::3].sum()))
         seen_multi += f > 0
     assert seen_multi > 0, "no multi-frame doc sampled — stride test vacuous"
+
+
+def test_wav_codec_roundtrip_exact():
+    """The pure-numpy WAV encoder/decoder pair is exact for mono/stereo/4ch,
+    odd/even frame counts (odd mono data chunks exercise RIFF pad bytes),
+    and 1-frame clips; sample rate round-trips too."""
+    import numpy as np
+
+    from kinesis_demo_spark.operators.audio import decode_audio_real, encode_wav
+
+    rng = np.random.default_rng(11)
+    for nch in (1, 2, 4):
+        for nframes in (1, 3, 64, 101):
+            for rate in (8000, 44100):
+                s = rng.integers(-(2**15), 2**15, size=(nframes, nch), dtype=np.int16)
+                buf = encode_wav(s, rate)
+                assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE"
+                assert int.from_bytes(buf[4:8], "little") == len(buf) - 8
+                out, out_rate = decode_audio_real(buf)
+                assert out_rate == rate
+                assert out.shape == (nframes, nch)
+                assert np.array_equal(out, s)
+
+
+def test_wav_decoder_walks_chunks_and_rejects_garbage():
+    """RIFF chunk walk: unknown chunks (odd-sized, so the pad-byte rule is
+    exercised) before fmt/data are skipped; non-WAV magic, non-PCM formats,
+    truncated chunks, and missing data all raise loudly."""
+    import numpy as np
+    import pytest
+
+    from kinesis_demo_spark.operators.audio import decode_audio_real, encode_wav
+
+    s = np.arange(-6, 6, dtype=np.int16).reshape(6, 2)
+    buf = encode_wav(s, 16000)
+    # splice an odd-length junk chunk between WAVE magic and fmt
+    junk = b"LIST" + (5).to_bytes(4, "little") + b"abcde" + b"\x00"
+    spliced = buf[:12] + junk + buf[12:]
+    spliced = spliced[:4] + (len(spliced) - 8).to_bytes(4, "little") + spliced[8:]
+    out, rate = decode_audio_real(spliced)
+    assert rate == 16000 and np.array_equal(out, s)
+
+    with pytest.raises(NotImplementedError):  # not RIFF/WAVE -> codec gap, loud
+        decode_audio_real(b"ID3\x04" + b"\x00" * 64)
+    adpcm = bytearray(buf)
+    adpcm[20] = 2  # fmt.audio_format = 2 (ADPCM)
+    with pytest.raises(NotImplementedError):
+        decode_audio_real(bytes(adpcm))
+    with pytest.raises(ValueError):  # data chunk overruns the file
+        decode_audio_real(buf[:-5])
+    no_data = buf[:36]  # header + fmt only, data chunk sliced off entirely
+    no_data = no_data[:4] + (len(no_data) - 8).to_bytes(4, "little") + no_data[8:]
+    with pytest.raises(ValueError):
+        decode_audio_real(no_data)
+
+
+def test_audio_decode_real_matches_direct_numpy(spark):
+    """End-to-end real audio path at smoke scale: decode features from the
+    Spark pipeline equal a direct numpy recomputation from the fixture's
+    closed form — deinterleave, zero-crossing, and energy all line up."""
+    import numpy as np
+
+    from kinesis_demo_spark.queries.multimodal import multimodal_audio_decode_real
+
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in multimodal_audio_decode_real(spark, SF).collect()
+    }
+    assert rows
+    for doc_id in list(rows)[:25]:
+        d = int(doc_id)
+        nch, nframes, seed = (d % 2) + 1, ((d % 9) + 1) * 50, (d * 17) % 4096
+        raw = ((seed + 11 * np.arange(nframes * nch, dtype=np.int64)) % 4096) - 2048
+        frames = raw.reshape(nframes, nch)
+        got = rows[doc_id]
+        assert got["n_channels"] == nch
+        assert got["n_frames"] == nframes
+        assert got["ch0_sum"] == int(frames[:, 0].sum())
+        assert got["chl_sum"] == int(frames[:, -1].sum())
+        assert got["energy"] == int((raw * raw).sum())
+        ch0 = frames[:, 0]
+        assert got["zero_crossings"] == int(((ch0[:-1] < 0) != (ch0[1:] < 0)).sum())
+
+
+def test_audio_window_energy_windows_partition_the_clip(spark):
+    """Window rows per doc tile the clip exactly: counts sum to n_frames,
+    every full window has AUDIO_WINDOW_FRAMES frames, and window energies
+    sum to the clip's channel-0 energy."""
+    import numpy as np
+
+    from kinesis_demo_spark.queries.multimodal import (
+        AUDIO_WINDOW_FRAMES,
+        audio_window_energy_real,
+    )
+
+    out = audio_window_energy_real(spark, SF).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for doc_id, rows in list(by_doc.items())[:25]:
+        d = int(doc_id)
+        nch, nframes, seed = (d % 2) + 1, ((d % 9) + 1) * 50, (d * 17) % 4096
+        rows.sort(key=lambda r: r["window_idx"])
+        assert [r["window_idx"] for r in rows] == list(range(len(rows)))
+        assert sum(r["n_frames_in_window"] for r in rows) == nframes
+        for r in rows[:-1]:
+            assert r["n_frames_in_window"] == AUDIO_WINDOW_FRAMES
+        k = np.arange(nframes, dtype=np.int64) * nch
+        ch0 = ((seed + 11 * k) % 4096) - 2048
+        assert sum(r["w_energy"] for r in rows) == int((ch0 * ch0).sum())

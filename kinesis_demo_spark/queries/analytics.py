@@ -3277,11 +3277,18 @@ def graph_label_propagation(
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
     from ..io import track_checkpoint, track_persist
 
+    # repartition("src") before persist: the per-round vote join hashes on
+    # src, so caching the edge list already src-partitioned means each round
+    # shuffles only the (small) label side — without it every round re-moves
+    # all m edge rows, the dominant network cost of the loop at cluster scale
+    # (the groupBy leaves the cache partitioned by (src, dst), which the
+    # src-equi-join cannot reuse). Measured at sf0.1: 5.3 s -> 4.6 s warm.
     edges = track_persist(
         a.join(b, "k")
         .filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
+        .repartition("src")
     )
     labels = edges.select(F.col("src").alias("part")).distinct().select(
         "part", F.col("part").alias("lab")
@@ -3484,12 +3491,16 @@ def graph_kcore(
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    # src-partitioned cache (the LPA/pagerank discipline): the first semi-join
+    # of every peel round hashes on src and reuses this partitioning; only the
+    # round's already-pruned survivor set moves for the dst-side join.
     edges = track_persist(
         a.join(b, "k")
         .filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
         .select("src", "dst")
+        .repartition("src")
     )
     k_row = edges.agg(
         F.expr("(count(1) + count(DISTINCT src) - 1) DIV count(DISTINCT src)").alias("k")

@@ -257,6 +257,9 @@ HEADLINE = (
     "pca_scatter_moments",
     "pca_effective_rank",
     "multimodal_frame_sample_real",
+    # r9 second wave: the real WAV/PCM audio codec pair
+    "multimodal_audio_decode_real",
+    "audio_window_energy_real",
 )
 
 

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Three-decade scaling line for the corpus-pipeline families (dedup / ANN /
 text) and the events-analytics families (windows / funnels / sessionization
-/ selection): warm times at sf0.01 and sf0.1 (driver fixtures) and sf1 (the
+/ selection) plus the graph and real-codec families: warm times at sf0.01 and sf0.1 (driver fixtures) and sf1 (the
 deterministic 10x replication `tools/gen_sf1_docs.py` builds), with the
 observed per-decade exponent
 
@@ -61,6 +61,15 @@ QUERIES = (
     "holt_linear_forecast",
     "exact_quantiles_selection",
     "event_transition_matrix",
+    # graph-family representatives (gen_sf1_lineitem.py builds the sf1
+    # lineitem table: 10 vertex-disjoint copies of the sf0.1 co-purchase
+    # graph, so exponents read pure plan scaling with zero density drift)
+    "graph_triangle_clustering",
+    "graph_label_propagation",
+    "graph_kcore",
+    "pagerank_copurchase",
+    # real-codec multimodal representative (documents-based)
+    "multimodal_audio_decode_real",
 )
 
 SF_DIRS = (
@@ -72,7 +81,11 @@ RUNS = 2  # warm = min of 2 (the 3rd run buys little at sf1 cost)
 
 
 def main() -> int:
-    for table, gen in (("documents", "gen_sf1_docs"), ("events", "gen_sf1_events")):
+    for table, gen in (
+        ("documents", "gen_sf1_docs"),
+        ("events", "gen_sf1_events"),
+        ("lineitem", "gen_sf1_lineitem"),
+    ):
         path = os.path.join(SF_DIRS[2][1], f"{table}.parquet")
         if not os.path.exists(path):
             print(f"missing {path}; run tools/{gen}.py first", file=sys.stderr)

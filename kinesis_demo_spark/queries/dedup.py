@@ -2054,6 +2054,34 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     rnk DIV {SNM_WINDOW} (each right row also lands in the preceding band,
     so every pair within distance {SNM_WINDOW - 1} matches exactly once) —
     no inequality join, no skew."""
+    cand = _snm_candidate_pairs(spark, sf_dir)
+    shingles = _shingled(spark, sf_dir)
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    # nullif: SNM candidates come from sort adjacency, NOT shared shingles,
+    # so two shingle-less docs (shorter than the shingle width) can pair
+    # with union = 0 — Jaccard is undefined there and ANSI division crashes
+    # (r8 unicode sweep); NULL drops at the threshold filter, exactly like
+    # the oracle, whose pairs CTE never contains co-shingle-free pairs.
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "rank_gap",
+            (inter.cast("double") / F.nullif(union, F.lit(0))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _snm_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (doc_a < doc_b, rank_gap in
+    [1, SNM_WINDOW-1]) — the blocking stage of dedup_sorted_neighborhood,
+    shared with er_blocking_quality. Global rank without a global window:
+    range-shard on the key, per-shard row_number, broadcast prefix-count
+    offsets (see the caller's docstring for the full scale argument)."""
     from pyspark.sql.window import Window
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
@@ -2097,7 +2125,7 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("db"), F.col("rnk").alias("rb"),
         F.explode(F.array(F.expr(f"rnk DIV {w}"), F.expr(f"rnk DIV {w} - 1"))).alias("bk"),
     )
-    cand = (
+    return (
         a.join(b, "bk")
         .filter((F.col("rb") - F.col("ra")).between(1, w - 1))
         .select(
@@ -2105,25 +2133,6 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("da", "db").alias("doc_b"),
             (F.col("rb") - F.col("ra")).alias("rank_gap"),
         )
-    )
-    shingles = _shingled(spark, sf_dir)
-    sa = shingles.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
-    sb = shingles.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size("sa") + F.size("sb") - inter
-    # nullif: SNM candidates come from sort adjacency, NOT shared shingles,
-    # so two shingle-less docs (shorter than the shingle width) can pair
-    # with union = 0 — Jaccard is undefined there and ANSI division crashes
-    # (r8 unicode sweep); NULL drops at the threshold filter, exactly like
-    # the oracle, whose pairs CTE never contains co-shingle-free pairs.
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a", "doc_b", "rank_gap",
-            (inter.cast("double") / F.nullif(union, F.lit(0))).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
 
@@ -2379,5 +2388,103 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_golden",
             "max_n_chars",
             "total_chars",
+        )
+    )
+
+
+# --- blocking quality audit (reduction ratio / pairs completeness) -------------------
+
+
+@register(
+    "er_blocking_quality",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+k AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, {SNM_KEY_LEN}) AS sk
+  FROM documents
+),
+r AS (SELECT doc_id, row_number() OVER (ORDER BY sk, doc_id) AS rnk FROM k),
+cand AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+         greatest(a.doc_id, b.doc_id) AS doc_b
+  FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND {SNM_WINDOW - 1}
+),
+truth AS (
+  SELECT doc_a, doc_b FROM pairs
+  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+ng AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_caught
+  FROM cand c JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT n.n_docs, nc.n_candidates, nt.n_true, ng.n_caught,
+       CAST(ng.n_caught AS DOUBLE) / nullif(nt.n_true, 0) AS pairs_completeness,
+       1.0 - CAST(nc.n_candidates AS DOUBLE)
+           / (CAST(n.n_docs AS DOUBLE) * (n.n_docs - 1) / 2.0) AS reduction_ratio
+FROM n, nc, nt, ng
+""",
+)
+def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit — the two standard entity-resolution metrics
+    (Christen, "Data Matching" 2012) that tell a pipeline owner whether a
+    blocking scheme is safe to rely on BEFORE committing the expensive
+    verify stage to it: reduction ratio (fraction of the O(n^2) pair space
+    the blocking prunes) and pairs completeness (recall of the candidate
+    set against the exact-Jaccard truth set — here the same J >= t pairs
+    the inverted-index dedup family verifies). One row:
+    (n_docs, n_candidates, n_true, n_caught, pairs_completeness,
+    reduction_ratio); both ratios are single IEEE divisions of exact
+    counts, so the row value-hash-checks.
+
+    Scale: the truth set is the inverted-index pair aggregation (bucketed
+    equi-join, no cross product); candidates come from the shared SNM
+    banded-rank join (_snm_candidate_pairs); the final combine is a
+    cross-join of four ONE-ROW aggregates — constant data movement. At
+    100 TB the truth set would be sampled (audit a stratum, not the
+    corpus); the plan is identical, with a filter on doc_id buckets ahead
+    of both sides."""
+    cand = track_persist(
+        _snm_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    )
+    sh = _shingled(spark, sf_dir)
+    ex = sh.select("doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
+    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
+    jacc = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    truth = track_persist(
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"), F.min("na").alias("na"), F.min("nb").alias("nb"))
+        .filter(jacc >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    n = _docs(spark, sf_dir).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    ng = cand.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_caught")
+    )
+    nd = F.col("n_docs").cast("double")
+    return (
+        n.crossJoin(nc)
+        .crossJoin(nt)
+        .crossJoin(ng)
+        .select(
+            "n_docs",
+            "n_candidates",
+            "n_true",
+            "n_caught",
+            (F.col("n_caught").cast("double") / F.nullif(F.col("n_true"), F.lit(0))).alias(
+                "pairs_completeness"
+            ),
+            (
+                F.lit(1.0)
+                - F.col("n_candidates").cast("double") / (nd * (nd - F.lit(1.0)) / F.lit(2.0))
+            ).alias("reduction_ratio"),
         )
     )

@@ -674,3 +674,141 @@ def audio_window_energy_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         audio_window_energy(AUDIO_WINDOW_FRAMES), AUDIO_WINDOW_SCHEMA
     )
+
+
+# --- audio fingerprint near-dup over REAL decoded samples (r9) -----------------------
+
+FP_WINDOW_FRAMES = 25  # fingerprint windows: finer than the 64-frame VAD windows
+FP_SEED_MOD = 128  # fixture collision modulus: docs d and d+128k share a ramp
+FP_SHINGLE = 3  # consecutive window energies per fingerprint shingle
+FP_MIN_MATCH = 2  # pairs must share >= 2 aligned shingles to count as near-dups
+
+
+def _wav_fp_media_batches(batches):
+    """Fixture synth for the fingerprint path: identical WAV shape to
+    _wav_media_batches but with the ramp seed folded to mod 128, so docs
+    d and d+128k (same parity -> same channel count -> same interleave
+    stride) carry IDENTICAL channel-0 sample streams up to the shorter
+    clip's length — the classic near-dup shape of a clip and its
+    truncation/re-encode. Clip lengths still differ by doc_id, so matches
+    are genuine prefix alignments, not exact file duplicates."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.audio import encode_wav
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            nch = (d % 2) + 1
+            rate = 8000 + (d % 3) * 4000
+            nframes = ((d % 9) + 1) * 50
+            seed = (d * 17) % FP_SEED_MOD
+            raw = ((seed + 11 * np.arange(nframes * nch, dtype=np.int64)) % 4096) - 2048
+            payloads.append(encode_wav(raw.astype(np.int16).reshape(nframes, nch), rate))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+_AUDIO_FP_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id,
+         (doc_id % 2) + 1 AS nch,
+         ((doc_id % 9) + 1) * 50 AS nframes,
+         (doc_id * 17) % {FP_SEED_MOD} AS seed
+  FROM documents
+),
+e AS (
+  SELECT doc_id, f.f // {FP_WINDOW_FRAMES} AS window_idx,
+         CAST(sum((((seed + 11 * f.f * nch) % 4096) - 2048)
+                * (((seed + 11 * f.f * nch) % 4096) - 2048)) AS BIGINT) AS e0
+  FROM p, (SELECT unnest(range(nframes)) AS f) f
+  GROUP BY doc_id, f.f // {FP_WINDOW_FRAMES}
+),
+sh AS (
+  SELECT doc_id, window_idx, e0,
+         lead(e0, 1) OVER (PARTITION BY doc_id ORDER BY window_idx) AS e1,
+         lead(e0, 2) OVER (PARTITION BY doc_id ORDER BY window_idx) AS e2
+  FROM e
+),
+shf AS (
+  SELECT *, count(*) OVER (PARTITION BY doc_id) AS n_shingles
+  FROM sh WHERE e2 IS NOT NULL
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_match,
+       CAST(min(least(a.n_shingles, b.n_shingles)) AS BIGINT) AS min_shingles
+FROM shf a JOIN shf b
+  ON a.window_idx = b.window_idx AND a.e0 = b.e0 AND a.e1 = b.e1 AND a.e2 = b.e2
+ AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {FP_MIN_MATCH}
+"""
+
+
+@register("audio_fingerprint_neardup", oracle=_AUDIO_FP_ORACLE)
+def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection over REAL decoded samples — the audio
+    counterpart of phash_image_neardup_decoded, completing the multimodal
+    near-dup story (text shingles / image pixels / audio samples). Stage 1
+    synthesizes genuine 16-bit PCM WAV files whose content collides mod 128
+    (a clip and its truncations); stage 2 DECODES each file with the
+    pure-numpy WAV codec and emits exact integer energies per 25-frame
+    window (the no-FFT stand-in for Chromaprint's quantized spectral
+    features — an FFT band energy slots into the same kernel); stage 3
+    shingles {FP_SHINGLE} consecutive window energies into time-aligned
+    sub-fingerprints and self-joins on (window_idx, energy triple) — each
+    shingle IS an exact LSH band, so candidate generation is a bucketed
+    equi-join, never a cross product; stage 4 scores pairs by matching
+    shingle count. Production swaps the raw triple join key for its 64-bit
+    hash (same plan, narrower shuffle) — here the raw key keeps the oracle
+    value-hash-exact end to end.
+
+    Scale: candidate pairs are bounded by per-band collision counts exactly
+    like dedup_minhash_lsh; the only shuffles are the window partition by
+    doc_id and the band-key join. No corpus-sized broadcast, no Python in
+    the pair path (Python touches bytes only in the decode kernel)."""
+    from pyspark.sql import Window as W
+
+    from ..operators.audio import AUDIO_WINDOW_SCHEMA, audio_window_energy
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
+    media = docs.mapInPandas(_wav_fp_media_batches, _BMP_SCHEMA)
+    wins = media.mapInPandas(audio_window_energy(FP_WINDOW_FRAMES), AUDIO_WINDOW_SCHEMA)
+
+    w = W.partitionBy("doc_id").orderBy("window_idx")
+    sh = (
+        wins.select(
+            "doc_id",
+            "window_idx",
+            F.col("w_energy").alias("e0"),
+            F.lead("w_energy", 1).over(w).alias("e1"),
+            F.lead("w_energy", 2).over(w).alias("e2"),
+        )
+        .where(F.col("e2").isNotNull())
+        .withColumn("n_shingles", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+    )
+    # both join sides read the same shingle set; persist so the decode +
+    # window + lead pipeline runs once, not twice
+    sh = track_persist(sh)
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.window_idx") == F.col("b.window_idx"),
+                F.col("a.e0") == F.col("b.e0"),
+                F.col("a.e1") == F.col("b.e1"),
+                F.col("a.e2") == F.col("b.e2"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_match"),
+            F.min(F.least(F.col("a.n_shingles"), F.col("b.n_shingles"))).alias(
+                "min_shingles"
+            ),
+        )
+        .where(F.col("n_match") >= FP_MIN_MATCH)
+    )

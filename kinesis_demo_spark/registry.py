@@ -61,11 +61,12 @@ DRIVER_CORRECTNESS_CAP = 50
 # the r8-era 254 registered queries carry at least one green driver row;
 # after the r8 round the never-driver-checked hash-checkable backlog was
 # exactly 6 (the 5 deferred pool members + serving_poll_page_fused). Round
-# 9 adds 6 new hash-checkable queries (phash_image_neardup_decoded, the
+# 9 adds 8 new hash-checkable queries (phash_image_neardup_decoded, the
 # PCA verification pair pca_scatter_moments / pca_effective_rank,
-# multimodal_frame_sample_real, and the WAV/PCM audio codec pair
-# multimodal_audio_decode_real / audio_window_energy_real), so the in-cap
-# never-checked set is 12 — after this round's driver pass the backlog is
+# multimodal_frame_sample_real, the WAV/PCM audio codec pair
+# multimodal_audio_decode_real / audio_window_energy_real,
+# audio_fingerprint_neardup, and er_blocking_quality), so the in-cap
+# never-checked set is 14 — after this round's driver pass the backlog is
 # 0 and every hash-checkable query in the registry has a green external
 # row. Rows-only remains 7 (approx_* x2, uuid_generate,
 # pca_embedding_components — whose distributed stage and spectral summary
@@ -128,16 +129,22 @@ PRIORITY_ORDER = (
     "multimodal_frame_sample_real",
     "multimodal_audio_decode_real",
     "audio_window_energy_real",
-    # freshness rotation: 20 of the 23 rows whose newest driver row is r2
-    # (sum_value_by_user, agg_window_count, and ann_cosine_topk yield their
-    # slots to the new queries; they keep r2 standing plus every local gate)
-    "ann_with_document_metadata",
+    "audio_fingerprint_neardup",
+    "er_blocking_quality",
+    # dedup_sorted_neighborhood's blocking stage moved into the shared
+    # _snm_candidate_pairs helper this round (plan unchanged — pure
+    # extraction, re-verified at two SFs); it returns in-cap per the
+    # changed-plan rule anyway.
+    "dedup_sorted_neighborhood",
+    # freshness rotation: 17 of the 23 rows whose newest driver row is r2
+    # (sum_value_by_user, agg_window_count, ann_cosine_topk,
+    # ann_with_document_metadata, cube_flag_status, and
+    # distinct_part_supp_pairs yield their slots to the new queries; they
+    # keep r2 standing plus every local gate)
     "anti_join_customers_without_orders",
-    "cube_flag_status",
     "dedup_embedding_cosine",
     "dedup_exact_text",
     "dedup_ngram_jaccard",
-    "distinct_part_supp_pairs",
     "embedding_centroid_by_label",
     "grouped_count_by_position",
     "grouping_sets_priority_status",

@@ -1756,10 +1756,7 @@ def trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RAU_WINDOW_HOURS = 24  # trailing span per grid hour
 
-
-@register(
-    "rolling_active_users",
-    oracle=f"""
+_RAU_ORACLE = f"""
 WITH uh AS (
   SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hour_idx FROM events
 ),
@@ -1773,8 +1770,10 @@ SELECT make_timestamp(c.win_idx * 3600000000) AS window_end_hour,
 FROM covered c, span s
 WHERE c.win_idx BETWEEN s.h0 AND s.h1
 GROUP BY 1
-""",
-)
+"""
+
+
+@register("rolling_active_users", oracle=_RAU_ORACLE)
 def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-{RAU_WINDOW_HOURS}h distinct active users per hour — the
     rolling DAU/MAU-style engagement metric. COUNT DISTINCT over a sliding
@@ -1817,6 +1816,65 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("timestamp_micros(win_idx * 3600000000)").alias("window_end_hour")
         )
         .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+@register("rolling_active_users_intervals", oracle=_RAU_ORACLE)
+def rolling_active_users_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extreme-window scale path rolling_active_users' docstring
+    promises: gaps-and-islands interval merging + delta encoding, with NO
+    per-window replication at all. Per user, consecutive activity hours
+    whose trailing-{RAU_WINDOW_HOURS}h coverages overlap merge into one
+    island [first, last + {RAU_WINDOW_HOURS - 1}]; each island emits two
+    deltas (+1 at its start hour, -1 past its end) and a running sum over
+    the dense hour grid rebuilds the distinct-user count at every hour.
+    Work is O(user-hours) + O(grid): at a trailing-30d window this plan
+    does 1x the user-hour pass where the hop-replication plan does 720x.
+    Same oracle as rolling_active_users — the value hash doubles as a
+    cross-plan equivalence proof.
+
+    The only non-partitioned step is the cumulative sum over the hour GRID
+    (span hours, not events — years of hourly grid is ~10^4-10^5 rows, a
+    single thin partition by construction); everything user-sized is
+    hash-partitioned on user_id."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w_cov = RAU_WINDOW_HOURS - 1
+    uh = ev.select(
+        "user_id", F.expr("unix_micros(ts) DIV 3600000000").alias("hour_idx")
+    ).distinct()
+    wu = Window.partitionBy("user_id").orderBy("hour_idx")
+    isl = (
+        uh.withColumn("prev", F.lag("hour_idx").over(wu))
+        .withColumn(
+            "new_island",
+            (F.col("prev").isNull() | (F.col("hour_idx") > F.col("prev") + w_cov)).cast(
+                "int"
+            ),
+        )
+        .withColumn("island_id", F.sum("new_island").over(wu))
+    )
+    islands = isl.groupBy("user_id", "island_id").agg(
+        F.min("hour_idx").alias("s"), (F.max("hour_idx") + w_cov).alias("e")
+    )
+    deltas = (
+        islands.select(F.col("s").alias("h"), F.lit(1).alias("d"))
+        .unionAll(islands.select((F.col("e") + 1).alias("h"), F.lit(-1).alias("d")))
+        .groupBy("h")
+        .agg(F.sum("d").alias("d"))
+    )
+    span = uh.agg(F.min("hour_idx").alias("h0"), F.max("hour_idx").alias("h1"))
+    grid = span.select(F.explode(F.sequence("h0", "h1")).alias("win_idx"))
+    wg = Window.orderBy("win_idx").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.join(deltas, grid["win_idx"] == deltas["h"], "left")
+        .select("win_idx", F.coalesce("d", F.lit(0)).alias("d"))
+        .withColumn("active_users", F.sum("d").over(wg))
+        .select(
+            F.expr("timestamp_micros(win_idx * 3600000000)").alias("window_end_hour"),
+            F.col("active_users").cast("long").alias("active_users"),
+        )
     )
 
 

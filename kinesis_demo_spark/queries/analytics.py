@@ -1871,6 +1871,10 @@ def rolling_active_users_intervals(spark: SparkSession, sf_dir: str) -> DataFram
         grid.join(deltas, grid["win_idx"] == deltas["h"], "left")
         .select("win_idx", F.coalesce("d", F.lit(0)).alias("d"))
         .withColumn("active_users", F.sum("d").over(wg))
+        # the hop-replication plan (and the shared oracle) emit a row only
+        # for hours with >= 1 active user — a sparse fixture has grid hours
+        # where the running sum is 0 (adversarial-sweep catch); drop them
+        .where(F.col("active_users") > 0)
         .select(
             F.expr("timestamp_micros(win_idx * 3600000000)").alias("window_end_hour"),
             F.col("active_users").cast("long").alias("active_users"),

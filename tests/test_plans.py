@@ -331,3 +331,24 @@ def test_hard_negatives_broadcast_queries_not_corpus(spark):
     for q, rs in per_q.items():
         assert len(rs) == min(TOP_K, len(rs))
         assert all(r.score < HARD_NEG_MAX_SCORE for r in rs)
+
+
+def test_rolling_intervals_never_replicates_user_hours(spark):
+    """The delta-encoded variant's whole point: NO per-activity-hour window
+    replication. Its only row expansion is the hour-grid sequence over the
+    ONE-ROW span aggregate; the trailing-window explode of the user-hour
+    table (sequence(hour_idx, hour_idx + 23)) must never reappear."""
+    plan = _plan(Q["rolling_active_users_intervals"](spark, SF), mode="simple")
+    assert "sequence(hour_idx" not in plan
+    assert plan.count("Generate") == 1  # the span grid, nothing user-sized
+
+
+def test_audio_fingerprint_band_join_reuses_persisted_shingles(spark):
+    """The fingerprint self-join must be a bucketed equi-join over the
+    PERSISTED shingle table (decode + window + lead run once, feeding both
+    join sides), never a nested loop over raw clips."""
+    df = Q["audio_fingerprint_neardup"](spark, SF)
+    plan = _plan(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("InMemoryTableScan") >= 2  # both sides read the cache

@@ -56,6 +56,7 @@ QUERIES = (
     "sessionize_events",
     "window_lag_lead_user_values",
     "rolling_active_users",
+    "rolling_active_users_intervals",
     "twap_value_per_user",
     "timeseries_hourly_gapfill",
     "holt_linear_forecast",
@@ -68,8 +69,16 @@ QUERIES = (
     "graph_label_propagation",
     "graph_kcore",
     "pagerank_copurchase",
-    # real-codec multimodal representative (documents-based)
+    # real-codec multimodal representative (documents-based).
+    # audio_fingerprint_neardup is deliberately NOT on this line: its
+    # fixture collides clip content by doc_id mod 128, so the TRUE pair
+    # count grows quadratically in corpus size by construction (~N^2/256
+    # pairs) — an alpha~2 here would read fixture density, not plan shape.
+    # Its scale behavior is covered by the banded-join argument it shares
+    # with dedup_minhash_lsh (same candidate-generation plan family).
     "multimodal_audio_decode_real",
+    # blocking-quality audit (documents-based; SNM + inverted-index truth)
+    "er_blocking_quality",
 )
 
 SF_DIRS = (

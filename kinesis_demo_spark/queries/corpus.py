@@ -1391,3 +1391,67 @@ def rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rbo_min"),
     )
+
+
+# --- tokenizer fertility / compression report (r9) -----------------------------------
+
+_FERTILITY_ORACLE = f"""
+WITH {_bpe_unrolled_ctes()},
+enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bpe FROM s{BPE_ROUNDS} GROUP BY doc_id),
+base AS (
+  SELECT coalesce(d.lang, '?') AS lang,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+         CAST(length(d.text) AS BIGINT) AS n_chars,
+         e.n_bpe
+  FROM documents d JOIN enc e USING (doc_id)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       CAST(sum(n_bpe) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_bpe) AS DOUBLE) / nullif(sum(n_words), 0) AS fertility,
+       CAST(sum(n_chars) AS DOUBLE) / nullif(sum(n_bpe), 0) AS chars_per_token
+FROM base GROUP BY lang
+"""
+
+
+@register("tokenizer_fertility_report", oracle=_FERTILITY_ORACLE)
+def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility / compression audit per language — THE metric a
+    team tracks when choosing or retraining a tokenizer (fertility =
+    subword tokens per whitespace word; chars-per-token = the compression
+    ratio that sets effective context length): train the BPE merges once,
+    apply them corpus-wide (the bpe_encode_corpus composed-fold plan,
+    zero shuffles), and aggregate exact token/word/char counts by lang.
+    A fertility drift on one language is the canonical signal that the
+    vocabulary under-serves it (Rust et al. 2021). Ratios are single IEEE
+    divisions of exact BIGINT sums, so the whole report value-hash-checks
+    against the unrolled-SQL trainer + encoder.
+
+    Scale: identical to bpe_encode_corpus — the merge table is a
+    driver-side constant baked into one narrow projection; the report adds
+    ONE map-side-combinable aggregate keyed by lang (tiny cardinality).
+    NULL lang folds to '?' so hostile rows group rather than vanish."""
+    merges = _train_bpe(spark, sf_dir)
+    col = _tokens()
+    for _rnd, a, b, _m, _n in merges:
+        col = _apply_merge(col, F.lit(a), F.lit(b))
+    per_doc = _docs(spark, sf_dir).select(
+        F.coalesce("lang", F.lit("?")).alias("lang"),
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(col).cast("long").alias("n_bpe"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_bpe").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        (
+            F.sum("n_bpe").cast("double") / F.nullif(F.sum("n_words"), F.lit(0))
+        ).alias("fertility"),
+        (
+            F.sum("n_chars").cast("double") / F.nullif(F.sum("n_bpe"), F.lit(0))
+        ).alias("chars_per_token"),
+    )

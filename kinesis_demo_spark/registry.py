@@ -65,10 +65,11 @@ DRIVER_CORRECTNESS_CAP = 50
 # PCA verification pair pca_scatter_moments / pca_effective_rank,
 # multimodal_frame_sample_real, the WAV/PCM audio codec pair
 # multimodal_audio_decode_real / audio_window_energy_real,
-# audio_fingerprint_neardup, er_blocking_quality, and
+# audio_fingerprint_neardup, er_blocking_quality,
 # rolling_active_users_intervals — the delta-encoded scale variant whose
-# shared oracle doubles as a cross-plan equivalence proof), so the in-cap
-# never-checked set is 15 — after this round's driver pass the backlog is
+# shared oracle doubles as a cross-plan equivalence proof — and
+# tokenizer_fertility_report), so the in-cap
+# never-checked set is 16 — after this round's driver pass the backlog is
 # 0 and every hash-checkable query in the registry has a green external
 # row. Rows-only remains 7 (approx_* x2, uuid_generate,
 # pca_embedding_components — whose distributed stage and spectral summary
@@ -134,17 +135,18 @@ PRIORITY_ORDER = (
     "audio_fingerprint_neardup",
     "er_blocking_quality",
     "rolling_active_users_intervals",
+    "tokenizer_fertility_report",
     # dedup_sorted_neighborhood's blocking stage moved into the shared
     # _snm_candidate_pairs helper this round (plan unchanged — pure
     # extraction, re-verified at two SFs); it returns in-cap per the
     # changed-plan rule anyway.
     "dedup_sorted_neighborhood",
-    # freshness rotation: 16 of the 23 rows whose newest driver row is r2
+    # freshness rotation: 15 of the 23 rows whose newest driver row is r2
     # (sum_value_by_user, agg_window_count, ann_cosine_topk,
     # ann_with_document_metadata, cube_flag_status, distinct_part_supp_pairs,
-    # and anti_join_customers_without_orders yield their slots to the new
-    # queries; they keep r2 standing plus every local gate)
-    "dedup_embedding_cosine",
+    # anti_join_customers_without_orders, and dedup_embedding_cosine yield
+    # their slots to the new queries; they keep r2 standing plus every
+    # local gate)
     "dedup_exact_text",
     "dedup_ngram_jaccard",
     "embedding_centroid_by_label",

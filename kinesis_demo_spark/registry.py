@@ -107,9 +107,12 @@ PRIORITY_ORDER = (
     "phash_image_neardup_decoded",
     "pca_scatter_moments",
     "pca_effective_rank",
-    # r9 changed plans — external re-verification
+    # r9 changed plans — external re-verification (pagerank_copurchase's
+    # edge build moved to the shared grouped basket expansion; LPA/kcore
+    # share it and are in-cap above/below anyway)
     "dedup_substring_runs",
     "graph_label_propagation",
+    "pagerank_copurchase",
     # r8 adversarial hardening — the 16 changed below-cap, now re-seen
     "ewma_value_per_user",
     "outliers_value_mad",
@@ -141,13 +144,12 @@ PRIORITY_ORDER = (
     # extraction, re-verified at two SFs); it returns in-cap per the
     # changed-plan rule anyway.
     "dedup_sorted_neighborhood",
-    # freshness rotation: 15 of the 23 rows whose newest driver row is r2
+    # freshness rotation: 14 of the 23 rows whose newest driver row is r2
     # (sum_value_by_user, agg_window_count, ann_cosine_topk,
     # ann_with_document_metadata, cube_flag_status, distinct_part_supp_pairs,
-    # anti_join_customers_without_orders, and dedup_embedding_cosine yield
-    # their slots to the new queries; they keep r2 standing plus every
-    # local gate)
-    "dedup_exact_text",
+    # anti_join_customers_without_orders, dedup_embedding_cosine, and
+    # dedup_exact_text yield their slots to the new queries; they keep r2
+    # standing plus every local gate)
     "dedup_ngram_jaccard",
     "embedding_centroid_by_label",
     "grouped_count_by_position",

@@ -150,6 +150,63 @@ def approx_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCTL_ACCURACY = 10000  # percentile_approx accuracy: rank error <= n/accuracy
+
+
+@register(
+    "approx_percentile_rank_bound",
+    oracle="""
+SELECT event_type,
+       CAST(count(value) AS BIGINT) AS n_values,
+       TRUE AS within_rank_bound
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type
+""",
+)
+def approx_percentile_rank_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch family's EXTERNAL property gate (the join-cardinality
+    'pinned as an identity' pattern): approx_percentile's documented
+    contract is a rank error of at most n/accuracy; this query recomputes
+    the approximate median's EXACT rank window per group (count of values
+    strictly below / at-or-below the sketch output) and emits the bound
+    check as a column. The sketch is deterministic for a given dataset, so
+    the boolean is stable — if a Spark upgrade or a sketch-merge bug ever
+    violates the advertised bound, this row's value hash goes red at the
+    driver. The oracle asserts the contract (TRUE), not the sketch value,
+    which SQL cannot reproduce — exactly why the raw sketch query stays
+    rows-only while THIS row is hash-checked.
+
+    Scale: one grouped sketch pass + one grouped conditional-count pass
+    joined on the (tiny) group key — both map-side combinable; no sort,
+    no per-group collect."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    med = ev.groupBy(F.col("event_type").alias("met")).agg(
+        F.percentile_approx("value", 0.5, PCTL_ACCURACY).alias("am")
+    )
+    # eqNullSafe: the NULL event_type group is a real group in both engines
+    # (hostile fixture); a plain equi-join would silently drop it
+    j = ev.join(F.broadcast(med), F.col("event_type").eqNullSafe(F.col("met")))
+    ranks = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum((F.col("value") < F.col("am")).cast("long")).alias("n_below"),
+        F.sum((F.col("value") <= F.col("am")).cast("long")).alias("n_at_or_below"),
+    )
+    # target rank of the 0.5-quantile in Spark's definition: ceil(0.5 * n);
+    # the sketch may misplace it by at most err = n/accuracy (+1 slack for
+    # the discrete boundary). The approximate median's true rank interval
+    # is (n_below, n_at_or_below]; the bound holds iff that interval
+    # intersects [target - err, target + err].
+    target = F.ceil(F.col("n_values") * F.lit(0.5)).cast("long")
+    err = (F.col("n_values") / F.lit(PCTL_ACCURACY)).cast("long") + F.lit(1)
+    within = (F.col("n_at_or_below") >= target - err) & (
+        F.col("n_below") <= target + err
+    )
+    return ranks.select(
+        "event_type", "n_values", within.alias("within_rank_bound")
+    )
+
+
 @register(
     "stats_argminmax_value",
     oracle="""

@@ -295,6 +295,46 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_RSD = 0.01  # requested relative standard deviation
+HLL_BOUND = 5 * HLL_RSD  # 5-sigma acceptance band for the property gate
+
+
+@register(
+    "approx_distinct_error_bound",
+    oracle="""
+SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS within_bound
+FROM lineitem
+""",
+)
+def approx_distinct_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTERNAL property gate for the HyperLogLog++ path (the
+    'pinned as an identity' pattern): |approx - exact| / exact must stay
+    within 5x the requested rsd. Spark's HLL++ is deterministic for a given
+    dataset, so the boolean is stable, and SQL cannot reproduce the sketch
+    value itself — which is exactly why approx_distinct_parts stays
+    rows-only while THIS row value-hash-checks the sketch's contract at
+    the driver. A register-width regression or merge bug flips the column
+    and the row goes red.
+
+    Scale: one aggregate-only pass (both the sketch and the exact distinct
+    are map-side partial); at 100 TB the exact side is the expensive one —
+    the audit would run on a sampled stratum while production trusts the
+    sketch this gate certifies."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=HLL_RSD).alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+    rel_err = F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col(
+        "exact_parts"
+    )
+    return agg.select(
+        F.col("exact_parts").cast("long").alias("exact_parts"),
+        (rel_err <= F.lit(HLL_BOUND)).alias("within_bound"),
+    )
+
+
 # --- rollup / cube / grouping sets ----------------------------------------------------
 
 

@@ -67,13 +67,16 @@ DRIVER_CORRECTNESS_CAP = 50
 # multimodal_audio_decode_real / audio_window_energy_real,
 # audio_fingerprint_neardup, er_blocking_quality,
 # rolling_active_users_intervals — the delta-encoded scale variant whose
-# shared oracle doubles as a cross-plan equivalence proof — and
-# tokenizer_fertility_report), so the in-cap
-# never-checked set is 16 — after this round's driver pass the backlog is
-# 0 and every hash-checkable query in the registry has a green external
-# row. Rows-only remains 7 (approx_* x2, uuid_generate,
+# shared oracle doubles as a cross-plan equivalence proof —
+# tokenizer_fertility_report, and the sketch property gates
+# approx_distinct_error_bound / approx_percentile_rank_bound), so the
+# in-cap never-checked set is 18 — after this round's driver pass the
+# backlog is 0 and every hash-checkable query in the registry has a green
+# external row. Rows-only remains 7 (approx_* x2 — whose error CONTRACTS
+# are now externally hash-gated by the two new property rows, the
+# join-cardinality 'pinned as an identity' pattern — uuid_generate,
 # pca_embedding_components — whose distributed stage and spectral summary
-# ARE now hash-checked via the new PCA pair — packing_efficiency_report,
+# ARE hash-checked via the PCA pair — packing_efficiency_report,
 # and the unigram tokenizer pair), each with its local differential.
 #
 # Round-9 rotation (VERDICT r8 #1 + #2): 27 must-in slots —
@@ -139,19 +142,20 @@ PRIORITY_ORDER = (
     "er_blocking_quality",
     "rolling_active_users_intervals",
     "tokenizer_fertility_report",
+    "approx_distinct_error_bound",
+    "approx_percentile_rank_bound",
     # dedup_sorted_neighborhood's blocking stage moved into the shared
     # _snm_candidate_pairs helper this round (plan unchanged — pure
     # extraction, re-verified at two SFs); it returns in-cap per the
     # changed-plan rule anyway.
     "dedup_sorted_neighborhood",
-    # freshness rotation: 14 of the 23 rows whose newest driver row is r2
+    # freshness rotation: 12 of the 23 rows whose newest driver row is r2
     # (sum_value_by_user, agg_window_count, ann_cosine_topk,
     # ann_with_document_metadata, cube_flag_status, distinct_part_supp_pairs,
-    # anti_join_customers_without_orders, dedup_embedding_cosine, and
-    # dedup_exact_text yield their slots to the new queries; they keep r2
-    # standing plus every local gate)
-    "dedup_ngram_jaccard",
-    "embedding_centroid_by_label",
+    # anti_join_customers_without_orders, dedup_embedding_cosine,
+    # dedup_exact_text, dedup_ngram_jaccard, and
+    # embedding_centroid_by_label yield their slots to the new queries;
+    # they keep r2 standing plus every local gate)
     "grouped_count_by_position",
     "grouping_sets_priority_status",
     "heatmap_rollup_client_order",

@@ -44,6 +44,9 @@ CAUGHT = (
     "streaming_session_windows",      # streaming state drops NULL keys, batch kept them
     "multimodal_decode_features",     # ascii('') is 0, not NULL, in the oracle
     "multimodal_frame_sample",        # same, for the sampled byte of an empty payload
+    # r9 continuation-session catches, pinned the same way:
+    "rolling_active_users_intervals",  # dense grid emitted zero-active hours
+    "approx_percentile_rank_bound",    # equi-join dropped the NULL event_type group
 )
 
 

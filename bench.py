@@ -260,6 +260,15 @@ HEADLINE = (
     # r9 second wave: the real WAV/PCM audio codec pair
     "multimodal_audio_decode_real",
     "audio_window_energy_real",
+    # r9 third wave: multimodal near-dup triad closer, ER blocking audit,
+    # the delta-encoded rolling window, tokenizer fertility, and the two
+    # sketch-contract property gates
+    "audio_fingerprint_neardup",
+    "er_blocking_quality",
+    "rolling_active_users_intervals",
+    "tokenizer_fertility_report",
+    "approx_distinct_error_bound",
+    "approx_percentile_rank_bound",
 )
 
 

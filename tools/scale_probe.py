@@ -115,6 +115,13 @@ PROBES = (
     "epoch_shuffle_independence",     # two range-sharded ranks + r1+1 join
     "prefix_cache_grouping",          # min/max-LCP shared-prefix batching
     "coreset_kcenter_selection",      # K broadcast-center scans + argmax rounds
+    # r9 third wave
+    "audio_fingerprint_neardup",      # WAV decode + banded shingle self-join
+    "er_blocking_quality",            # SNM cand + inverted-index truth + 1-row combines
+    "rolling_active_users_intervals", # islands + delta running sum over the grid
+    "tokenizer_fertility_report",     # BPE encode folds + lang aggregate
+    "approx_distinct_error_bound",    # HLL sketch + exact distinct audit
+    "approx_percentile_rank_bound",   # sketch + broadcast rank-window check
 )
 
 SF_SMALL = "/root/testdata/sf0.01"

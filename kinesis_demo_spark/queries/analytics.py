@@ -3366,13 +3366,17 @@ l0 AS (SELECT DISTINCT src AS part, src AS lab FROM edges)
 
 
 def _lpa_round_sql(r: int) -> str:
+    # MATERIALIZED is load-bearing (the BPE-oracle precedent): the final
+    # round is referenced twice (labels + sizes) and each round feeds the
+    # next, so without the hint DuckDB re-inlines the whole chain per
+    # reference (measured 43 s -> 5.5 s at sf0.1, identical rows).
     return f"""
-v{r} AS (
+v{r} AS MATERIALIZED (
   SELECT e.dst AS part, l.lab, sum(e.w) AS wv
   FROM edges e JOIN l{r - 1} l ON l.part = e.src
   GROUP BY 1, 2
 ),
-l{r} AS (
+l{r} AS MATERIALIZED (
   SELECT part, min(struct_pack(nw := -wv, l := lab)).l AS lab
   FROM v{r} GROUP BY part
 )"""

@@ -280,7 +280,12 @@ sampled AS (
   FROM documents d JOIN survivors USING (doc_id)
   WHERE {h60_sql("CAST(d.doc_id AS VARCHAR)")} % 100 < {_rate_case_sql().replace("lang", "d.lang")}
 ),
-d2 AS (
+d2 AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing (the _bpe_round_ctes lesson): the
+  -- recursive packed CTE references d2 once per iteration, and without
+  -- the hint DuckDB re-inlines d2 — and the ENTIRE dedup pipeline above
+  -- it — every round (measured 8.9 s -> 0.3 s at sf0.01, ~990 s ->
+  -- seconds at sf0.1). Result set is identical.
   SELECT doc_id, doc_id % {PACK_SHARDS} AS shard, n_tokens,
          row_number() OVER (PARTITION BY doc_id % {PACK_SHARDS} ORDER BY doc_id) AS rn
   FROM sampled

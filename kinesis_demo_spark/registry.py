@@ -112,10 +112,13 @@ PRIORITY_ORDER = (
     "pca_effective_rank",
     # r9 changed plans — external re-verification (pagerank_copurchase's
     # edge build moved to the shared grouped basket expansion; LPA/kcore
-    # share it and are in-cap above/below anyway)
+    # share it and are in-cap above/below anyway; the manifest and LPA
+    # oracles gained MATERIALIZED hints — same result set, re-verified at
+    # two-to-three SFs — so both rows return in-cap)
     "dedup_substring_runs",
     "graph_label_propagation",
     "pagerank_copurchase",
+    "pipeline_training_manifest",
     # r8 adversarial hardening — the 16 changed below-cap, now re-seen
     "ewma_value_per_user",
     "outliers_value_mad",
@@ -149,14 +152,13 @@ PRIORITY_ORDER = (
     # extraction, re-verified at two SFs); it returns in-cap per the
     # changed-plan rule anyway.
     "dedup_sorted_neighborhood",
-    # freshness rotation: 12 of the 23 rows whose newest driver row is r2
+    # freshness rotation: 11 of the 23 rows whose newest driver row is r2
     # (sum_value_by_user, agg_window_count, ann_cosine_topk,
     # ann_with_document_metadata, cube_flag_status, distinct_part_supp_pairs,
     # anti_join_customers_without_orders, dedup_embedding_cosine,
-    # dedup_exact_text, dedup_ngram_jaccard, and
-    # embedding_centroid_by_label yield their slots to the new queries;
+    # dedup_exact_text, dedup_ngram_jaccard, embedding_centroid_by_label,
+    # and grouped_count_by_position yield their slots to the new queries;
     # they keep r2 standing plus every local gate)
-    "grouped_count_by_position",
     "grouping_sets_priority_status",
     "heatmap_rollup_client_order",
     "join_orders_lineitem_priority",

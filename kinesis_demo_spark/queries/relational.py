@@ -289,10 +289,15 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Approximate by design, so the driver records a rows-only check; the pytest
     suite bounds its relative error against the exact count instead."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.count_distinct("l_partkey").alias("exact_parts"),
+    # split aggs (see approx_distinct_error_bound): one mixed
+    # DISTINCT+sketch agg forces the Expand path
+    approx = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts")
     )
+    exact = (
+        li.select("l_partkey").distinct().agg(F.count(F.lit(1)).alias("exact_parts"))
+    )
+    return approx.crossJoin(exact)
 
 
 HLL_RSD = 0.01  # requested relative standard deviation

@@ -1404,6 +1404,7 @@ base AS (
          CAST(length(d.text) AS BIGINT) AS n_chars,
          e.n_bpe
   FROM documents d JOIN enc e USING (doc_id)
+  WHERE d.text IS NOT NULL
 )
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -1437,7 +1438,11 @@ def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     col = _tokens()
     for _rnd, a, b, _m, _n in merges:
         col = _apply_merge(col, F.lit(a), F.lit(b))
-    per_doc = _docs(spark, sf_dir).select(
+    # text IS NOT NULL on BOTH sides: a NULL-text doc yields no s0 rows in
+    # the oracle's unrolled trainer (inner join drops it) while the Spark
+    # aggregate would count it with NULL sums — pin the doc sets equal by
+    # construction (ADVICE r9)
+    per_doc = _docs(spark, sf_dir).filter(F.col("text").isNotNull()).select(
         F.coalesce("lang", F.lit("?")).alias("lang"),
         F.size(F.split("text", " ")).cast("long").alias("n_words"),
         F.length("text").cast("long").alias("n_chars"),

@@ -2424,7 +2424,7 @@ ng AS (
 SELECT n.n_docs, nc.n_candidates, nt.n_true, ng.n_caught,
        CAST(ng.n_caught AS DOUBLE) / nullif(nt.n_true, 0) AS pairs_completeness,
        1.0 - CAST(nc.n_candidates AS DOUBLE)
-           / (CAST(n.n_docs AS DOUBLE) * (n.n_docs - 1) / 2.0) AS reduction_ratio
+           / nullif(CAST(n.n_docs AS DOUBLE) * (n.n_docs - 1) / 2.0, 0.0) AS reduction_ratio
 FROM n, nc, nt, ng
 """,
 )
@@ -2483,8 +2483,11 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pairs_completeness"
             ),
             (
+                # nullif-guard the pair-space denominator (0- or 1-doc
+                # corpus) to match pairs_completeness and the oracle
                 F.lit(1.0)
-                - F.col("n_candidates").cast("double") / (nd * (nd - F.lit(1.0)) / F.lit(2.0))
+                - F.col("n_candidates").cast("double")
+                / F.nullif(nd * (nd - F.lit(1.0)) / F.lit(2.0), F.lit(0.0))
             ).alias("reduction_ratio"),
         )
     )

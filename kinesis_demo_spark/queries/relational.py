@@ -294,8 +294,14 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = li.agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts")
     )
+    # NULL-key filter matches count(DISTINCT ...) / approx_count_distinct
+    # semantics (both exclude NULLs); without it a hostile NULL-key fixture
+    # would count one extra "distinct" value on the exact side only
     exact = (
-        li.select("l_partkey").distinct().agg(F.count(F.lit(1)).alias("exact_parts"))
+        li.select("l_partkey")
+        .filter(F.col("l_partkey").isNotNull())
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("exact_parts"))
     )
     return approx.crossJoin(exact)
 
@@ -335,8 +341,12 @@ def approx_distinct_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = li.agg(
         F.approx_count_distinct("l_partkey", rsd=HLL_RSD).alias("approx_parts")
     )
+    # NULL-key filter: count(DISTINCT) in the oracle excludes NULLs, and so
+    # does approx_count_distinct — the exact side must agree or a hostile
+    # NULL-l_partkey fixture flips the hash (ADVICE r9)
     exact = (
         li.select("l_partkey")
+        .filter(F.col("l_partkey").isNotNull())
         .distinct()
         .agg(F.count(F.lit(1)).alias("exact_parts"))
     )

@@ -427,9 +427,74 @@ def _pack_shard_bfd(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf[["doc_id", "shard", "bin", "n_tokens"]]
 
 
-@register("packing_efficiency_report")  # BFD is order-dependent + stateful ->
-# no tractable SQL oracle; differential vs a pure-Python reference in
-# tests/test_training_prep.py and invariants (never worse than greedy)
+@register(
+    "packing_efficiency_report",
+    # Both packers ARE SQL-expressible after all (VERDICT r9 #3, upgraded
+    # from rows-only): the greedy half reuses sequence_packing's recursive
+    # CTE; the BFD half carries the open-bin residual list as recursive
+    # LIST state — best-fit = list_min over residual*1e6+index encodings
+    # (smallest residual, ties to the lowest bin id, exactly the Python
+    # loop's strict-< keep-first rule), new bin = append. All-integer state
+    # -> bit-exact.
+    oracle=f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % {PACK_SHARDS}
+                            ORDER BY doc_id) AS rn,
+         row_number() OVER (PARTITION BY doc_id % {PACK_SHARDS}
+                            ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS rnd
+  FROM documents
+),
+packed(shard, rn, doc_id, n_tokens, bin, bin_toks) AS (
+  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN p.bin_toks + d.n_tokens > {PACK_BUDGET_TOKENS}
+              THEN p.bin + 1 ELSE p.bin END,
+         CASE WHEN p.bin_toks + d.n_tokens > {PACK_BUDGET_TOKENS}
+              THEN d.n_tokens ELSE p.bin_toks + d.n_tokens END
+  FROM packed p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+),
+bfd(shard, rnd, doc_id, n_tokens, bin, residuals) AS (
+  SELECT shard, rnd, doc_id, n_tokens, CAST(0 AS BIGINT),
+         [greatest(CAST(0 AS BIGINT), CAST({PACK_BUDGET_TOKENS} AS BIGINT) - n_tokens)]
+  FROM d WHERE rnd = 1
+  UNION ALL
+  SELECT shard, rnd, doc_id, n_tokens,
+         CASE WHEN best IS NULL THEN nbins ELSE best % 1000000 - 1 END,
+         CASE WHEN best IS NULL
+              THEN list_append(residuals,
+                   greatest(CAST(0 AS BIGINT),
+                            CAST({PACK_BUDGET_TOKENS} AS BIGINT) - n_tokens))
+              ELSE list_transform(residuals,
+                   (x, i) -> CASE WHEN i = best % 1000000 THEN x - n_tokens ELSE x END)
+         END
+  FROM (
+    SELECT d.shard, d.rnd, d.doc_id, d.n_tokens, p.residuals,
+           CAST(len(p.residuals) AS BIGINT) AS nbins,
+           list_min(list_filter(
+             list_transform(p.residuals, (x, i) -> x * 1000000 + i),
+             e -> e // 1000000 >= d.n_tokens)) AS best
+    FROM bfd p JOIN d ON d.shard = p.shard AND d.rnd = p.rnd + 1
+  )
+)
+SELECT shard, 'greedy_inorder' AS algorithm,
+       CAST(count(DISTINCT bin) AS BIGINT) AS bins_used,
+       CAST(sum(n_tokens) AS BIGINT) AS token_sum,
+       CAST(sum(n_tokens) AS DOUBLE)
+         / CAST(count(DISTINCT bin) * {PACK_BUDGET_TOKENS} AS DOUBLE) AS utilization
+FROM packed GROUP BY shard
+UNION ALL
+SELECT shard, 'best_fit_decreasing' AS algorithm,
+       CAST(count(DISTINCT bin) AS BIGINT) AS bins_used,
+       CAST(sum(n_tokens) AS BIGINT) AS token_sum,
+       CAST(sum(n_tokens) AS DOUBLE)
+         / CAST(count(DISTINCT bin) * {PACK_BUDGET_TOKENS} AS DOUBLE) AS utilization
+FROM bfd GROUP BY shard
+""",
+)
 def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing-algorithm comparison per shard: bins used and token
     utilization for the shipped greedy in-order packer vs best-fit-
@@ -438,6 +503,11 @@ def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the table (BFD is the classical near-optimal offline baseline,
     guaranteed <= 11/9 OPT + 1 bins). Utilization = token_sum /
     (bins * budget), one exact-integer ratio per (shard, algorithm).
+    Value-hash checked since r10: the oracle replays BOTH packers — the
+    greedy recurrence as in sequence_packing, and BFD as a recursive CTE
+    whose state is the open-bin residual LIST (argmin-fit by integer
+    encoding, ties to the lowest bin id) — so even the stateful
+    comparison row is bit-exact across engines.
 
     Scale: both packers run as the same per-shard applyInPandas the
     shipped operator uses; the report is a per-shard aggregate of the two

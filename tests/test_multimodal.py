@@ -340,3 +340,135 @@ def test_audio_window_energy_windows_partition_the_clip(spark):
         k = np.arange(nframes, dtype=np.int64) * nch
         ch0 = ((seed + 11 * k) % 4096) - 2048
         assert sum(r["w_energy"] for r in rows) == int((ch0 * ch0).sum())
+
+
+def test_png_codec_roundtrip_exact():
+    import numpy as np
+
+    from kinesis_demo_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(42)
+    for h, w in [(1, 1), (2, 3), (7, 13), (16, 32)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_png(encode_png(img)) == img).all()
+        # every filter type individually, not just the default cycle
+        for f in range(5):
+            assert (decode_png(encode_png(img, [f] * h)) == img).all(), f
+
+
+def test_png_decoder_handles_split_idat():
+    # spec allows the pixel stream split across ANY number of IDAT chunks;
+    # a decoder that inflates per-chunk instead of concatenating breaks here
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from kinesis_demo_spark.operators.multimodal import decode_png, encode_png
+
+    img = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    buf = encode_png(img)
+    # re-chunk: pull the single IDAT body out and re-emit it 3 bytes at a time
+    def chunks(b):
+        pos = 8
+        while pos < len(b):
+            (ln,) = struct.unpack(">I", b[pos : pos + 4])
+            yield b[pos + 4 : pos + 8], b[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    parts = dict(chunks(buf))
+    idat = parts[b"IDAT"]
+    rebuilt = buf[:8] + chunk(b"IHDR", parts[b"IHDR"])
+    for i in range(0, len(idat), 3):
+        rebuilt += chunk(b"IDAT", idat[i : i + 3])
+    rebuilt += chunk(b"IEND", b"")
+    assert (decode_png(rebuilt) == img).all()
+
+
+def test_png_decoder_rejects_hostile_chunks():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from kinesis_demo_spark.operators.multimodal import decode_png, encode_png
+
+    img = np.zeros((3, 4, 3), dtype=np.uint8)
+    good = encode_png(img)
+
+    with pytest.raises(NotImplementedError):
+        decode_png(b"GIF89a not a png")
+    with pytest.raises(ValueError, match="truncated|overruns"):
+        decode_png(good[: len(good) - 6])
+    # flip one byte inside the IDAT body -> CRC mismatch
+    (ihdr_len,) = struct.unpack(">I", good[8:12])
+    idat_body_at = 8 + 12 + ihdr_len + 8
+    corrupt = bytearray(good)
+    corrupt[idat_body_at] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(corrupt))
+    # chunk length field pointing past the buffer
+    overrun = bytearray(good)
+    overrun[8:12] = struct.pack(">I", 1 << 24)
+    with pytest.raises(ValueError, match="overruns"):
+        decode_png(bytes(overrun))
+    # unsupported color types raise the documented seam, not garbage
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    pal_ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 3, 0, 0, 0)  # palette
+    pal = good[:8] + chunk(b"IHDR", pal_ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="color type"):
+        decode_png(pal)
+    # bad row-filter byte inside a valid zlib stream
+    stride = 4 * 3
+    raw = bytes([7]) + bytes(stride)  # filter 7 does not exist
+    bad_ihdr = struct.pack(">IIBBBBB", 4, 1, 8, 2, 0, 0, 0)
+    bad = (
+        good[:8] + chunk(b"IHDR", bad_ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="filter"):
+        decode_png(bad)
+    # pixel stream length mismatch (one scanline missing)
+    short_ihdr = struct.pack(">IIBBBBB", 4, 2, 8, 2, 0, 0, 0)
+    short = (
+        good[:8] + chunk(b"IHDR", short_ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes([0]) + bytes(stride)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="length"):
+        decode_png(short)
+
+
+def test_png_query_matches_closed_form(spark):
+    # the full registered path at the tiny fixture, vs a direct numpy ramp
+    import numpy as np
+
+    from kinesis_demo_spark.queries.multimodal import multimodal_png_decode_real
+
+    rows = {
+        r["doc_id"]: r
+        for r in multimodal_png_decode_real(spark, "/root/testdata/sf0.001").collect()
+    }
+    for doc_id in list(rows)[:5]:
+        w = ((doc_id % 6) + 1) * 5
+        h = ((doc_id % 4) + 1) * 3
+        seed = (doc_id * 97) % 256
+        vals = (seed + 11 * np.arange(w * h * 3, dtype=np.int64)) % 256
+        px = vals.reshape(-1, 3)
+        r = rows[doc_id]
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
+        assert (r["r_sum"], r["g_sum"], r["b_sum"]) == tuple(
+            int(s) for s in px.sum(axis=0)
+        )

@@ -277,6 +277,12 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _median(xs: list) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("kinesis-demo-spark-bench")
@@ -289,6 +295,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.get(name)
         if fn is None:
@@ -311,6 +318,10 @@ def main() -> None:
         release_persisted()  # no cross-query cache borrowing / block leak
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
+        # median alongside min (VERDICT r9 #2): a host burst that distorts
+        # a single run is visible IN the artifact as median >> min, so a
+        # reviewer can disposition a scary row without re-timing it
+        medians[name] = round(_median(runs), 3)
 
     # Serving SLO: record the 2 s-budget claim as measured percentiles, not a
     # test boolean (the reference polls every 2 s, functions.js:11,134).
@@ -342,6 +353,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_cold": cold,
+        "queries_median": medians,
         "cold_total": round(sum(cold.values()), 3),
         "serving": serving,
         "serving_sf1": serving_sf1,

@@ -2447,15 +2447,20 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the truth set would be sampled (audit a stratum, not the
     corpus); the plan is identical, with a filter on doc_id buckets ahead
     of both sides."""
-    cand = track_persist(
-        _snm_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b").distinct()
-    )
+    # Single-pass combine (VERDICT r9 #5): cand and truth are each
+    # referenced ONCE — a full outer join on the pair key carries both
+    # membership flags, and one aggregate derives n_candidates / n_true /
+    # n_caught together. The r9 shape computed them as four one-row
+    # aggregates over cached inputs, which repeated the full SNM /
+    # inverted-index lineage in every reference (the 38-shuffle audit
+    # depth) and needed persists at all; this one needs none.
+    cand = _snm_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b").distinct()
     sh = _shingled(spark, sf_dir)
     ex = sh.select("doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
     a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
     b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
     jacc = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
-    truth = track_persist(
+    truth = (
         a.join(b, "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
@@ -2464,16 +2469,19 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     n = _docs(spark, sf_dir).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
-    ng = cand.join(truth, ["doc_a", "doc_b"]).agg(
-        F.count(F.lit(1)).cast("long").alias("n_caught")
+    both = cand.withColumn("is_cand", F.lit(1)).join(
+        truth.withColumn("is_true", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    counts = both.agg(
+        F.count("is_cand").cast("long").alias("n_candidates"),
+        F.count("is_true").cast("long").alias("n_true"),
+        F.count(F.when(F.col("is_cand").isNotNull() & F.col("is_true").isNotNull(), 1))
+        .cast("long")
+        .alias("n_caught"),
     )
     nd = F.col("n_docs").cast("double")
     return (
-        n.crossJoin(nc)
-        .crossJoin(nt)
-        .crossJoin(ng)
+        n.crossJoin(counts)
         .select(
             "n_docs",
             "n_candidates",

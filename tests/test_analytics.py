@@ -571,3 +571,30 @@ def test_lpa_fixpoint_matches_python_propagation(spark):
     # only pins that the collapse is total, so a future fixture change
     # that breaks the expectation is noticed.
     assert len(sizes) == 1 and len(labels) > 1
+
+
+def test_gapfill_runs_expand_to_dense_grid(spark):
+    """Cross-plan equivalence (the rolling_active_users_intervals pattern):
+    exploding every run of timeseries_gapfill_runs must reproduce
+    timeseries_hourly_gapfill's dense grid EXACTLY — same rows, same
+    zero-fill, same sums."""
+    from pyspark.sql import functions as F
+
+    from kinesis_demo_spark.queries.analytics import (
+        timeseries_gapfill_runs,
+        timeseries_hourly_gapfill,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    runs = timeseries_gapfill_runs(spark, sf)
+    expanded = runs.select(
+        "user_id",
+        F.explode(F.expr("sequence(hour_start, hour_end, interval 1 hour)")).alias("hour"),
+        "n_events",
+        "sum_value",
+    )
+    dense = timeseries_hourly_gapfill(spark, sf)
+    key = lambda r: (r["user_id"], r["hour"])  # noqa: E731
+    exp = {key(r): (r["n_events"], r["sum_value"]) for r in expanded.collect()}
+    den = {key(r): (r["n_events"], r["sum_value"]) for r in dense.collect()}
+    assert exp == den

@@ -67,6 +67,15 @@ CONTROLS = (
     "window_functions_battery",
 )
 
+# Control-adjacent watch list (VERDICT r9 #2a): expensive rows whose plans
+# are long-stable — any flagged movement here is printed prominently with
+# its median disposition so the round record carries the adjudication.
+WATCH = (
+    "timeseries_user_similarity",
+    "mutual_nearest_lsh",
+    "pipeline_training_manifest",
+)
+
 # fused-query name -> the round-2 query names whose times it absorbed
 RENAMES = {
     "stats_moments_percentiles_by_type": ("stats_moments_by_type", "stats_percentiles_value"),
@@ -80,13 +89,19 @@ RENAMES = {
 }
 
 
-def _load(path: str) -> dict[str, float]:
+def _load(path: str) -> tuple[dict[str, float], dict[str, float]]:
+    """Returns (primary series, medians-if-present). The median map (r10+,
+    bench.py queries_median) lets a >1.3x min-ratio row be dispositioned
+    in-artifact: a host burst inflates min and median TOGETHER on the
+    affected run while a real plan regression moves both rounds' medians —
+    so min-flag + median-clear == window noise, no re-timing needed."""
     with open(path) as f:
         doc = json.load(f)
     if "parsed" in doc and isinstance(doc["parsed"], dict):
         doc = doc["parsed"]
+    med = doc.get("queries_median", {}) if isinstance(doc, dict) else {}
     if SERIES == "queries_cold" and "queries_cold" in doc:
-        return doc["queries_cold"]
+        return doc["queries_cold"], med
     if "queries" not in doc:
         # r5+ short driver summary: per-query maps live in the sidecar the
         # summary points to (bench.py writes BENCH_local_detail.json).
@@ -94,7 +109,7 @@ def _load(path: str) -> dict[str, float]:
             f"{path}: no per-query map — this is the short r5+ summary line; "
             f"compare the detail sidecar instead ({doc.get('detail', 'BENCH_local_detail.json')})"
         )
-    return doc["queries"]
+    return doc["queries"], med
 
 
 def _control_factor(old: dict[str, float], new: dict[str, float]) -> tuple[float, str]:
@@ -128,11 +143,11 @@ def main() -> int:
         SERIES = "queries_cold"
         argv.remove("cold")
     old_path, new_path = argv[0], argv[1]
-    old, new = _load(old_path), _load(new_path)
+    (old, old_med), (new, new_med) = _load(old_path), _load(new_path)
 
     factor, factor_note = _control_factor(old, new)
 
-    rows, regressions = [], []
+    rows, regressions, burst_noise = [], [], []
     for name, t_new in new.items():
         parts = RENAMES.get(name, (name,))
         known = [old[p] for p in parts if p in old]
@@ -144,7 +159,24 @@ def main() -> int:
         norm = ratio / factor if factor > 0 else ratio
         flag = "REGRESSED" if norm > THRESHOLD else ("improved" if norm < 1 / THRESHOLD else "ok")
         if norm > THRESHOLD:
-            regressions.append(name)
+            # median disposition (VERDICT r9 #2b): when both rounds carry a
+            # median for this row, require the median-based normalized
+            # ratio to ALSO breach the threshold — a burst that caught one
+            # window's runs shows min-flag + median-clear and is recorded
+            # as noise instead of failing the gate
+            m_old = sum(old_med.get(p, 0.0) for p in parts) or None
+            m_new = new_med.get(name)
+            if m_old and m_new:
+                m_norm = (m_new / m_old) / factor if factor > 0 else m_new / m_old
+                if m_norm <= THRESHOLD:
+                    flag = f"burst-noise (median {m_norm:.2f}x)"
+                    burst_noise.append(name)
+                else:
+                    regressions.append(name)
+            else:
+                regressions.append(name)
+        if name in WATCH and flag != "ok":
+            flag += " [watch]"
         rows.append((name, t_old, t_new, ratio, norm, flag))
     for name, t_old in old.items():
         if name not in new and not any(name in v for v in RENAMES.values()):
@@ -164,7 +196,8 @@ def main() -> int:
     tot_old, tot_new = sum(old.values()), sum(new.values())
     print(f"\ntotal: {tot_old:.1f}s -> {tot_new:.1f}s (raw {tot_new / tot_old:.2f}x, "
           f"normalized {tot_new / tot_old / factor:.2f}x), "
-          f"threshold {THRESHOLD}x on normalized, regressions: {regressions or 'none'}")
+          f"threshold {THRESHOLD}x on normalized, regressions: {regressions or 'none'}, "
+          f"burst-noise dispositions: {burst_noise or 'none'}")
     return 1 if regressions else 0
 
 

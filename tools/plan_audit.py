@@ -76,26 +76,51 @@ def _plan(df, mode: str) -> str:
     return buf.getvalue()
 
 
+def _count_nodes(plan: str, token: str, exclude: tuple = ()) -> int:
+    """Count PHYSICAL operators, not textual mentions: ``explain`` reprints
+    a cached relation's child plan at EVERY reference (InMemoryRelation
+    bodies carry the same ``plan_id`` each time they appear), so a shared
+    cached stage used by three consumers showed 3x its real exchanges in
+    the r2-r9 audits — the inflated 36-40-shuffle "depths" VERDICT r9 #5
+    flagged were largely this repetition. Lines carrying a plan_id are
+    deduped on (token, plan_id); ReusedExchange markers are skipped (the
+    exchange they point at is already counted at its definition); lines
+    without a plan_id fall back to per-occurrence counting."""
+    seen: set = set()
+    n = 0
+    for line in plan.splitlines():
+        if token not in line or any(x in line for x in exclude):
+            continue
+        if "ReusedExchange" in line and token != "ReusedExchange":
+            continue
+        m = re.search(r"plan_id=(\d+)", line)
+        if m:
+            key = (token, m.group(1))
+            if key in seen:
+                continue
+            seen.add(key)
+        n += 1
+    return n
+
+
 def audit_one(df) -> dict:
     simple = _plan(df, "simple")
     formatted = _plan(df, "formatted")
-    n_exchange = simple.count("Exchange")
-    n_broadcast_ex = simple.count("BroadcastExchange")
     pushed = len(
         [m for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", formatted) if m.group(1).strip()]
     )
     return {
-        "shuffles": n_exchange - n_broadcast_ex,
-        "broadcasts": n_broadcast_ex,
-        "sort_merge_joins": simple.count("SortMergeJoin"),
-        "broadcast_hash_joins": simple.count("BroadcastHashJoin"),
-        "bnl_joins": simple.count("BroadcastNestedLoopJoin"),
-        "cartesian": simple.count("CartesianProduct"),
+        "shuffles": _count_nodes(simple, "Exchange", exclude=("BroadcastExchange",)),
+        "broadcasts": _count_nodes(simple, "BroadcastExchange"),
+        "sort_merge_joins": _count_nodes(simple, "SortMergeJoin"),
+        "broadcast_hash_joins": _count_nodes(simple, "BroadcastHashJoin"),
+        "bnl_joins": _count_nodes(simple, "BroadcastNestedLoopJoin"),
+        "cartesian": _count_nodes(simple, "CartesianProduct"),
         "pushed_filters": pushed,
-        "python_stages": sum(simple.count(p) for p in PY_STAGES),
-        "row_python": simple.count("BatchEvalPython"),
+        "python_stages": sum(_count_nodes(simple, p) for p in PY_STAGES),
+        "row_python": _count_nodes(simple, "BatchEvalPython"),
         "take_ordered": int("TakeOrderedAndProject" in simple),
-        "global_sort": len(re.findall(r"rangepartitioning", simple)),
+        "global_sort": _count_nodes(simple, "rangepartitioning"),
     }
 
 

@@ -147,6 +147,62 @@ def kafka_reader_options(
     return opts
 
 
+def kinesis_reader_options(
+    stream_name: str,
+    region: str,
+    starting_position: str = "LATEST",
+    endpoint_url: str | None = None,
+    max_fetch_records_per_shard: int | None = None,
+) -> dict[str, str]:
+    """Kinesis connector options as a pure, unit-testable mapping — the
+    transport the reference actually ships events over (the browser client
+    calls ``kinesis.putRecords`` with PartitionKey = user_id,
+    web/assets/js/functions.js:206-220), mirroring kafka_reader_options
+    key-for-key. Option names follow the publicly documented
+    spark-sql-kinesis structured-streaming connector: ``streamName`` /
+    ``endpointUrl`` / ``startingposition`` (TRIM_HORIZON | LATEST |
+    AT_TIMESTAMP — the DescribeStream vocabulary), and
+    ``kinesis.executor.maxFetchRecordsPerShard`` is the per-trigger batch
+    bound, the transport twin of Kafka's ``maxOffsetsPerTrigger`` and the
+    file source's ``maxFilesPerTrigger``. The connector jar itself stays
+    deployment configuration, exactly like the Kafka path."""
+    if starting_position not in ("LATEST", "TRIM_HORIZON", "AT_TIMESTAMP"):
+        raise ValueError(f"bad Kinesis starting position {starting_position!r}")
+    opts = {
+        "streamName": stream_name,
+        "endpointUrl": endpoint_url or f"https://kinesis.{region}.amazonaws.com",
+        "awsUseInstanceProfile": "true",  # creds from the instance role, never literals
+        "startingposition": starting_position,
+    }
+    if max_fetch_records_per_shard is not None:
+        opts["kinesis.executor.maxFetchRecordsPerShard"] = str(max_fetch_records_per_shard)
+    return opts
+
+
+def stream_events_kinesis(
+    spark: SparkSession,
+    stream_name: str,
+    region: str,
+    **reader_opts,
+) -> DataFrame:
+    """events as an unbounded stream from the Kinesis stream the reference
+    writes to — same output schema as ``stream_events`` /
+    ``stream_events_kafka``, so every downstream plan runs unchanged. The
+    Kinesis connector emits the payload as ``data`` (with partitionKey /
+    sequenceNumber sidecars) where Kafka emits ``value``; the rename is the
+    only transport-specific line before the shared wire decode. Needs the
+    spark-sql-kinesis connector on the classpath — absent it, ``load()``
+    raises Spark's DATA_SOURCE_NOT_FOUND (deployment config, not a code
+    path: option plumbing and decode are unit-tested against literals and
+    the file source, tests/test_sources.py)."""
+    raw = (
+        spark.readStream.format("kinesis")
+        .options(**kinesis_reader_options(stream_name, region, **reader_opts))
+        .load()
+    )
+    return decode_wire_events(raw.select(F.col("data").alias("value")))
+
+
 def decode_wire_events(raw: DataFrame) -> DataFrame:
     """Binary ``value`` column (the transport's payload bytes) -> the events
     schema every downstream plan consumes. Shared by the kafka source and the

@@ -578,3 +578,56 @@ def test_manifest_sorts_by_integer_batch_id(tmp_path):
         (99999, 7),
         (100000, 11),
     ]
+
+
+# --- Kinesis transport branch (VERDICT r9 #7): the reference's literal
+# transport (functions.js:206-220 PutRecords, PartitionKey = user_id).
+# Same split as Kafka: the jar is deployment config; the option mapping,
+# dispatch shape, and payload-column rename are what the engine owns.
+
+
+def test_kinesis_reader_options_plumbing():
+    import pytest
+
+    from kinesis_demo_spark.streaming.pipeline import kinesis_reader_options
+
+    opts = kinesis_reader_options("kinesis-demo-stream", "us-east-1")
+    assert opts == {
+        "streamName": "kinesis-demo-stream",
+        "endpointUrl": "https://kinesis.us-east-1.amazonaws.com",
+        "awsUseInstanceProfile": "true",
+        "startingposition": "LATEST",
+    }
+    opts = kinesis_reader_options(
+        "s", "eu-west-1",
+        starting_position="TRIM_HORIZON",
+        endpoint_url="https://localhost:4566",
+        max_fetch_records_per_shard=25_000,
+    )
+    assert opts["endpointUrl"] == "https://localhost:4566"
+    assert opts["startingposition"] == "TRIM_HORIZON"
+    # connector wants strings, like Kafka's maxOffsetsPerTrigger
+    assert opts["kinesis.executor.maxFetchRecordsPerShard"] == "25000"
+    with pytest.raises(ValueError, match="starting position"):
+        kinesis_reader_options("s", "us-east-1", starting_position="YESTERDAY")
+
+
+def test_kinesis_data_column_decodes_like_kafka_value(spark):
+    # the Kinesis connector emits the payload as `data`; after the rename
+    # the SAME decode_wire_events path must reproduce the events exactly
+    from pyspark.sql import functions as F
+
+    from kinesis_demo_spark.streaming.pipeline import (
+        decode_wire_events,
+        encode_wire_events,
+    )
+
+    src = _events(spark)
+    kinesis_shaped = encode_wire_events(src).select(
+        F.col("value").alias("data"),
+        F.lit("shardId-000000000000").alias("shardId"),
+        F.col("key").cast("string").alias("partitionKey"),
+    )
+    back = decode_wire_events(kinesis_shaped.select(F.col("data").alias("value")))
+    assert back.columns == src.columns
+    assert _as_set(back) == _as_set(src)

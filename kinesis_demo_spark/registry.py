@@ -57,119 +57,77 @@ DRIVER_CORRECTNESS_CAP = 50
 # Queries whose PLANS CHANGED this round always stay/return in-cap so the
 # change is externally re-verified.
 #
-# Driver-row ledger as of r9 (recomputed from CORRECTNESS_r02..r08): 241 of
-# the r8-era 254 registered queries carry at least one green driver row;
-# after the r8 round the never-driver-checked hash-checkable backlog was
-# exactly 6 (the 5 deferred pool members + serving_poll_page_fused). Round
-# 9 adds 8 new hash-checkable queries (phash_image_neardup_decoded, the
-# PCA verification pair pca_scatter_moments / pca_effective_rank,
-# multimodal_frame_sample_real, the WAV/PCM audio codec pair
-# multimodal_audio_decode_real / audio_window_energy_real,
-# audio_fingerprint_neardup, er_blocking_quality,
-# rolling_active_users_intervals — the delta-encoded scale variant whose
-# shared oracle doubles as a cross-plan equivalence proof —
-# tokenizer_fertility_report, and the sketch property gates
-# approx_distinct_error_bound / approx_percentile_rank_bound), so the
-# in-cap never-checked set is 18 — after this round's driver pass the
-# backlog is 0 and every hash-checkable query in the registry has a green
-# external row. Rows-only remains 7 (approx_* x2 — whose error CONTRACTS
-# are now externally hash-gated by the two new property rows, the
-# join-cardinality 'pinned as an identity' pattern — uuid_generate,
-# pca_embedding_components — whose distributed stage and spectral summary
-# ARE hash-checked via the PCA pair — packing_efficiency_report,
-# and the unigram tokenizer pair), each with its local differential.
+# Round-10 rotation (VERDICT r9 #1) — STANDING CADENCE RULE: with the
+# never-checked backlog at zero, cap slots go (a) every query whose PLAN
+# OR ORACLE changed this round (external re-verification of the change),
+# then (b) strictly OLDEST driver evidence first, so no registered query's
+# newest green row ages past a few rounds. This makes future rotations
+# mechanical: recompute newest-green-round per query from the CORRECTNESS
+# files and fill.
 #
-# Round-9 rotation (VERDICT r8 #1 + #2): 27 must-in slots —
-#   - 9 never-driver-checked hash-checkable queries (closes the ledger);
-#   - dedup_substring_runs — plan restructured this round (substring df-cap
-#     floor, in-group pair generation, fold-based run merge) and output
-#     changed at sf0.001 (4-doc cliques restored); must be externally
-#     re-verified;
-#   - graph_kcore / graph_label_propagation — registered plans are
-#     unchanged by the r9 fixpoint-mode addition (verified vs oracle), but
-#     the function bodies changed, so both return in-cap per the
-#     changed-plan rule's spirit (kcore is in the never-checked 9 anyway);
-#   - the 16 r8-adversarially-hardened queries whose plans/oracles changed
-#     below the cap without external re-verification (the other 5 of the
-#     21-query catch list — profile_events_columns, skipgram_pair_counts,
-#     feature_quantile_binning, er_golden_record,
-#     streaming_session_windows — got green r8 rows).
-# The remaining 23 slots are freshness rotation: exactly the 23 rows whose
-# last green driver row is r2 (oldest standing evidence in the record).
-# Everything else is long-green with plans untouched this round and keeps
-# pass(rN) + the local gates (tests/test_oracle_parity.py, the sf0.1 and
-# adversarial full-registry sweeps).
+# This round: 8 changed/new plans —
+#   approx_distinct_error_bound + tokenizer_fertility_report +
+#   er_blocking_quality (the r9 ADVICE NULL/zero-guard fixes),
+#   packing_efficiency_report (rows-only -> full BFD+greedy value-hash
+#   oracle; first hash-checked driver row), multimodal_png_decode_real +
+#   timeseries_gapfill_runs (new), rbo_rank_agreement +
+#   prf_query_expansion (the r9 #5 plan consolidation) —
+# then ALL 32 stale rows (12 r2 + 7 r3 + 13 r4, the complete list from
+# VERDICT r9 "What's missing" #1), then the 10 alphabetically-first r5
+# rows. Everything else keeps its pass(rN) standing plus the full local
+# gates (tests/test_oracle_parity.py over the whole registry every pytest
+# run, and the two full-registry sweeps).
 PRIORITY_ORDER = (
-    # never-driver-checked (closes the ledger) — incl. the 3 r9-new queries
-    "dedup_semdedup_prune",
-    "graph_kcore",
-    "graph_triangle_clustering",
-    "rbo_rank_agreement",
-    "retrieval_eval_metrics",
-    "serving_poll_page_fused",
-    "phash_image_neardup_decoded",
-    "pca_scatter_moments",
-    "pca_effective_rank",
-    # r9 changed plans — external re-verification (pagerank_copurchase's
-    # edge build moved to the shared grouped basket expansion; LPA/kcore
-    # share it and are in-cap above/below anyway; the manifest and LPA
-    # oracles gained MATERIALIZED hints — same result set, re-verified at
-    # two-to-three SFs — so both rows return in-cap)
-    "dedup_substring_runs",
-    "graph_label_propagation",
-    "pagerank_copurchase",
-    "pipeline_training_manifest",
-    # r8 adversarial hardening — the 16 changed below-cap, now re-seen
-    "ewma_value_per_user",
-    "outliers_value_mad",
-    "seasonal_hour_anomalies",
-    "grouped_pandas_user_stats",
-    "variant_props_extract",
-    "sessionize_stateful_streaming",
-    "json_extract_props",
-    "stats_corr_value_props",
-    "stats_argminmax_value",
-    "agg_collect_set_event_types",
-    "table_checksums",
-    "top_event_paths",
-    "window_functions_battery",
-    "sql_table_function_summary",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    # r9-new real media paths — first driver rows (frame extraction + the
-    # WAV/PCM audio codec pair)
-    "multimodal_frame_sample_real",
-    "multimodal_audio_decode_real",
-    "audio_window_energy_real",
-    "audio_fingerprint_neardup",
-    "er_blocking_quality",
-    "rolling_active_users_intervals",
-    "tokenizer_fertility_report",
     "approx_distinct_error_bound",
-    "approx_percentile_rank_bound",
-    # dedup_sorted_neighborhood's blocking stage moved into the shared
-    # _snm_candidate_pairs helper this round (plan unchanged — pure
-    # extraction, re-verified at two SFs); it returns in-cap per the
-    # changed-plan rule anyway.
-    "dedup_sorted_neighborhood",
-    # freshness rotation: 11 of the 23 rows whose newest driver row is r2
-    # (sum_value_by_user, agg_window_count, ann_cosine_topk,
-    # ann_with_document_metadata, cube_flag_status, distinct_part_supp_pairs,
-    # anti_join_customers_without_orders, dedup_embedding_cosine,
-    # dedup_exact_text, dedup_ngram_jaccard, embedding_centroid_by_label,
-    # and grouped_count_by_position yield their slots to the new queries;
-    # they keep r2 standing plus every local gate)
-    "grouping_sets_priority_status",
-    "heatmap_rollup_client_order",
-    "join_orders_lineitem_priority",
-    "pipeline_training_corpus",
-    "rollup_flag_status",
-    "semi_join_customers_with_orders",
-    "tpch_q18_large_orders",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_region_supplier_volume",
-    "window_lag_lead_user_values",
-    "window_topk_orders_per_customer",
+    "tokenizer_fertility_report",
+    "er_blocking_quality",
+    "packing_efficiency_report",
+    "multimodal_png_decode_real",
+    "timeseries_gapfill_runs",
+    "rbo_rank_agreement",
+    "prf_query_expansion",
+    "agg_window_count",
+    "ann_cosine_topk",
+    "ann_with_document_metadata",
+    "anti_join_customers_without_orders",
+    "cube_flag_status",
+    "dedup_embedding_cosine",
+    "dedup_exact_text",
+    "dedup_ngram_jaccard",
+    "distinct_part_supp_pairs",
+    "embedding_centroid_by_label",
+    "grouped_count_by_position",
+    "sum_value_by_user",
+    "global_event_count",
+    "heatmap_max_intensity",
+    "multimodal_metadata",
+    "sample_stratified_documents",
+    "scalar_array_functions",
+    "serving_projection_movs",
+    "text_fingerprint",
+    "asof_join_orders_events",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "last10_per_user",
+    "pandas_udf_text_normalize",
+    "pivot_value_by_type_per_user",
+    "serving_forward_poll",
+    "sessionize_events",
+    "stats_moments_percentiles_by_type",
+    "text_lang_id",
+    "text_quality_score",
+    "tpch_q1_pricing_summary",
+    "unpivot_order_amounts",
+    "agg_window_movs_stats",
+    "ann_cosine_topk_ivf",
+    "ann_cosine_topk_lsh",
+    "dedup_contamination_check",
+    "dedup_embedding_cosine_lsh",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_simhash_wide",
+    "doc_length_histogram",
+    "embedding_quantize_int8",
+    "full_outer_join_supplier_customer_nations",
 )
 
 

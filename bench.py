@@ -269,6 +269,10 @@ HEADLINE = (
     "tokenizer_fertility_report",
     "approx_distinct_error_bound",
     "approx_percentile_rank_bound",
+    # r10: the stdlib-zlib PNG real-codec path and the run-length-encoded
+    # gapfill twin (Theta(non-empty hours) vs the dense grid)
+    "multimodal_png_decode_real",
+    "timeseries_gapfill_runs",
 )
 
 

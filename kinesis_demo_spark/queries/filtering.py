@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..functions.hashing import h60, h60_sql
-from ..io import load_table, spread
+from ..io import load_table, spread, track_persist
 from ..registry import register
 
 
@@ -739,7 +739,11 @@ def epoch_shuffle_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r1 = epoch_rank_range(EPOCH_SALT_A, "r1")
     r2 = epoch_rank_range(EPOCH_SALT_B, "r2")
-    j = r1.join(r2, "doc_id")
+    # cached: j feeds the rho aggregate AND both sides of the adjacency
+    # self-join — uncached it executed its two shard-window rank plans
+    # three times over (the registry's deepest remaining plan, 34 physical
+    # exchanges, after the r10 audit started counting honestly)
+    j = track_persist(r1.join(r2, "doc_id"))
     a = j.select(F.col("r1").alias("ar1"), F.col("r2").alias("ar2"))
     b = j.select(F.col("r1").alias("br1"), F.col("r2").alias("br2"))
     adj = (

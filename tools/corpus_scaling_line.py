@@ -64,6 +64,9 @@ QUERIES = (
     # BIGINT power sums; sealed here so a future real regression on it is
     # caught by the scaling line, not judge re-timing
     "timeseries_user_similarity",
+    # r10: the run-length-encoded gapfill twin — its exponent line IS the
+    # evidence that emitting runs beats emitting the dense grid
+    "timeseries_gapfill_runs",
     "holt_linear_forecast",
     "exact_quantiles_selection",
     "event_transition_matrix",

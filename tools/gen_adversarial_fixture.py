@@ -39,8 +39,14 @@ import sys
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ARGS = [a for a in sys.argv[1:] if a != "--unicode"]
+ARGS = [a for a in sys.argv[1:] if a not in ("--unicode", "--nulls")]
 UNICODE = "--unicode" in sys.argv[1:]
+# --nulls (r10, from the r9 ADVICE class): NULL join/agg KEYS the base
+# fixture never carries — NULL l_partkey/l_suppkey lineitem rows, a
+# NULL-text and a NULL-everything document — so count(DISTINCT)-vs-filter
+# asymmetries and silently-dropping inner joins split the engines here
+# before a production corpus finds them.
+NULLS = "--nulls" in sys.argv[1:]
 OUT = ARGS[0] if ARGS else ("/tmp/sfuni" if UNICODE else "/tmp/sfadv")
 
 SEED = 0x5EED
@@ -159,6 +165,9 @@ def documents_rows():
         rows.append(
             (i, text, langs[i % len(langs)], f"src{i % 3}", len(text))
         )
+    if NULLS:
+        rows.append((len(rows), None, "en", "src0", None))   # NULL text
+        rows.append((len(rows), None, None, None, None))     # NULL everything but the key
     return rows
 
 
@@ -211,6 +220,11 @@ def tpch_rows():
             ln += 1
     # duplicate (orderkey, partkey) pair on the big order
     lineitem.append((0, 0, 9, 31, 2.0, 100.0, 0.0, 0.04, "A", "O", dt.datetime(2024, 1, 5)))
+    if NULLS:
+        # NULL part/supp keys on a real order: distinct counts, grouping,
+        # and part/supplier joins must agree on NULL exclusion
+        lineitem.append((1, None, None, 99, 3.0, 50.0, 0.0, 0.04, "N", "O", dt.datetime(2024, 1, 7)))
+        lineitem.append((2, None, 3, 98, 4.0, 60.0, 0.05, 0.04, "A", "F", dt.datetime(2024, 1, 9)))
     return region, nation, customer, supplier, part, orders, lineitem
 
 

@@ -173,8 +173,11 @@ PARA_DOC_THRESHOLD = 3
     "dedup_boilerplate_paragraphs",
     oracle=f"""
 WITH built AS (
+  -- NULL text contributes ZERO paragraphs (a NULL paragraph is not a
+  -- paragraph; without this, NULL-join semantics split the engines --
+  -- Spark's anti-join keeps a NULL para, an equi-join drops it)
   SELECT doc_id,
-         [text]
+         (CASE WHEN text IS NOT NULL THEN [text] ELSE [] END)
            || (CASE WHEN doc_id % 3 = 0 THEN ['{PARA_FOOTER_A}'] ELSE [] END)
            || (CASE WHEN doc_id % 7 = 0 THEN ['{PARA_FOOTER_B}'] ELSE [] END) AS paras
   FROM documents
@@ -227,7 +230,7 @@ def dedup_boilerplate_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir).select(
             "doc_id",
             F.concat(
-                F.array("text"),
+                F.when(F.col("text").isNotNull(), F.array("text")).otherwise(empty),
                 F.when(F.col("doc_id") % 3 == 0, F.array(F.lit(PARA_FOOTER_A))).otherwise(empty),
                 F.when(F.col("doc_id") % 7 == 0, F.array(F.lit(PARA_FOOTER_B))).otherwise(empty),
             ).alias("paras"),
@@ -924,8 +927,12 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     col = _tokens()
     for _rnd, a, b, _m, _n in merges:
         col = _apply_merge(col, F.lit(a), F.lit(b))
+    # NULL-text docs produce NO tokens, hence no encode row — the oracle's
+    # unrolled trainer has no s0 rows for them, so the filter pins the doc
+    # sets equal (the tokenizer_fertility_report rule; --nulls sweep r10)
     return (
         _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
         .select("doc_id", F.array_join(col, " ").alias("toks_str"))
         .select(
             "doc_id",
@@ -1184,10 +1191,13 @@ dup_docs AS (
   )
 ),
 len_median AS (
+  -- NULL-text docs have NULL n_tokens; the median is over docs WITH text
+  -- (explicit on both engines — Spark windows sort NULLS FIRST, DuckDB
+  -- row_number here puts them LAST, so leaving them in splits the rank)
   SELECT n_tokens AS v FROM (
     SELECT n_tokens, row_number() OVER (ORDER BY n_tokens) AS rn,
            count(*) OVER () AS n
-    FROM t) WHERE rn = (n + 1) // 2
+    FROM t WHERE n_tokens IS NOT NULL) WHERE rn = (n + 1) // 2
 )
 SELECT
   (SELECT count(*) FROM t) AS n_docs,
@@ -1245,8 +1255,13 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("exact_dup_groups"),
         )
     )
-    # exact median doc length from the distinct-length histogram
-    hist = t.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("cnt"))
+    # exact median doc length from the distinct-length histogram, over
+    # docs WITH text only (NULL n_tokens excluded on both engines)
+    hist = (
+        t.filter(F.col("n_tokens").isNotNull())
+        .groupBy("n_tokens")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     w = Window.orderBy("n_tokens")
     med = (
         hist.select(

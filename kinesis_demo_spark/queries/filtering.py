@@ -129,20 +129,23 @@ def filter_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_words").cast("double")
         ).alias("alpha_frac"),
     )
-    r_words = (
-        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS).cast("long").alias("r_words")
+    # when/otherwise(0), not bool.cast(long): a NULL metric (NULL-text doc)
+    # must yield flag 0 like the oracle's CASE, not a NULL that upcasts the
+    # whole pandas column to float64 and breaks the dtype-sensitive hash
+    def _flag(cond, name):
+        return F.when(cond, F.lit(1)).otherwise(F.lit(0)).cast("long").alias(name)
+
+    r_words = _flag(
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS), "r_words"
     )
-    r_mean_len = (
-        (
-            (F.col("mean_word_len") >= GOPHER_MIN_MEAN_LEN)
-            & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_LEN)
-        )
-        .cast("long")
-        .alias("r_mean_len")
+    r_mean_len = _flag(
+        (F.col("mean_word_len") >= GOPHER_MIN_MEAN_LEN)
+        & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_LEN),
+        "r_mean_len",
     )
-    r_stop = (F.col("stop_hits") >= GOPHER_MIN_STOP_HITS).cast("long").alias("r_stop")
-    r_alpha = (F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC).cast("long").alias("r_alpha")
-    r_rep = (F.col("top_tok_frac") <= GOPHER_MAX_TOP_TOK_FRAC).cast("long").alias("r_rep")
+    r_stop = _flag(F.col("stop_hits") >= GOPHER_MIN_STOP_HITS, "r_stop")
+    r_alpha = _flag(F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC, "r_alpha")
+    r_rep = _flag(F.col("top_tok_frac") <= GOPHER_MAX_TOP_TOK_FRAC, "r_rep")
     f = m.select("*", r_words, r_mean_len, r_stop, r_alpha, r_rep)
     return f.select(
         "*",

@@ -22,9 +22,16 @@ FORMATS = ("png", "jpeg", "wav")
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> media(doc_id, payload binary, format, width, height)."""
+    """documents -> media(doc_id, payload binary, format, width, height).
+
+    NULL-text docs produce NO media row (the payload is constructed from
+    text; a media row without a blob is dropped at ingest, the way a real
+    pipeline drops missing objects) — this is the downstream kernels'
+    non-null payload contract, and the oracle CTE filters identically."""
     # spread: downstream mapInPandas otherwise runs on one Python worker
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
     return docs.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("payload"),
@@ -44,6 +51,7 @@ media AS (
          (doc_id % 48) * 16 + 16 AS height,
          text
   FROM documents
+  WHERE text IS NOT NULL
 )
 """
 
@@ -71,22 +79,29 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_features",
+    # Byte-faithful oracle (r10): the kernel reads PAYLOAD BYTES, and on
+    # multi-byte UTF-8 text a char-codepoint model diverges (ascii('中') =
+    # 20013 but the first payload byte is 228) — caught the first time the
+    # unicode fixture swept this family. to_hex + per-pair parse recovers
+    # the exact byte stream in SQL.
     oracle=f"""
-WITH {_MEDIA_CTE}
-SELECT doc_id,
-       CAST(octet_length(payload) AS BIGINT) AS n_bytes,
-       CASE WHEN length(text) > 0
-            THEN CAST(ascii(substr(text, 1, 1)) AS BIGINT) END AS first_byte,
-       CASE WHEN length(text) > 0
-            THEN CAST(ascii(substr(text, length(text), 1)) AS BIGINT) END AS last_byte,
-       list_reduce(list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT)),
-                   (x, y) -> x + y) AS byte_sum,
-       list_reduce(list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT)),
-                   (x, y) -> x + y) % 997 AS checksum,
+WITH {{_MEDIA_CTE}},
+hx AS (
+  SELECT doc_id, CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+         list_transform(range(0, octet_length(payload)),
+           i -> CAST('0x' || substr(to_hex(payload), CAST(2*i+1 AS INT), 2) AS BIGINT)) AS bs,
+         width, height
+  FROM media
+)
+SELECT doc_id, n_bytes,
+       CASE WHEN n_bytes > 0 THEN bs[1] END AS first_byte,
+       CASE WHEN n_bytes > 0 THEN bs[CAST(n_bytes AS INT)] END AS last_byte,
+       CAST(coalesce(list_sum(bs), 0) AS BIGINT) AS byte_sum,
+       CAST(coalesce(list_sum(bs), 0) % 997 AS BIGINT) AS checksum,
        width // 2 AS resized_w,
        height // 2 AS resized_h
-FROM media
-""",
+FROM hx
+""".format(_MEDIA_CTE=_MEDIA_CTE),
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract + resize through Arrow-batched mapInPandas
@@ -99,10 +114,12 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample",
+    # byte-faithful sampling via to_hex (see multimodal_decode_features)
     oracle=f"""
-WITH {_MEDIA_CTE},
+WITH {{_MEDIA_CTE}},
 m AS (
-  SELECT doc_id, text, CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+  SELECT doc_id, to_hex(payload) AS h,
+         CAST(octet_length(payload) AS BIGINT) AS n_bytes,
          (CAST(octet_length(payload) AS BIGINT) % 4) + 1 AS n_frames
   FROM media
 )
@@ -110,11 +127,12 @@ SELECT m.doc_id,
        CAST(f.frame_idx AS BIGINT) AS frame_idx,
        CAST(f.frame_idx * (m.n_bytes // m.n_frames) AS BIGINT) AS frame_offset,
        CASE WHEN f.frame_idx * (m.n_bytes // m.n_frames) < m.n_bytes
-            THEN CAST(ascii(substr(m.text, CAST(f.frame_idx * (m.n_bytes // m.n_frames) AS INT) + 1, 1)) AS BIGINT)
+            THEN CAST('0x' || substr(m.h,
+                 CAST(2 * (f.frame_idx * (m.n_bytes // m.n_frames)) + 1 AS INT), 2) AS BIGINT)
        END AS sample_byte
 FROM m, (SELECT unnest(range(4)) AS frame_idx) f
 WHERE f.frame_idx < m.n_frames
-""",
+""".format(_MEDIA_CTE=_MEDIA_CTE),
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: each payload expands to (n_bytes % 4) + 1 frames at
@@ -140,7 +158,7 @@ px AS (
   SELECT doc_id,
          list_transform(range(0, {PHASH_PIXELS}),
            i -> CAST(ascii(substr(text, CAST((i * length(text)) // 64 AS INT) + 1, 1)) AS BIGINT)) AS pixels
-  FROM media
+  FROM media WHERE text IS NOT NULL
 ),
 hashed AS (
   SELECT doc_id, pixels,
@@ -188,7 +206,13 @@ def phash_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.lit(PHASH_PIXELS - 1)),
         lambda i: F.ascii(F.col("text").substr(((i * n) / 64).cast("int") + 1, F.lit(1))).cast("long"),
     )
-    docs_text = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    # NULL-text docs have no image to hash (phash 0 would otherwise
+    # cross-match every sparse hash); media rows are text-derived here
+    docs_text = (
+        spread(load_table(spark, sf_dir, "documents"))
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
     px = docs_text.select("doc_id", pixels.alias("pixels"))
     hashed = px.select(
         "doc_id", "pixels", F.aggregate("pixels", F.lit(0).cast("long"), lambda a, b: a + b).alias("psum")

@@ -167,6 +167,11 @@ def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).alias("n_distinct"),
         F.array_contains(toks, "data").alias("has_data"),
         F.array_position(toks, "data").cast("int").alias("data_pos"),
-        F.concat_ws("_", F.slice(toks, 1, 3)).alias("first3_joined"),
+        # concat_ws is the one array function here that NEVER returns NULL
+        # (NULL array -> ''), while array_to_string(NULL) IS NULL — gate it
+        # so a NULL-text doc yields NULL on both engines
+        F.when(toks.isNotNull(), F.concat_ws("_", F.slice(toks, 1, 3))).alias(
+            "first3_joined"
+        ),
         F.element_at(F.array_sort(toks), F.size(toks)).alias("last_sorted"),
     )

@@ -226,7 +226,10 @@ def unigram_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": [], "n_words": [], "n_pieces": [], "pieces_str": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = [w for w in text.split(" ") if w]
+                # NULL text encodes to zero words/pieces (matches the BPE
+                # family's no-tokens semantics; without the guard a hostile
+                # NULL-text doc kills the Python worker)
+                words = [w for w in text.split(" ") if w] if text is not None else []
                 segs = []
                 for w in words:
                     seg = cache.get(w)

@@ -108,7 +108,7 @@ WITH RECURSIVE d AS (
   SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
          row_number() OVER (PARTITION BY doc_id % {PACK_SHARDS} ORDER BY doc_id) AS rn
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 packed(shard, rn, doc_id, n_tokens, bin, bin_toks) AS (
   SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
@@ -133,7 +133,11 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel, bins never span shards. The greedy recurrence is replicated
     exactly by the oracle's recursive CTE, so even this stateful operator is
     value-hash checked."""
-    docs = spread(load_table(spark, sf_dir, "documents")).select(
+    # text IS NOT NULL: a NULL-text doc has no tokens to pack; leaving it
+    # in poisons the packer state (NULL n_tokens) on both engines
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    ).select(
         "doc_id",
         (F.col("doc_id") % PACK_SHARDS).alias("shard"),
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
@@ -444,7 +448,7 @@ WITH RECURSIVE d AS (
                             ORDER BY doc_id) AS rn,
          row_number() OVER (PARTITION BY doc_id % {PACK_SHARDS}
                             ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS rnd
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 packed(shard, rn, doc_id, n_tokens, bin, bin_toks) AS (
   SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
@@ -513,7 +517,11 @@ def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped operator uses; the report is a per-shard aggregate of the two
     assignments — algorithm choice changes Python-side work only, never
     the distribution shape."""
-    docs = spread(load_table(spark, sf_dir, "documents")).select(
+    # text IS NOT NULL: a NULL-text doc has no tokens to pack; leaving it
+    # in poisons the packer state (NULL n_tokens) on both engines
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    ).select(
         "doc_id",
         (F.col("doc_id") % PACK_SHARDS).alias("shard"),
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),

@@ -72,11 +72,19 @@ DRIVER_CORRECTNESS_CAP = 50
 #   oracle; first hash-checked driver row), multimodal_png_decode_real +
 #   timeseries_gapfill_runs (new), rbo_rank_agreement +
 #   prf_query_expansion (the r9 #5 plan consolidation) —
-# then ALL 32 stale rows (12 r2 + 7 r3 + 13 r4, the complete list from
-# VERDICT r9 "What's missing" #1), then the 10 alphabetically-first r5
-# rows. Everything else keeps its pass(rN) standing plus the full local
-# gates (tests/test_oracle_parity.py over the whole registry every pytest
-# run, and the two full-registry sweeps).
+# plus the 8 queries whose plans/oracles changed in the r10 NULL/unicode
+# hardening (bpe_encode_corpus, corpus_datacard,
+# dedup_boilerplate_paragraphs, filter_gopher_rules,
+# multimodal_decode_features, multimodal_frame_sample,
+# phash_image_neardup, sequence_packing — byte-faithful to_hex oracles,
+# NULL-text exclusion contracts, when/otherwise flag types; see the
+# --nulls/--unicode sweep fixes) — then ALL 32 stale rows (12 r2 + 7 r3 +
+# 13 r4, the complete list from VERDICT r9 "What's missing" #1), then 2
+# r5 rows. The changed-plans-first rule pushed 8 of the 10 planned r5
+# rotations to r11. Everything else keeps its pass(rN) standing plus the
+# full local gates (tests/test_oracle_parity.py over the whole registry
+# every pytest run, and the four full-registry sweeps: sf0.1, adversarial,
+# --nulls, --unicode).
 PRIORITY_ORDER = (
     "approx_distinct_error_bound",
     "tokenizer_fertility_report",
@@ -86,6 +94,14 @@ PRIORITY_ORDER = (
     "timeseries_gapfill_runs",
     "rbo_rank_agreement",
     "prf_query_expansion",
+    "bpe_encode_corpus",
+    "corpus_datacard",
+    "dedup_boilerplate_paragraphs",
+    "filter_gopher_rules",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "phash_image_neardup",
+    "sequence_packing",
     "agg_window_count",
     "ann_cosine_topk",
     "ann_with_document_metadata",
@@ -120,14 +136,6 @@ PRIORITY_ORDER = (
     "unpivot_order_amounts",
     "agg_window_movs_stats",
     "ann_cosine_topk_ivf",
-    "ann_cosine_topk_lsh",
-    "dedup_contamination_check",
-    "dedup_embedding_cosine_lsh",
-    "dedup_ngram_jaccard_prefix",
-    "dedup_simhash_wide",
-    "doc_length_histogram",
-    "embedding_quantize_int8",
-    "full_outer_join_supplier_customer_nations",
 )
 
 

@@ -691,25 +691,32 @@ def timeseries_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding, the LSH analogue — no top-K gate, no all-pairs join)."""
     ev = _events(spark, sf_dir)
     hour = F.date_trunc("hour", F.col("ts"))
-    bounds = ev.groupBy("user_id").agg(
+    # PRUNE FIRST (r10, closes the sealed scaling line's worst exponent —
+    # 0.86 over sf0.1->1): a user's series total equals their raw event
+    # count (the grid's zero hours add nothing), so the top-K gate needs
+    # one map-side-combined count over events, and the dense grid is then
+    # built for the K SURVIVORS only — Theta(K x span) instead of
+    # Theta(users x span). Results identical by construction (same totals,
+    # same tie-break, same per-user grid).
+    active = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("total"))
+        .orderBy(F.col("total").desc(), "user_id")
+        .limit(TS_SIM_TOP_USERS)
+        .select("user_id")
+    )
+    evk = ev.join(F.broadcast(active), "user_id")
+    bounds = evk.groupBy("user_id").agg(
         F.date_trunc("hour", F.min("ts")).alias("h0"),
         F.date_trunc("hour", F.max("ts")).alias("h1"),
     )
     grid = bounds.select(
         "user_id", F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour")
     )
-    agg = ev.groupBy("user_id", hour.alias("hour")).agg(F.count(F.lit(1)).alias("n_events"))
-    series = grid.join(agg, ["user_id", "hour"], "left").select(
+    agg = evk.groupBy("user_id", hour.alias("hour")).agg(F.count(F.lit(1)).alias("n_events"))
+    s = grid.join(agg, ["user_id", "hour"], "left").select(
         "user_id", "hour", F.coalesce("n_events", F.lit(0)).alias("n")
     )
-    active = (
-        series.groupBy("user_id")
-        .agg(F.sum("n").alias("total"))
-        .orderBy(F.col("total").desc(), "user_id")
-        .limit(TS_SIM_TOP_USERS)
-        .select("user_id")
-    )
-    s = series.join(F.broadcast(active), "user_id")
     x = s.select(F.col("user_id").alias("user_a"), "hour", F.col("n").alias("nx"))
     y = s.select(F.col("user_id").alias("user_b"), "hour", F.col("n").alias("ny"))
     pairs = (

@@ -369,8 +369,10 @@ def real_frame_sample(stride: int):
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def encode_png(img, row_filters=None) -> bytes:
-    """Pure-stdlib 8-bit RGB PNG encoder (color type 2, non-interlaced).
+def encode_png(img, row_filters=None, color_type=2, palette=None) -> bytes:
+    """Pure-stdlib 8-bit PNG encoder, non-interlaced: color type 2 (RGB,
+    img is (h, w, 3)), 0 (grayscale, img is (h, w)), or 3 (palette, img is
+    (h, w) of indices with ``palette`` an (n, 3) uint8 array).
     ``row_filters`` optionally fixes the filter type per row (default:
     cycle 0..4 so a round-trip exercises EVERY defilter path — None, Sub,
     Up, Average, Paeth); the filter transforms are the exact inverses of
@@ -380,8 +382,16 @@ def encode_png(img, row_filters=None) -> bytes:
     import numpy as np
 
     img = np.asarray(img, dtype=np.uint8)
-    h, w, _ = img.shape
-    bpp = 3
+    if color_type == 2:
+        h, w, _ = img.shape
+        bpp = 3
+    elif color_type in (0, 3):
+        h, w = img.shape
+        bpp = 1
+        if color_type == 3 and palette is None:
+            raise ValueError("palette encoding needs a palette")
+    else:
+        raise NotImplementedError(f"encode_png color type {color_type}")
     rows = img.reshape(h, w * bpp).astype(np.int64)
     zero = np.zeros(w * bpp, dtype=np.int64)
     raw = bytearray()
@@ -416,10 +426,16 @@ def encode_png(img, row_filters=None) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    plte = (
+        chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+        if color_type == 3
+        else b""
+    )
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
+        + plte
         + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + chunk(b"IEND", b"")
     )
@@ -451,6 +467,7 @@ def decode_png(payload: bytes):
         )
     pos, w = 8, None
     idat = bytearray()
+    palette = None
     seen_iend = False
     while pos < len(buf):
         if pos + 8 > len(buf):
@@ -466,10 +483,13 @@ def decode_png(payload: bytes):
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
             w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
-            if (depth, ctype) != (8, 2):
+            if depth != 8 or ctype not in (0, 2, 3):
+                # 0 = grayscale, 2 = RGB, 3 = palette — the three baseline
+                # color types with byte-aligned samples; alpha/16-bit stay
+                # behind the seam
                 raise NotImplementedError(
-                    f"decode_png supports 8-bit RGB (color type 2), got "
-                    f"depth={depth} color_type={ctype}"
+                    f"decode_png supports 8-bit gray/RGB/palette (color "
+                    f"types 0/2/3), got depth={depth} color_type={ctype}"
                 )
             if comp or filt or interlace:
                 raise NotImplementedError(
@@ -477,6 +497,10 @@ def decode_png(payload: bytes):
                 )
             if w <= 0 or h <= 0:
                 raise ValueError(f"bad PNG dimensions {w}x{h}")
+        elif tag == b"PLTE":
+            if len(body) % 3 or not body:
+                raise ValueError(f"bad PLTE length {len(body)}")
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
@@ -488,7 +512,9 @@ def decode_png(payload: bytes):
     if not seen_iend:
         raise ValueError("PNG missing IEND")
     raw = zlib.decompress(bytes(idat))
-    bpp = 3
+    if ctype == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    bpp = 3 if ctype == 2 else 1  # gray and palette carry 1 byte per pixel
     stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError(
@@ -527,4 +553,14 @@ def decode_png(payload: bytes):
             raise ValueError(f"bad PNG row filter {f}")
         out[r] = rec
         prior = rec
-    return out.astype(np.uint8).reshape(h, w, bpp)
+    img = out.astype(np.uint8).reshape(h, w, bpp)
+    if ctype == 2:
+        return img
+    if ctype == 0:  # grayscale: replicate the single channel to RGB
+        return np.repeat(img, 3, axis=2)
+    idx = img.reshape(h, w)
+    if int(idx.max(initial=0)) >= len(palette):
+        raise ValueError(
+            f"palette index {int(idx.max())} out of range (PLTE has {len(palette)})"
+        )
+    return palette[idx]

@@ -841,22 +841,53 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- REAL PNG decode path (stdlib zlib + defilter, VERDICT r9 #4) --------------------
 
 
+# Deterministic 16-entry palette for the color-type-3 leg: entry j,
+# channel c -> (7 + 31*j + 17*c) % 256 (the oracle restates the same
+# closed form).
+_PNG_PAL_N = 16
+
+
 def _png_media_batches(batches):
-    """Fixture side of the PNG codec path: synthesize a GENUINE 8-bit RGB
-    PNG per doc — deterministic pixel ramp v(i) = (seed + 11*i) % 256 over
-    the row-major RGB stream, row filters cycling 0..4 so every payload
-    exercises all five defilter paths (None/Sub/Up/Average/Paeth)."""
+    """Fixture side of the PNG codec path: synthesize a GENUINE 8-bit PNG
+    per doc, COLOR TYPE CYCLING by doc_id % 3 — 0: grayscale, 1: RGB,
+    2: palette (16-entry PLTE) — from the deterministic pixel ramp
+    v(i) = (seed + 11*i) % 256 (indices ramp % 16 for the palette leg),
+    row filters cycling 0..4 so every payload exercises all five defilter
+    paths across all three color-type decode paths."""
     import numpy as np
     import pandas as pd
 
     from ..operators.multimodal import encode_png
 
+    pal = (
+        7
+        + 31 * np.arange(_PNG_PAL_N, dtype=np.int64)[:, None]
+        + 17 * np.arange(3, dtype=np.int64)[None, :]
+    ) % 256
     for pdf in batches:
         payloads = []
         for doc_id, w, h, seed in zip(pdf["doc_id"], pdf["w"], pdf["h"], pdf["seed"]):
-            n = int(w) * int(h) * 3
-            vals = (int(seed) + 11 * np.arange(n, dtype=np.int64)) % 256
-            payloads.append(encode_png(vals.astype(np.uint8).reshape(int(h), int(w), 3)))
+            w, h, seed = int(w), int(h), int(seed)
+            kind = int(doc_id) % 3
+            if kind == 1:  # RGB
+                vals = (seed + 11 * np.arange(w * h * 3, dtype=np.int64)) % 256
+                payloads.append(
+                    encode_png(vals.astype(np.uint8).reshape(h, w, 3))
+                )
+            elif kind == 0:  # grayscale
+                vals = (seed + 11 * np.arange(w * h, dtype=np.int64)) % 256
+                payloads.append(
+                    encode_png(vals.astype(np.uint8).reshape(h, w), color_type=0)
+                )
+            else:  # palette
+                idx = ((seed + 11 * np.arange(w * h, dtype=np.int64)) % _PNG_PAL_N)
+                payloads.append(
+                    encode_png(
+                        idx.astype(np.uint8).reshape(h, w),
+                        color_type=3,
+                        palette=pal.astype(np.uint8),
+                    )
+                )
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
@@ -887,36 +918,61 @@ def _png_decode_features(batches):
     "multimodal_png_decode_real",
     oracle="""
 WITH dims AS (
-  SELECT doc_id,
+  SELECT doc_id, doc_id % 3 AS kind,
          ((doc_id % 6) + 1) * 5 AS w,
          ((doc_id % 4) + 1) * 3 AS h,
          (doc_id * 97) % 256 AS seed
   FROM documents
 ),
-px AS (
-  SELECT doc_id, w, h, seed, unnest(range(w * h * 3)) AS i FROM dims
+rgb AS (
+  SELECT doc_id, w, h,
+         CAST(sum(CASE WHEN i % 3 = 0 THEN (seed + 11 * i) % 256 END) AS BIGINT) AS r_sum,
+         CAST(sum(CASE WHEN i % 3 = 1 THEN (seed + 11 * i) % 256 END) AS BIGINT) AS g_sum,
+         CAST(sum(CASE WHEN i % 3 = 2 THEN (seed + 11 * i) % 256 END) AS BIGINT) AS b_sum
+  FROM dims, unnest(range(w * h * 3)) AS t(i)
+  WHERE kind = 1 GROUP BY doc_id, w, h
+),
+gray AS (
+  SELECT doc_id, w, h,
+         CAST(sum((seed + 11 * i) % 256) AS BIGINT) AS r_sum,
+         CAST(sum((seed + 11 * i) % 256) AS BIGINT) AS g_sum,
+         CAST(sum((seed + 11 * i) % 256) AS BIGINT) AS b_sum
+  FROM dims, unnest(range(w * h)) AS t(i)
+  WHERE kind = 0 GROUP BY doc_id, w, h
+),
+pal AS (
+  SELECT doc_id, w, h,
+         CAST(sum((7 + 31 * ((seed + 11 * i) % 16) + 17 * 0) % 256) AS BIGINT) AS r_sum,
+         CAST(sum((7 + 31 * ((seed + 11 * i) % 16) + 17 * 1) % 256) AS BIGINT) AS g_sum,
+         CAST(sum((7 + 31 * ((seed + 11 * i) % 16) + 17 * 2) % 256) AS BIGINT) AS b_sum
+  FROM dims, unnest(range(w * h)) AS t(i)
+  WHERE kind = 2 GROUP BY doc_id, w, h
+),
+allk AS (
+  SELECT * FROM rgb UNION ALL SELECT * FROM gray UNION ALL SELECT * FROM pal
 )
 SELECT doc_id,
        CAST(w AS BIGINT) AS width,
        CAST(h AS BIGINT) AS height,
        CAST(w * h AS BIGINT) AS n_pixels,
-       CAST(sum(CASE WHEN i % 3 = 0 THEN (seed + 11 * i) % 256 END) AS BIGINT) AS r_sum,
-       CAST(sum(CASE WHEN i % 3 = 1 THEN (seed + 11 * i) % 256 END) AS BIGINT) AS g_sum,
-       CAST(sum(CASE WHEN i % 3 = 2 THEN (seed + 11 * i) % 256 END) AS BIGINT) AS b_sum
-FROM px GROUP BY doc_id, w, h
+       r_sum, g_sum, b_sum
+FROM allk
 """,
 )
 def multimodal_png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode end-to-end — the compressed-codec upgrade of the BMP
     real path (VERDICT r9 #4): one mapInPandas stage ENCODES a genuine
-    8-bit RGB PNG per doc (zlib IDAT, CRC-checked chunks, row filters
-    cycling through all five types), a second stage DECODES it with the
-    stdlib-only codec (operators/multimodal.py:decode_png — chunk walk +
-    CRC verify + inflate + integer-exact Sub/Up/Average/Paeth defilter)
-    and emits exact integer channel statistics. The oracle recomputes the
-    stats from the ramp's closed form, so signature parse, chunk CRCs,
-    inflate, and EVERY defilter path are value-hash verified — a single
-    wrong predictor byte shifts a channel sum and fails the gate.
+    8-bit PNG per doc (zlib IDAT, CRC-checked chunks, row filters cycling
+    through all five types, COLOR TYPE cycling gray/RGB/palette by
+    doc_id % 3), a second stage DECODES it with the stdlib-only codec
+    (operators/multimodal.py:decode_png — chunk walk + CRC verify +
+    inflate + integer-exact Sub/Up/Average/Paeth defilter + PLTE lookup /
+    gray expansion) and emits exact integer channel statistics. The
+    oracle recomputes the stats from each color type's closed form, so
+    signature parse, chunk CRCs, inflate, EVERY defilter path, AND all
+    three baseline color-type reconstructions are value-hash verified — a
+    single wrong predictor byte or palette entry shifts a channel sum and
+    fails the gate.
 
     Scale: identical shape to multimodal_decode_real — payload bytes cross
     the JVM<->Python boundary once per Arrow batch, decode is per-payload,

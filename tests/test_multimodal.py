@@ -426,10 +426,10 @@ def test_png_decoder_rejects_hostile_chunks():
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    pal_ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 3, 0, 0, 0)  # palette
-    pal = good[:8] + chunk(b"IHDR", pal_ihdr) + chunk(b"IEND", b"")
+    rgba_ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 6, 0, 0, 0)  # RGBA: unsupported
+    rgba = good[:8] + chunk(b"IHDR", rgba_ihdr) + chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError, match="color type"):
-        decode_png(pal)
+        decode_png(rgba)
     # bad row-filter byte inside a valid zlib stream
     stride = 4 * 3
     raw = bytes([7]) + bytes(stride)  # filter 7 does not exist
@@ -461,14 +461,66 @@ def test_png_query_matches_closed_form(spark):
         r["doc_id"]: r
         for r in multimodal_png_decode_real(spark, "/root/testdata/sf0.001").collect()
     }
-    for doc_id in list(rows)[:5]:
+    for doc_id in list(rows)[:6]:
         w = ((doc_id % 6) + 1) * 5
         h = ((doc_id % 4) + 1) * 3
         seed = (doc_id * 97) % 256
-        vals = (seed + 11 * np.arange(w * h * 3, dtype=np.int64)) % 256
-        px = vals.reshape(-1, 3)
+        kind = doc_id % 3
+        if kind == 1:  # RGB
+            vals = (seed + 11 * np.arange(w * h * 3, dtype=np.int64)) % 256
+            sums = tuple(int(s) for s in vals.reshape(-1, 3).sum(axis=0))
+        elif kind == 0:  # grayscale -> replicated channels
+            vals = (seed + 11 * np.arange(w * h, dtype=np.int64)) % 256
+            sums = (int(vals.sum()),) * 3
+        else:  # palette lookup
+            idx = (seed + 11 * np.arange(w * h, dtype=np.int64)) % 16
+            sums = tuple(int(((7 + 31 * idx + 17 * c) % 256).sum()) for c in range(3))
         r = rows[doc_id]
         assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
-        assert (r["r_sum"], r["g_sum"], r["b_sum"]) == tuple(
-            int(s) for s in px.sum(axis=0)
-        )
+        assert (r["r_sum"], r["g_sum"], r["b_sum"]) == sums, doc_id
+
+
+def test_png_gray_and_palette_roundtrip():
+    import numpy as np
+    import pytest
+
+    from kinesis_demo_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 256, (7, 11), dtype=np.uint8)
+    want = np.repeat(g[:, :, None], 3, axis=2)
+    for f in range(5):
+        assert (decode_png(encode_png(g, [f] * 7, color_type=0)) == want).all(), f
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (6, 10), dtype=np.uint8)
+    assert (decode_png(encode_png(idx, color_type=3, palette=pal)) == pal[idx]).all()
+    # palette index out of range -> loud error, not a silent wrap
+    small_pal = pal[:4]
+    bad = encode_png(idx, color_type=3, palette=small_pal)
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(bad)
+    # missing PLTE -> loud error
+    import struct
+    import zlib
+
+    full = encode_png(idx, color_type=3, palette=pal)
+    pos, out = 8, full[:8]
+    while pos < len(full):
+        (ln,) = struct.unpack(">I", full[pos : pos + 4])
+        tag = full[pos + 4 : pos + 8]
+        if tag != b"PLTE":
+            out += full[pos : pos + 12 + ln]
+        pos += 12 + ln
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(out)
+    # 16-bit depth stays behind the seam
+    rgb = encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+    (ihdr_len,) = struct.unpack(">I", rgb[8:12])
+    body = bytearray(rgb[16 : 16 + ihdr_len])
+    body[8] = 16  # depth
+    def chunk(tag, b):
+        return struct.pack(">I", len(b)) + tag + b + struct.pack(
+            ">I", zlib.crc32(tag + b) & 0xFFFFFFFF)
+    rebuilt = rgb[:8] + chunk(b"IHDR", bytes(body)) + rgb[16 + ihdr_len + 4 :]
+    with pytest.raises(NotImplementedError):
+        decode_png(rebuilt)

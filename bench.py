@@ -324,8 +324,13 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
         # median alongside min (VERDICT r9 #2): a host burst that distorts
         # a single run is visible IN the artifact as median >> min, so a
-        # reviewer can disposition a scary row without re-timing it
-        medians[name] = round(_median(runs), 3)
+        # reviewer can disposition a scary row without re-timing it.
+        # ADVICE r10: the median is over WARM runs only (runs[1:]) — with
+        # the cold run included, median >> min was structurally true
+        # (cold >> warm) rather than a burst signal. With 2 runs this is
+        # the single warm run; when the burst-triggered third run fires it
+        # is the midpoint of the two warm runs.
+        medians[name] = round(_median(runs[1:]), 3)
 
     # Serving SLO: record the 2 s-budget claim as measured percentiles, not a
     # test boolean (the reference polls every 2 s, functions.js:11,134).

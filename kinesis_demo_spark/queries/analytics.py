@@ -2949,13 +2949,30 @@ def graph_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    # the edge set feeds degree counting AND both orientation joins; as pure
-    # lineage the basket self-join would run three times
+    # basket expansion (the _copurchase_weighted_edges shape, VERDICT r10
+    # #7): group lines by order and emit ordered pairs IN-ROW — one
+    # lineitem exchange instead of the former li-self-join's two plus a
+    # shuffle join; per-order blow-up is bounded by basket size squared,
+    # in-row work. The edge set feeds degree counting AND both orientation
+    # joins; as pure lineage the basket expansion would run three times.
+    g = li.groupBy("k").agg(F.collect_list("p").alias("ps"))
     e = track_persist(
-        li.alias("a")
-        .join(li.alias("b"), "k")
-        .filter(F.col("a.p") < F.col("b.p"))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        g.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda x: F.filter(
+                            F.transform(
+                                "ps", lambda y: F.struct(x.alias("u"), y.alias("v"))
+                            ),
+                            lambda s: s["u"] < s["v"],
+                        ),
+                    )
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
     )
     deg = (
@@ -3439,10 +3456,35 @@ def ts_autocorr_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 LPA_ROUNDS = 3
 # Round budget for the fixpoint=True variants of graph_label_propagation /
 # graph_kcore (the dedup_clusters MAX_CC_ITERATIONS discipline): measured
-# convergence on the fixtures is 5-7 rounds (LPA) and 3-4 (k-core peel,
-# O(degeneracy)); 30 leaves an order of magnitude of headroom while still
-# failing loudly on an oscillating or pathological graph.
+# convergence on the fixtures is 5-7 rounds (LPA) and 3-22 (k-core peel,
+# O(degeneracy) — the r11 k = ceil(0.7 x mean) sits near the fixtures'
+# degeneracy, where the peel cascade is longest: 22 rounds at sf0.1); 30
+# still fails loudly on an oscillating or pathological graph.
 GRAPH_MAX_FIXPOINT_ROUNDS = 30
+
+
+def _round_break(df, lineage: str):
+    """Per-round lineage break for the fixed-round iterative-graph loops —
+    the two measured forms (VERDICT r10 #3, the iterative-family drift
+    probe):
+
+    - "checkpoint": eager localCheckpoint — truncates the LOGICAL plan to a
+      checkpoint leaf. Mandatory for the fixpoint variants (k-core's alive
+      set is referenced twice per round, so pure lineage doubles per round
+      — a 22-round fixpoint would hand the analyzer a ~4M-leaf plan), but
+      materializes every round's full set eagerly through the RDD path,
+      which is where the cross-session host/IO sensitivity concentrated.
+    - "cache": persist — lineage still nests (bounded: 2^ROUNDS leaves at
+      k-core's 4 rounds = 16 cached-relation hits, linear for LPA), but
+      execution computes each round once, AQE stays on for the whole plan,
+      and nothing is eagerly materialized per round.
+
+    tools/graph_watch.py times both forms head-to-head in one session;
+    the registered default below is the measured winner (see
+    GRAPH_WATCH.json)."""
+    from ..io import track_checkpoint, track_persist
+
+    return track_checkpoint(df) if lineage == "checkpoint" else track_persist(df)
 
 # MATERIALIZED is load-bearing (the corpus.py BPE precedent): the edges CTE
 # is referenced by every unrolled round, and DuckDB would otherwise inline
@@ -3486,7 +3528,8 @@ FROM l{LPA_ROUNDS} f JOIN sizes s ON s.lab = f.lab
 """,
 )
 def graph_label_propagation(
-    spark: SparkSession, sf_dir: str, fixpoint: bool = False
+    spark: SparkSession, sf_dir: str, fixpoint: bool = False,
+    lineage: str = "checkpoint",
 ) -> DataFrame:
     """Community detection by synchronous weighted label propagation
     (Raghavan et al. 2007) over the part co-purchase graph ({LPA_ROUNDS}
@@ -3540,13 +3583,14 @@ def graph_label_propagation(
             .groupBy("dst", "lab")
             .agg(F.sum("w").alias("wv"))
         )
-        # eager localCheckpoint: truncates lineage so the returned plan is
-        # one round deep over a checkpoint leaf, not LPA_ROUNDS joins of
-        # branching history (the dedup_clusters / pagerank discipline).
-        new_labels = track_checkpoint(
+        # per-round lineage break (labels feed the next round once, so the
+        # cache form's plan growth is LINEAR here); fixpoint keeps the
+        # eager checkpoint so the convergence count() per round stays cheap.
+        new_labels = _round_break(
             votes.groupBy("dst")
             .agg(F.min(F.struct((-F.col("wv")).alias("nw"), F.col("lab").alias("l"))).alias("m"))
-            .select(F.col("dst").alias("part"), F.col("m.l").alias("lab"))
+            .select(F.col("dst").alias("part"), F.col("m.l").alias("lab")),
+            "checkpoint" if fixpoint else lineage,
         )
         if fixpoint:
             changed = (
@@ -3683,7 +3727,7 @@ a{r} AS (SELECT part, deg FROM d{r}, kk WHERE deg >= kk.k)"""
     oracle=f"""
 WITH {_LPA_EDGE_CTES},
 kk AS (
-  SELECT CAST((count(*) + count(DISTINCT src) - 1) // count(DISTINCT src) AS BIGINT) AS k
+  SELECT CAST((7 * count(*) + 10 * count(DISTINCT src) - 1) // (10 * count(DISTINCT src)) AS BIGINT) AS k
   FROM edges
 ),
 a0 AS (SELECT DISTINCT src AS part FROM edges),
@@ -3692,24 +3736,32 @@ SELECT part, deg AS core_degree, kk.k AS k_threshold FROM a{KCORE_ROUNDS}, kk
 """,
 )
 def graph_kcore(
-    spark: SparkSession, sf_dir: str, fixpoint: bool = False
+    spark: SparkSession, sf_dir: str, fixpoint: bool = False,
+    lineage: str = "checkpoint",
 ) -> DataFrame:
     """K-core decomposition of the part co-purchase graph by synchronous
     peeling ({KCORE_ROUNDS} fixed rounds): drop every node whose degree in
     the CURRENT surviving subgraph is below k, recompute degrees, repeat.
     Survivors after the fixed rounds are (a superset of) the k-core — the
     densely-connected backbone a recommender or GNN-sampling pipeline keeps.
-    k is corpus-relative, ceil of the mean degree ((2|E|+|V|-1) DIV |V|
-    over the symmetric edge table), so the operator peels meaningfully at
-    every scale factor instead of hardcoding a density.
+    k is corpus-relative, ceil(0.7 x mean degree) over the symmetric edge
+    table ((7|E|+10|V|-1) DIV (10|V|), integer-exact), so the operator peels
+    meaningfully at every scale factor instead of hardcoding a density.
+    The 0.7 coefficient is MEASURED against the fixtures' degeneracy
+    (VERDICT r10 #1 — the vacuous-green fix): ceil(mean) peeled these
+    near-random co-purchase graphs to an EMPTY core at every driver SF
+    (degeneracy is ~0.70-0.76 x mean there: 68/82/84 vs means 89/116/120 at
+    sf0.001/0.01/0.1), while ceil(0.7 x mean) sits at-or-under the
+    degeneracy, so BOTH the registered 4-round output AND the true fixpoint
+    core are non-empty at all three driver fixtures (192 / 1807 / 17982
+    rows after 4 rounds; fixpoints 192 / 1744 / 17732).
 
     fixpoint=True peels until no node drops (the TRUE k-core, convergence
     certified) within a {GRAPH_MAX_FIXPOINT_ROUNDS}-round budget, raising
     on non-convergence — the dedup_clusters discipline. The alive set
     shrinks monotonically, so one count() scalar per round detects the
-    fixpoint (measured: 3 rounds at sf0.001, 4 at sf0.01, both to an EMPTY
-    core — the mean-degree threshold peels this fixture's graph away
-    entirely, which the fixed-round registered shape also shows).
+    fixpoint (measured: 3 rounds at sf0.001, 20 at sf0.01, 22 at sf0.1 —
+    inside the budget with headroom).
 
     All math is integer (counts and an integer ceil-DIV), so the unrolled
     SQL mirror is value-hash exact. Complements graph_label_propagation
@@ -3732,7 +3784,9 @@ def graph_kcore(
         _copurchase_weighted_edges(li).select("src", "dst").repartition("src")
     )
     k_row = edges.agg(
-        F.expr("(count(1) + count(DISTINCT src) - 1) DIV count(DISTINCT src)").alias("k")
+        F.expr(
+            "(7 * count(1) + 10 * count(DISTINCT src) - 1) DIV (10 * count(DISTINCT src))"
+        ).alias("k")
     )
     alive = edges.select(F.col("src").alias("part")).distinct()
     n_alive = alive.count() if fixpoint else None
@@ -3744,14 +3798,16 @@ def graph_kcore(
             .groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        # eager localCheckpoint: each round's alive set references the
+        # per-round lineage break: each round's alive set references the
         # previous round TWICE (both semi-join sides), so pure lineage grows
-        # exponentially in rounds — truncate it per round, same discipline
-        # as dedup_clusters / pagerank_copurchase.
-        alive = track_checkpoint(
+        # exponentially in rounds. The fixpoint path MUST checkpoint (22
+        # rounds -> ~4M-leaf plan otherwise); the fixed-round registered
+        # shape uses the measured winner of _round_break's two forms.
+        alive = _round_break(
             deg.crossJoin(F.broadcast(k_row))
             .filter(F.col("deg") >= F.col("k"))
-            .select(F.col("src").alias("part"), "deg")
+            .select(F.col("src").alias("part"), "deg"),
+            "checkpoint" if fixpoint else lineage,
         )
         if fixpoint:
             n = alive.count()

@@ -11,6 +11,8 @@ BIGINT sums for every corpus total, and fixed-order float folds.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
@@ -1047,7 +1049,7 @@ def prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a plain float SUM over a group commutes nondeterministically; the
     ordered fold is what both engines can replicate bit-for-bit)."""
     tf, contrib = _bm25_contrib_index(spark, sf_dir)
-    return _prf_from_index(spark, tf, contrib)
+    return _prf_from_index(spark, tf, contrib, sf_dir)
 
 
 def _bm25_contrib_index(spark: SparkSession, sf_dir: str):
@@ -1102,9 +1104,37 @@ def _bm25_contrib_index(spark: SparkSession, sf_dir: str):
     return tf, contrib
 
 
-def _prf_from_index(spark: SparkSession, tf: DataFrame, contrib: DataFrame) -> DataFrame:
+# (feedback_ids, expansion_terms) memo keyed by the corpus identity — the
+# resolved sf_dir plus the documents fixture's mtime, so a regenerated
+# fixture at the same path (the hostile-fixture tools rewrite /tmp/sfadv in
+# place) invalidates naturally. ADVICE r10: building prf_query_expansion and
+# rbo_rank_agreement in one session re-ran the full BM25 index job once per
+# plan CONSTRUCTION (these two queries are eager-at-build by design — the
+# bounded constant-size pulls bake literals into the re-score plan); the memo
+# makes the second and later builds free.
+_PRF_LITERAL_CACHE: dict = {}
+
+
+def _prf_corpus_key(sf_dir: str) -> tuple:
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1
+    return (os.path.realpath(sf_dir), mtime)
+
+
+def _prf_from_index(
+    spark: SparkSession, tf: DataFrame, contrib: DataFrame, sf_dir: str
+) -> DataFrame:
     """PRF assembly over the shared checkpointed index (see
-    _bm25_contrib_index): feedback ranking, expansion mining, re-score."""
+    _bm25_contrib_index): feedback ranking, expansion mining, re-score.
+
+    NOTE for registry enumerators (plan_audit, sweeps, bench): building this
+    plan is EAGER — it executes the two bounded driver-side pulls below
+    (<= PRF_FEEDBACK_DOCS + PRF_EXPANSION_TERMS rows, never
+    data-proportional) before returning the DataFrame. The per-corpus memo
+    keeps that to one index job per (sf_dir, fixture-mtime) per session."""
     nq = list(BM25_QUERY_TERMS)
 
     def _score(term_df: DataFrame) -> DataFrame:
@@ -1129,26 +1159,31 @@ def _prf_from_index(spark: SparkSession, tf: DataFrame, contrib: DataFrame) -> D
     # re-score plan removes the feedback->expansion->re-score lineage
     # NESTING that made the audit depth quadratic in the pass count. The
     # cached contrib/tf do the heavy work exactly once either way.
-    feedback_ids = [
-        r["doc_id"]
-        for r in _score(q0)
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(PRF_FEEDBACK_DOCS)
-        .select("doc_id")
-        .collect()
-    ]
-    wexp = Window.orderBy(F.col("c").desc(), F.col("term"))
-    expansion_terms = [
-        r["term"]
-        for r in tf.filter(F.col("doc_id").isin(feedback_ids))
-        .filter(~F.col("term").isin(nq))
-        .groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("c"))
-        .withColumn("rn", F.row_number().over(wexp))
-        .filter(F.col("rn") <= PRF_EXPANSION_TERMS)
-        .select("term")
-        .collect()
-    ]
+    memo_key = _prf_corpus_key(sf_dir)
+    if memo_key in _PRF_LITERAL_CACHE:
+        feedback_ids, expansion_terms = _PRF_LITERAL_CACHE[memo_key]
+    else:
+        feedback_ids = [
+            r["doc_id"]
+            for r in _score(q0)
+            .orderBy(F.col("score").desc(), "doc_id")
+            .limit(PRF_FEEDBACK_DOCS)
+            .select("doc_id")
+            .collect()
+        ]
+        wexp = Window.orderBy(F.col("c").desc(), F.col("term"))
+        expansion_terms = [
+            r["term"]
+            for r in tf.filter(F.col("doc_id").isin(feedback_ids))
+            .filter(~F.col("term").isin(nq))
+            .groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("c"))
+            .withColumn("rn", F.row_number().over(wexp))
+            .filter(F.col("rn") <= PRF_EXPANSION_TERMS)
+            .select("term")
+            .collect()
+        ]
+        _PRF_LITERAL_CACHE[memo_key] = (feedback_ids, expansion_terms)
     q1 = spark.createDataFrame(
         [(t,) for t in nq] + [(t,) for t in expansion_terms], "term string"
     )
@@ -1434,7 +1469,7 @@ def rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rb"),
         )
     )
-    pr = _prf_from_index(spark, tf, contrib).filter(F.col("rnk") <= RBO_K).select(
+    pr = _prf_from_index(spark, tf, contrib, sf_dir).filter(F.col("rnk") <= RBO_K).select(
         "doc_id", F.col("rnk").alias("rp")
     )
     common = bm.join(pr, "doc_id").select(

@@ -139,6 +139,45 @@ PRIORITY_ORDER = (
 )
 
 
+# --- vacuous-green guard (VERDICT r10 #1/#6) --------------------------------
+# A hash match over the EMPTY SET proves nothing: every gate that records
+# per-query ok (tools/parity_sweep.py, tests/test_oracle_parity.py, the
+# COVERAGE.md ledger assertion in tests/test_registry_priority.py) now
+# treats ok-with-0-rows as a FAILURE (`ok_but_empty`) unless the query is
+# declared here with the reason the emptiness is legitimate at specific
+# SMALL fixtures. The driver fixtures under /root/testdata are read-only,
+# so emptiness caused by their data shape cannot be planted away — but each
+# entry must name a LARGER standing fixture where the query is non-empty,
+# so at least one external gate always carries signal.
+MAY_BE_EMPTY: dict[str, str] = {
+    "anti_join_customers_without_orders": (
+        "every sf0.001/sf0.01 customer has >=1 order (read-only driver "
+        "fixtures); non-empty at sf0.1 (1 row) and at ALL hostile fixtures "
+        "(order-less customers 15-26 planted in gen_adversarial_fixture)"
+    ),
+    "phash_image_neardup": (
+        "no pHash-near pair exists among sf0.001's 50 synthetic images; "
+        "non-empty at sf0.01 (driver gate SF) and sf0.1"
+    ),
+    "search_phrase_positions": (
+        "the searched phrase does not occur in sf0.001's 50-doc corpus; "
+        "non-empty at sf0.01 and sf0.1"
+    ),
+    "streaming_interval_join": (
+        "no (click, purchase) pair falls inside the join interval at "
+        "sf0.001's sparse event stream; non-empty at sf0.01 and sf0.1"
+    ),
+    "tpch_q22_inactive_wealthy": (
+        "no customer passes the above-average-balance + no-orders predicate "
+        "at sf0.001; non-empty at sf0.01 and sf0.1"
+    ),
+    "tpch_q7_volume_shipping": (
+        "the two-nation shipping filter matches no lineitem at sf0.001; "
+        "non-empty at sf0.01 and sf0.1"
+    ),
+}
+
+
 def _ordered(names: dict) -> dict:
     first = {n: names[n] for n in PRIORITY_ORDER if n in names}
     rest = {n: v for n, v in names.items() if n not in first}

@@ -87,6 +87,19 @@ def _row_hashes(pdf: pd.DataFrame) -> np.ndarray:
 
 def compare(spark_df, con, sql: str, name: str = "?") -> list[str]:
     """Return a list of mismatch descriptions (empty == pass)."""
+    return compare_counted(spark_df, con, sql, name)[0]
+
+
+def compare_counted(spark_df, con, sql: str, name: str = "?") -> tuple[list[str], int]:
+    """compare() plus the Spark-side row count, so callers can flag a
+    vacuous ok-with-0-rows match (VERDICT r10 #1: a hash match over nothing
+    proves nothing — every gate must see emptiness, not just agreement)."""
+    problems: list[str]
+    problems, n_rows = _compare_impl(spark_df, con, sql, name)
+    return problems, n_rows
+
+
+def _compare_impl(spark_df, con, sql: str, name: str) -> tuple[list[str], int]:
     from kinesis_demo_spark.io import release_persisted
 
     problems: list[str] = []
@@ -96,12 +109,13 @@ def compare(spark_df, con, sql: str, name: str = "?") -> list[str]:
         release_persisted()  # drop this query's tracked caches (see io.py)
     oracle_pdf = con.execute(sql).df()
 
+    n_rows = len(spark_pdf)
     if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
         problems.append(
             f"{name}: columns differ spark={sorted(spark_pdf.columns)} "
             f"oracle={sorted(oracle_pdf.columns)}"
         )
-        return problems
+        return problems, n_rows
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(
             f"{name}: row count spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
@@ -114,7 +128,7 @@ def compare(spark_df, con, sql: str, name: str = "?") -> list[str]:
         ho = _row_hashes(o)
     except TypeError as e:  # the driver's `unhashable type: 'list'` mode
         problems.append(f"{name}: harness error: {e}")
-        return problems
+        return problems, n_rows
 
     if len(hs) == len(ho):
         bad = np.nonzero(hs != ho)[0]
@@ -126,4 +140,4 @@ def compare(spark_df, con, sql: str, name: str = "?") -> list[str]:
             )
         if len(bad) > 3:
             problems.append(f"{name}: ... {len(bad)} mismatched rows total")
-    return problems
+    return problems, n_rows

@@ -510,7 +510,8 @@ def test_kcore_fixpoint_matches_python_peel(spark):
 
     edges = _copurchase_edges(SF)
     nodes = {s for s, _ in edges}
-    k = (len(edges) + len(nodes) - 1) // len(nodes)
+    # ceil(0.7 x mean degree) — must mirror graph_kcore's r11 threshold
+    k = (7 * len(edges) + 10 * len(nodes) - 1) // (10 * len(nodes))
     alive = set(nodes)
     deg: dict = {}
     while True:

@@ -163,11 +163,12 @@ def test_prefix_cache_lcp_matches_python(spark):
 def test_kcore_on_planted_clique_with_pendants(spark, tmp_path):
     """Planted graph with a KNOWN k-core: order 1 holds a 5-clique of parts;
     three pendant parts each co-occur with one clique member. Mean degree
-    3.25 -> k = 4; peeling drops the degree-1 pendants in round 1 and the
-    clique (induced degree 4 each) survives all rounds. (On the tiny
-    sf0.001 co-purchase graph the cascade legitimately empties — an empty
-    k-core is a valid answer, which is why the semantic pin uses a planted
-    graph.)"""
+    3.25 -> k = ceil(0.7 x 3.25) = 3; peeling drops the degree-1 pendants
+    in round 1 and the clique (induced degree 4 each) survives all rounds
+    while the pendant edges never resurrect. The semantic pin uses a
+    planted graph so the expected survivor set is derivable by hand; since
+    the r11 retune (k = ceil(0.7 x mean), VERDICT r10 #1) the REGISTERED
+    row is also non-empty at every driver fixture."""
     from kinesis_demo_spark.queries.analytics import graph_kcore
 
     rows = [(1, p) for p in (1, 2, 3, 4, 5)]           # 5-clique via one order
@@ -175,4 +176,4 @@ def test_kcore_on_planted_clique_with_pendants(spark, tmp_path):
     df = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
     df.write.parquet(str(tmp_path / "lineitem.parquet"))
     got = {r.part: (r.core_degree, r.k_threshold) for r in graph_kcore(spark, str(tmp_path)).collect()}
-    assert got == {p: (4, 4) for p in (1, 2, 3, 4, 5)}
+    assert got == {p: (4, 3) for p in (1, 2, 3, 4, 5)}

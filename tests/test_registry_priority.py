@@ -141,6 +141,66 @@ def test_every_family_has_driver_evidence():
     assert not uncovered, f"families with no driver evidence at all: {uncovered}"
 
 
+def test_cap_rows_nonempty_at_gate_sf_unless_allowlisted(spark):
+    """VERDICT r10 #6: a green driver row with spark_rows == 0 is a vacuous
+    match — for every cap query, its MOST RECENT recorded driver row must be
+    non-empty unless the emptiness is declared (with a reason) on
+    registry.MAY_BE_EMPTY, OR the current plan provably returns rows at the
+    gate SF now (a query rotated into the cap precisely BECAUSE its vacuity
+    was fixed this round — graph_kcore r11 — has only the stale 0-row record
+    until the next driver round, so those candidates are re-run LIVE at
+    sf0.01 instead of trusting the stale record either way). New cap
+    entrants without any driver row are skipped (their first row lands next
+    round and this test then bites)."""
+    import glob
+    import json
+    import os
+    import re
+
+    from kinesis_demo_spark.io import release_persisted
+    from kinesis_demo_spark.registry import MAY_BE_EMPTY
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    newest: dict[str, tuple[int, dict]] = {}
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        try:
+            rows = json.load(open(f))
+        except Exception:
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("rows_match") is True:
+                if name not in newest or rnd > newest[name][0]:
+                    newest[name] = (rnd, row)
+    candidates = [
+        name
+        for name in PRIORITY_ORDER
+        if name in newest
+        and newest[name][1].get("spark_rows") == 0
+        and name not in MAY_BE_EMPTY
+    ]
+    qs = all_queries()
+    vacuous = []
+    for name in candidates:
+        n = qs[name](spark, "/root/testdata/sf0.01").count()
+        release_persisted()
+        if n == 0:
+            vacuous.append(name)
+    assert not vacuous, (
+        f"cap queries whose most recent driver row is a 0-row match, whose "
+        f"current plan is STILL empty at the gate SF, and which are not "
+        f"declared in registry.MAY_BE_EMPTY: {vacuous}"
+    )
+
+
+def test_may_be_empty_names_are_registered():
+    from kinesis_demo_spark.registry import MAY_BE_EMPTY
+
+    registered = set(all_queries())
+    bad = [n for n in MAY_BE_EMPTY if n not in registered]
+    assert not bad, f"MAY_BE_EMPTY names not in registry: {bad}"
+
+
 def test_oracle_order_is_a_subsequence_of_query_order():
     qnames = list(all_queries())
     onames = list(all_oracle_sql())

@@ -99,9 +99,13 @@ def _load(path: str) -> tuple[dict[str, float], dict[str, float]]:
         doc = json.load(f)
     if "parsed" in doc and isinstance(doc["parsed"], dict):
         doc = doc["parsed"]
-    med = doc.get("queries_median", {}) if isinstance(doc, dict) else {}
     if SERIES == "queries_cold" and "queries_cold" in doc:
-        return doc["queries_cold"], med
+        # ADVICE r10: queries_median is WARM-series data (r11+: warm runs
+        # only). Dispositioning a cold-series flag against it would let a
+        # genuine cold-path regression (first-run compile/IO) exit 0, so
+        # cold mode returns no medians and a cold flag stays a hard flag.
+        return doc["queries_cold"], {}
+    med = doc.get("queries_median", {}) if isinstance(doc, dict) else {}
     if "queries" not in doc:
         # r5+ short driver summary: per-query maps live in the sidecar the
         # summary points to (bench.py writes BENCH_local_detail.json).

@@ -25,7 +25,9 @@ Deliberate shapes:
 - TPC-H: an order with 30 lines (pair blow-up); orders with no lineitems
   and customers with no orders (outer-join edges); one returnflag class
   absent entirely; duplicate (orderkey, partkey) lines; price/balance ties
-  everywhere; a region with no nations.
+  everywhere; a region with no nations; a CUSTOMER-ONLY nation (r11,
+  VERDICT r10 #2 — gives set_ops_nations' EXCEPT leg its first non-empty
+  rows at any fixture).
 
 All randomness is a fixed LCG — the fixture is byte-reproducible.
 """
@@ -39,7 +41,7 @@ import sys
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ARGS = [a for a in sys.argv[1:] if a not in ("--unicode", "--nulls")]
+ARGS = [a for a in sys.argv[1:] if a not in ("--unicode", "--nulls", "--skew")]
 UNICODE = "--unicode" in sys.argv[1:]
 # --nulls (r10, from the r9 ADVICE class): NULL join/agg KEYS the base
 # fixture never carries — NULL l_partkey/l_suppkey lineitem rows, a
@@ -47,7 +49,19 @@ UNICODE = "--unicode" in sys.argv[1:]
 # asymmetries and silently-dropping inner joins split the engines here
 # before a production corpus finds them.
 NULLS = "--nulls" in sys.argv[1:]
-OUT = ARGS[0] if ARGS else ("/tmp/sfuni" if UNICODE else "/tmp/sfadv")
+# --skew (r11, VERDICT r10 #8): EXTREME key skew — one user takes 90% of
+# events inside one hot second band, one boilerplate sentence appears in
+# EVERY document (a shingle with df == n_docs, the hot inverted-index
+# bucket), one exact duplicate text owns a third of the corpus, one part
+# rides half of all orders (a co-purchase hub), and half the embedding
+# corpus is one exact vector (a degenerate LSH/IVF bucket). The class
+# probes tie-breaking and aggregation under pathological fan-in — where a
+# wrong any_value/first, a non-commutative fold, or a hash-collision
+# assumption splits the engines.
+SKEW = "--skew" in sys.argv[1:]
+OUT = ARGS[0] if ARGS else (
+    "/tmp/sfuni" if UNICODE else ("/tmp/sfskew" if SKEW else "/tmp/sfadv")
+)
 
 SEED = 0x5EED
 
@@ -100,6 +114,16 @@ def events_rows():
     # single-event users at the far edge
     for u in range(20, 25):
         add(_ts(400000 + u), u, "purchase", 0.03, '{"k": 3}')
+    if SKEW:
+        # push user 0 to ~90% of the table: 600 events inside ONE hot
+        # second (max window/tie fan-in on one key) + 2400 spread across
+        # two days — the shape where a per-user window, a salted sum, or a
+        # sessionizer meets a partition 10x every other key combined
+        for i in range(600):
+            add(_ts(500000 + (i % 200) * 0.005), 0, "view", 1.0 + (i % 7), f'{{"k": {i % 5}}}')
+        for i in range(2400):
+            add(_ts(510000 + i * 61.0), 0, ("click", "purchase", "view")[i % 3],
+                2.0 + (i % 13), f'{{"k": {i % 9}}}')
     return rows
 
 
@@ -159,6 +183,15 @@ def documents_rows():
     while len(docs) < 40:
         docs.append(" ".join(f"w{k}x{j}" for j in range(k + 1)))
         k += 1
+    if SKEW:
+        # one boilerplate sentence in EVERY non-empty doc: a shingle whose
+        # df == n_docs (the hottest possible inverted-index bucket — the
+        # df-cap and prefix-filter paths MUST prune it, the uncapped index
+        # must still aggregate it exactly); plus one exact text owning a
+        # third of the corpus (hot md5 group, hot MinHash band)
+        boiler = " all rights reserved subscribe to our newsletter for updates"
+        docs = [d + boiler if d.strip() else d for d in docs]
+        docs.extend([docs[0]] * 20)
     langs = ["en", "en", "en", "de", None, "", "zh", "fr", "es", "en"]
     rows = []
     for i, text in enumerate(docs):
@@ -176,9 +209,11 @@ def embeddings_rows():
     rows = []
     g = lcg(10_000, 1000)
     vals = [next(g) for _ in range(64 * 48)]
+    dup_n = 24 if SKEW else 6
     for i in range(48):
-        if i < 6:
-            # exact duplicate cluster: 6 identical vectors
+        if i < dup_n:
+            # exact duplicate cluster: 6 identical vectors (24 under --skew:
+            # half the corpus in ONE LSH/IVF bucket with cosine == 1.0 ties)
             vec = [float(j % 7) / 7.0 + 0.01 for j in range(dim)]
         elif i < 10:
             # near-constant vector (tiny spread, nonzero norm)
@@ -192,11 +227,21 @@ def embeddings_rows():
 
 def tpch_rows():
     region = [(0, "DUPNAME"), (1, "DUPNAME"), (2, "EMPTYREGION")]
-    nation = [(0, "NAT_A", 0), (1, "NAT_A", 0), (2, "NAT_B", 1), (3, "NAT_C", 1)]
+    # nation 4 is CUSTOMER-ONLY (no supplier ever lands there: suppliers use
+    # s % 4): plants rows for set_ops_nations' EXCEPT leg, which was vacuous
+    # at every fixture — customer nations were a subset of supplier nations
+    # (VERDICT r10 #2)
+    nation = [(0, "NAT_A", 0), (1, "NAT_A", 0), (2, "NAT_B", 1), (3, "NAT_C", 1), (4, "NAT_CUSTONLY", 0)]
     customer = [
         (c, f"Customer#{c}", c % 3 if c < 15 else 3, 100.0 if c % 2 == 0 else -5.5, "BUILDING" if c < 20 else "AUTOMOBILE")
         for c in range(25)
     ]
+    # customers in the customer-only nation; both are also ORDER-LESS
+    # (orders reference custkey 0..14), so the anti-join signal gets two
+    # more rows; #26 is rich (>9000) so the full-outer join keeps a
+    # customer-only nation row on the rich-customer side too
+    customer.append((25, "Customer#25", 4, 42.0, "MACHINERY"))
+    customer.append((26, "Customer#26", 4, 9500.0, "BUILDING"))
     supplier = [(s, f"Supplier#{s}", s % 4, 100.0, ) for s in range(10)]
     supplier = [(s, n, k, b) for (s, n, k, b) in supplier]
     part = [
@@ -220,6 +265,13 @@ def tpch_rows():
             ln += 1
     # duplicate (orderkey, partkey) pair on the big order
     lineitem.append((0, 0, 9, 31, 2.0, 100.0, 0.0, 0.04, "A", "O", dt.datetime(2024, 1, 5)))
+    if SKEW:
+        # hot part 0 rides HALF of all orders: a co-purchase hub whose
+        # degree dwarfs the rest of the graph (triangle/k-core/pagerank
+        # skew bound) and a join key owning half the fact table
+        for o in range(1, 55, 2):
+            lineitem.append((o, 0, (o * 3) % 10, 90 + o, 2.0 + o % 3, 75.0,
+                             0.0, 0.04, "N", "O", dt.datetime(2024, 1, 1 + o % 28)))
     if NULLS:
         # NULL part/supp keys on a real order: distinct counts, grouping,
         # and part/supplier joins must agree on NULL exclusion

@@ -13,6 +13,12 @@ This is the 10x-scale complement to the driver's sf0.01 CORRECTNESS gate:
 bit-exactness that holds at two scale factors is scale-invariant, not
 fixture luck. Queries registered with oracle=None run rows-only (counted,
 marked "rows_only") — mirroring the driver's weaker path.
+
+Vacuous-green guard (VERDICT r10 #1): every row records ``n_rows``, and an
+ok-with-0-rows result is recorded as ``ok_but_empty`` and COUNTS AS A
+FAILURE unless the query is on ``registry.MAY_BE_EMPTY`` — a hash match
+over the empty set proves nothing, and without this flag a plan edit that
+silently empties a query would stay green forever.
 """
 
 from __future__ import annotations
@@ -44,36 +50,51 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    from oracle_harness import compare, duckdb_conn  # noqa: E402
+    from oracle_harness import compare_counted, duckdb_conn  # noqa: E402
 
     import __spark_entry__ as entry  # noqa: E402
     from kinesis_demo_spark.io import release_persisted  # noqa: E402
+    from kinesis_demo_spark.registry import MAY_BE_EMPTY  # noqa: E402
 
     qs, osql = entry.queries(), entry.oracle_sql()
     con = duckdb_conn(sf_dir)
     report: dict[str, dict] = {}
-    n_bad = 0
+    n_bad = n_empty_bad = 0
     for name, fn in qs.items():
         t0 = time.monotonic()
         try:
             sql = osql.get(name)
             if sql:
-                problems = compare(fn(spark, sf_dir), con, sql, name)
+                problems, n_rows = compare_counted(fn(spark, sf_dir), con, sql, name)
                 ok = not problems
                 report[name] = {
                     "ok": ok,
                     "problems": problems or None,
+                    "n_rows": n_rows,
                     "sec": round(time.monotonic() - t0, 1),
                 }
             else:
-                n = fn(spark, sf_dir).count()
+                n_rows = fn(spark, sf_dir).count()
                 report[name] = {
-                    "ok": n >= 0,
+                    "ok": n_rows >= 0,
                     "problems": None,
                     "rows_only": True,
+                    "n_rows": n_rows,
                     "sec": round(time.monotonic() - t0, 1),
                 }
                 ok = True
+            # vacuous-green guard: agreement over the empty set is not
+            # evidence — fail unless the emptiness is declared legitimate
+            if ok and n_rows == 0:
+                report[name]["ok_but_empty"] = True
+                if name not in MAY_BE_EMPTY:
+                    ok = False
+                    report[name]["ok"] = False
+                    report[name]["problems"] = [
+                        "ok_but_empty: 0-row hash match and the query is not "
+                        "on registry.MAY_BE_EMPTY"
+                    ]
+                    n_empty_bad += 1
         except Exception as exc:  # noqa: BLE001 — the sweep must cover the rest
             ok = False
             report[name] = {
@@ -87,7 +108,8 @@ def main() -> int:
         print(("ok   " if ok else "FAIL ") + name, file=sys.stderr, flush=True)
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)
-    print(json.dumps({"n": len(report), "failed": n_bad, "sf_dir": sf_dir}))
+    print(json.dumps({"n": len(report), "failed": n_bad,
+                      "ok_but_empty_undeclared": n_empty_bad, "sf_dir": sf_dir}))
     return 1 if n_bad else 0
 
 

@@ -93,8 +93,10 @@ def _one_rung(spark, sf1_dir: str, offered: int, clients: int, requests: int) ->
         "offered_rows_s": offered,
         "achieved_rows_s": round(rows / dur_s) if dur_s else 0,
         "batches": len(tail),
-        "batch_ms_p50": pct(0.50),
-        "batch_ms_p99": pct(0.99),
+        # ADVICE r10: pct() indexes batch_ms[-1] on an empty tail — guard
+        # the percentile fields the same way as batch_ms_max/budget_held
+        "batch_ms_p50": pct(0.50) if batch_ms else None,
+        "batch_ms_p99": pct(0.99) if batch_ms else None,
         "batch_ms_max": batch_ms[-1] if batch_ms else None,
         "state_rows_total": max(s["numRowsTotal"] for s in st) if st else None,
         "budget_held": bool(batch_ms) and pct(0.99) < 1000,

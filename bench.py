@@ -273,6 +273,9 @@ HEADLINE = (
     # gapfill twin (Theta(non-empty hours) vs the dense grid)
     "multimodal_png_decode_real",
     "timeseries_gapfill_runs",
+    # r11: query-anchored link prediction + the seasonal-naive backtest
+    "graph_linkpred_common_neighbors",
+    "timeseries_seasonal_naive_eval",
 )
 
 

@@ -3479,9 +3479,18 @@ def _round_break(df, lineage: str):
       execution computes each round once, AQE stays on for the whole plan,
       and nothing is eagerly materialized per round.
 
-    tools/graph_watch.py times both forms head-to-head in one session;
-    the registered default below is the measured winner (see
-    GRAPH_WATCH.json)."""
+    tools/graph_watch.py times both forms head-to-head in one session
+    (results sealed in GRAPH_WATCH.json). MEASURED KEEP DECISION (r11):
+    checkpoint stays the registered default. At sf0.1 cache is 1.06-1.11x
+    faster on min-of-3 — inside run noise — but at sf1 the cache form
+    LOSES: LPA 0.78x on min, and k-core's cache runs swing 6.5/11.6/52.4 s
+    (the nested 2^rounds lineage recomputes when executor storage evicts a
+    round under memory pressure — precisely the failure a 1000-executor
+    run cannot afford), while the checkpoint form's worst run is 8.7 s.
+    The r9/r10 cross-session drift on this family is therefore host/IO
+    noise on the eager materialization, not a fixable plan defect; the
+    GRAPH_WATCH two-session min+median panel is the sealed reference band
+    for future regression claims."""
     from ..io import track_checkpoint, track_persist
 
     return track_checkpoint(df) if lineage == "checkpoint" else track_persist(df)
@@ -4243,4 +4252,196 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["l"].alias("level"),
         state["b"].alias("trend"),
         (state["l"] + state["b"]).alias("forecast_next"),
+    )
+
+
+# --- link prediction by common neighbors (query-anchored wedge counting) -----------
+
+LINKPRED_QUERY_NODES = 10  # smallest part keys present in the edge set
+LINKPRED_TOPK = 5          # recommendations per query node
+
+
+@register(
+    "graph_linkpred_common_neighbors",
+    oracle=f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+e AS (
+  SELECT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.k = b.k AND a.p <> b.p
+  GROUP BY 1, 2
+),
+deg AS (SELECT u, count(*) AS d FROM e GROUP BY 1),
+q AS (SELECT u FROM e GROUP BY u ORDER BY u LIMIT {LINKPRED_QUERY_NODES}),
+wedge AS (
+  SELECT qe.u AS qn, e2.v AS cand, count(*) AS cn
+  FROM e qe JOIN e e2 ON e2.u = qe.v
+  WHERE qe.u IN (SELECT u FROM q) AND e2.v <> qe.u
+  GROUP BY 1, 2
+),
+nonadj AS (
+  SELECT w.qn, w.cand, w.cn FROM wedge w
+  LEFT JOIN e ON e.u = w.qn AND e.v = w.cand
+  WHERE e.u IS NULL
+),
+scored AS (
+  SELECT n.qn, n.cand, n.cn,
+         CAST(n.cn AS DOUBLE) / (dq.d + dc.d - n.cn) AS jaccard,
+         row_number() OVER (PARTITION BY n.qn ORDER BY n.cn DESC, n.cand) AS rnk
+  FROM nonadj n
+  JOIN deg dq ON dq.u = n.qn
+  JOIN deg dc ON dc.u = n.cand
+)
+SELECT qn AS query_part, cand AS candidate_part,
+       CAST(cn AS BIGINT) AS common_neighbors, jaccard,
+       CAST(rnk AS BIGINT) AS rnk
+FROM scored WHERE rnk <= {LINKPRED_TOPK}
+""",
+)
+def graph_linkpred_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the part co-purchase graph (Liben-Nowell &
+    Kleinberg 2007's common-neighbors / Jaccard predictors): for each of
+    the {LINKPRED_QUERY_NODES} smallest part keys in the edge set, rank the
+    NON-adjacent parts by shared-neighbor count — "customers who bought
+    products adjacent to X also bought Y" — and emit the top
+    {LINKPRED_TOPK} with Jaccard(Gamma(q), Gamma(y)) as the normalized
+    score. Complements the existing graph suite: pagerank ranks nodes,
+    LPA/k-core find structure, triangles score cohesion; this one scores
+    ABSENT edges, the recommendation/GNN-candidate shape.
+
+    Cross-engine exactness: neighbor sets are exact (distinct co-purchase
+    edges), counts are integers, Jaccard = cn / (deg_q + deg_y - cn) is one
+    IEEE division of exact ints, and the per-query ranking orders by
+    (cn DESC, candidate id) — fully deterministic, so the row set
+    value-hash-checks.
+
+    Scale: this is the QUERY-ANCHORED wedge shape — wedges are enumerated
+    only from the |Q| query nodes' adjacency (|Q| x deg(q) x avg-deg work),
+    never the full sum(deg^2) wedge set that dies on skewed graphs; the
+    candidate aggregation and the anti-join against existing edges shuffle
+    only (q, cand) pairs. At 100 TB, |Q| is the serving batch (the parts a
+    session touched) and the same plan serves it; a full-graph variant
+    would add the triangle family's degree-orientation bound. The query
+    set is broadcast; the two degree joins are |candidates|-sized."""
+    from ..io import track_persist
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = track_persist(
+        _copurchase_weighted_edges(li).select("src", "dst").repartition("src")
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    q = F.broadcast(
+        edges.select("src").distinct().orderBy("src").limit(LINKPRED_QUERY_NODES)
+        .select(F.col("src").alias("qn"))
+    )
+    # wedges anchored at the query nodes: q -> n (its neighbors), n -> y
+    qn = edges.join(q, edges.src == F.col("qn")).select("qn", F.col("dst").alias("n"))
+    wedge = (
+        qn.join(edges.select(F.col("src").alias("n"), F.col("dst").alias("cand")), "n")
+        .filter(F.col("cand") != F.col("qn"))
+        .groupBy("qn", "cand")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    nonadj = wedge.join(
+        edges.select(F.col("src").alias("qn"), F.col("dst").alias("cand")),
+        ["qn", "cand"],
+        "left_anti",
+    )
+    scored = (
+        nonadj.join(deg.select(F.col("src").alias("qn"), F.col("d").alias("dq")), "qn")
+        .join(deg.select(F.col("src").alias("cand"), F.col("d").alias("dc")), "cand")
+        .select(
+            "qn",
+            "cand",
+            "cn",
+            (F.col("cn").cast("double") / (F.col("dq") + F.col("dc") - F.col("cn"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+    w = Window.partitionBy("qn").orderBy(F.col("cn").desc(), F.col("cand"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= LINKPRED_TOPK)
+        .select(
+            F.col("qn").alias("query_part"),
+            F.col("cand").alias("candidate_part"),
+            F.col("cn").cast("long").alias("common_neighbors"),
+            "jaccard",
+            "rnk",
+        )
+    )
+
+
+# --- seasonal-naive forecast backtest ----------------------------------------------
+
+SEASONAL_LAG_HOURS = 24
+
+
+@register(
+    "timeseries_seasonal_naive_eval",
+    oracle=f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         sum(CAST(value AS DECIMAL(18,2))) AS y
+  FROM events GROUP BY 1, 2
+),
+evals AS (
+  SELECT c.user_id, c.y AS actual, p.y AS forecast, abs(c.y - p.y) AS abs_err
+  FROM hourly c JOIN hourly p
+    ON p.user_id = c.user_id
+   AND p.h = c.h - INTERVAL {SEASONAL_LAG_HOURS} HOUR
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_evals,
+       CAST(sum(abs_err) AS DOUBLE) AS sum_abs_err,
+       CAST(sum(abs_err) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mae,
+       CAST(sum(CASE WHEN abs_err = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+FROM evals GROUP BY user_id
+""",
+)
+def timeseries_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest per user (the standard baseline
+    every forecasting model must beat — Hyndman & Athanasopoulos, FPP:
+    y_hat(t) = y(t - season)): forecast each user's hourly value sum with
+    the value {SEASONAL_LAG_HOURS} h earlier, score every hour where both
+    sides exist, and report per-user n_evals / total absolute error / MAE /
+    exact-hit count. Completes the timeseries eval story the way
+    retrieval_eval_metrics completes retrieval: holt/EWMA/CUSUM produce
+    forecasts and alarms, this measures one against ground truth.
+
+    Cross-engine exactness: hourly sums are DECIMAL(18,2) (exact,
+    order-independent), the forecast join is integer-exact interval
+    arithmetic on truncated hours, abs_err stays decimal through the
+    per-user SUM (a double sum over hours would be fold-order-sensitive),
+    and only the two final reported columns cast to double — one cast and
+    one IEEE division per row, identical in both engines.
+
+    Scale: one map-side-combinable hourly rollup, then a self-equi-join on
+    (user_id, hour) — both sides hash-partition on user_id, the join is
+    1:1 per (user, hour), and output is bounded by the rollup; no windows,
+    no grids, no skew beyond the per-user event share the rollup already
+    collapsed. At 100 TB with a date-partitioned lake the lagged side
+    prunes to the same partitions shifted by one day."""
+    ev = _events(spark, sf_dir)
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy("user_id", hour.alias("h")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("y")
+    )
+    lag = F.expr(f"INTERVAL {SEASONAL_LAG_HOURS} HOURS")
+    cur = hourly.select("user_id", "h", F.col("y").alias("actual"))
+    prev = hourly.select(
+        "user_id", (F.col("h") + lag).alias("h"), F.col("y").alias("forecast")
+    )
+    evals = cur.join(prev, ["user_id", "h"]).select(
+        "user_id", F.abs(F.col("actual") - F.col("forecast")).alias("abs_err")
+    )
+    return evals.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_evals"),
+        F.sum("abs_err").cast("double").alias("sum_abs_err"),
+        (F.sum("abs_err").cast("double") / F.count(F.lit(1)).cast("double")).alias("mae"),
+        F.sum(F.when(F.col("abs_err") == 0, 1).otherwise(0)).cast("long").alias("n_exact"),
     )

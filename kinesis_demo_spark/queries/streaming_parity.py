@@ -45,14 +45,17 @@ SELECT l.event_id AS click_id, r.event_id AS view_id, l.user_id,
 FROM events l JOIN events r
   ON l.user_id = r.user_id
  AND l.event_type = 'click' AND r.event_type = 'view'
- AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 5 SECOND
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
 """,
 )
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked stream-stream interval join (clicks x views within 5 s,
+    """Watermarked stream-stream interval join (clicks x views within 1 h,
     per user) drained over the fixture and value-hash compared against the
     plain batch range join — the batch/streaming differential for join
-    state, like streaming_window_counts is for aggregate state."""
+    state, like streaming_window_counts is for aggregate state. The 1 h
+    interval is the vacuous-green retune (r11): 5 s matched zero pairs at
+    every driver fixture, so the row carried no signal — see
+    run_stream_stream_join's docstring for the measured pair counts."""
     return run_stream_stream_join(spark, sf_dir)
 
 
@@ -137,7 +140,7 @@ SELECT c.click_id, v.view_id, c.click_user AS user_id,
        CAST(epoch_ms(v.view_ts) - epoch_ms(c.click_ts) AS BIGINT) AS lag_ms
 FROM clicks c LEFT OUTER JOIN views v
   ON c.click_user = v.view_user
- AND v.view_ts >= c.click_ts AND v.view_ts <= c.click_ts + INTERVAL 5 SECOND
+ AND v.view_ts >= c.click_ts AND v.view_ts <= c.click_ts + INTERVAL 1 HOUR
 """,
 )
 def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:

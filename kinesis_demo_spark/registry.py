@@ -65,77 +65,72 @@ DRIVER_CORRECTNESS_CAP = 50
 # mechanical: recompute newest-green-round per query from the CORRECTNESS
 # files and fill.
 #
-# This round: 8 changed/new plans —
-#   approx_distinct_error_bound + tokenizer_fertility_report +
-#   er_blocking_quality (the r9 ADVICE NULL/zero-guard fixes),
-#   packing_efficiency_report (rows-only -> full BFD+greedy value-hash
-#   oracle; first hash-checked driver row), multimodal_png_decode_real +
-#   timeseries_gapfill_runs (new), rbo_rank_agreement +
-#   prf_query_expansion (the r9 #5 plan consolidation) —
-# plus the 8 queries whose plans/oracles changed in the r10 NULL/unicode
-# hardening (bpe_encode_corpus, corpus_datacard,
-# dedup_boilerplate_paragraphs, filter_gopher_rules,
-# multimodal_decode_features, multimodal_frame_sample,
-# phash_image_neardup, sequence_packing — byte-faithful to_hex oracles,
-# NULL-text exclusion contracts, when/otherwise flag types; see the
-# --nulls/--unicode sweep fixes) — then ALL 32 stale rows (12 r2 + 7 r3 +
-# 13 r4, the complete list from VERDICT r9 "What's missing" #1), then 2
-# r5 rows. The changed-plans-first rule pushed 8 of the 10 planned r5
-# rotations to r11. Everything else keeps its pass(rN) standing plus the
-# full local gates (tests/test_oracle_parity.py over the whole registry
-# every pytest run, and the four full-registry sweeps: sf0.1, adversarial,
-# --nulls, --unicode).
+# Round-11 rotation: 7 changed/new plans first —
+#   graph_kcore (k = ceil(0.7 x mean) vacuity retune; its first NON-EMPTY
+#   driver row), er_blocking_quality (prefix-filter truth leg),
+#   graph_triangle_clustering (basket-expansion edge build),
+#   streaming_interval_join + streaming_outer_interval_join (1 h interval
+#   vacuity retune), graph_linkpred_common_neighbors +
+#   timeseries_seasonal_naive_eval (new) —
+# then ALL 38 r5-stale rows (the complete list from VERDICT r10 "What's
+# missing" #2, including the 8 rotations r10's changed-plans-first rule
+# deferred), then the 6 alphabetically-first r6 rows. After this round no
+# registered query's newest green driver row is older than r6. Everything
+# else keeps its pass(rN) standing plus the full local gates
+# (tests/test_oracle_parity.py over the whole registry every pytest run,
+# and the five full-registry sweeps: sf0.1, adversarial, --nulls,
+# --unicode, --skew).
 PRIORITY_ORDER = (
-    "approx_distinct_error_bound",
-    "tokenizer_fertility_report",
+    "graph_kcore",
     "er_blocking_quality",
-    "packing_efficiency_report",
-    "multimodal_png_decode_real",
-    "timeseries_gapfill_runs",
-    "rbo_rank_agreement",
-    "prf_query_expansion",
-    "bpe_encode_corpus",
-    "corpus_datacard",
-    "dedup_boilerplate_paragraphs",
-    "filter_gopher_rules",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "phash_image_neardup",
-    "sequence_packing",
-    "agg_window_count",
-    "ann_cosine_topk",
-    "ann_with_document_metadata",
-    "anti_join_customers_without_orders",
-    "cube_flag_status",
-    "dedup_embedding_cosine",
-    "dedup_exact_text",
-    "dedup_ngram_jaccard",
-    "distinct_part_supp_pairs",
-    "embedding_centroid_by_label",
-    "grouped_count_by_position",
-    "sum_value_by_user",
-    "global_event_count",
-    "heatmap_max_intensity",
-    "multimodal_metadata",
-    "sample_stratified_documents",
-    "scalar_array_functions",
-    "serving_projection_movs",
-    "text_fingerprint",
-    "asof_join_orders_events",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "last10_per_user",
-    "pandas_udf_text_normalize",
-    "pivot_value_by_type_per_user",
-    "serving_forward_poll",
-    "sessionize_events",
-    "stats_moments_percentiles_by_type",
-    "text_lang_id",
-    "text_quality_score",
-    "tpch_q1_pricing_summary",
-    "unpivot_order_amounts",
-    "agg_window_movs_stats",
-    "ann_cosine_topk_ivf",
+    "graph_triangle_clustering",
+    "streaming_interval_join",
+    "streaming_outer_interval_join",
+    "graph_linkpred_common_neighbors",
+    "timeseries_seasonal_naive_eval",
+    "ann_cosine_topk_lsh",
+    "dedup_contamination_check",
+    "dedup_embedding_cosine_lsh",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_simhash_wide",
+    "doc_length_histogram",
+    "embedding_quantize_int8",
+    "full_outer_join_supplier_customer_nations",
+    "heatmap_rollup",
+    "heavy_hitters_cms",
+    "json_wire_roundtrip",
+    "locf_impute_value",
+    "map_in_arrow_vector_norms",
+    "orders_above_customer_avg",
+    "posexplode_document_tokens",
+    "range_join_events_before_orders",
+    "salted_sum_by_user",
+    "sample_k_per_group",
+    "scalar_extended_battery",
+    "scalar_functions_parity",
+    "serving_cursor_bootstrap",
+    "serving_poll_sum",
+    "serving_reverse_limit",
+    "sessionize_builtin_window",
+    "set_ops_nations",
+    "sql_frontend_revenue_by_nation",
+    "star_join_revenue_by_region",
+    "stats_mode_event_type_per_user",
+    "streaming_window_counts",
+    "text_chunk_documents",
+    "text_pii_redact",
+    "text_repetition_score",
+    "text_tfidf",
+    "text_token_count",
+    "text_vocab_topk",
+    "timeseries_hourly_gapfill",
+    "timeseries_user_similarity",
+    "ann_cosine_topk_truncated",
+    "ann_pq_adc_topk",
+    "bpe_merge_candidates",
+    "corpus_mixture_report",
+    "curriculum_quality_buckets",
+    "dedup_canonical_selection",
 )
 
 
@@ -149,33 +144,123 @@ PRIORITY_ORDER = (
 # so emptiness caused by their data shape cannot be planted away — but each
 # entry must name a LARGER standing fixture where the query is non-empty,
 # so at least one external gate always carries signal.
-MAY_BE_EMPTY: dict[str, str] = {
-    "anti_join_customers_without_orders": (
-        "every sf0.001/sf0.01 customer has >=1 order (read-only driver "
-        "fixtures); non-empty at sf0.1 (1 row) and at ALL hostile fixtures "
-        "(order-less customers 15-26 planted in gen_adversarial_fixture)"
-    ),
-    "phash_image_neardup": (
-        "no pHash-near pair exists among sf0.001's 50 synthetic images; "
-        "non-empty at sf0.01 (driver gate SF) and sf0.1"
-    ),
-    "search_phrase_positions": (
-        "the searched phrase does not occur in sf0.001's 50-doc corpus; "
-        "non-empty at sf0.01 and sf0.1"
-    ),
-    "streaming_interval_join": (
-        "no (click, purchase) pair falls inside the join interval at "
-        "sf0.001's sparse event stream; non-empty at sf0.01 and sf0.1"
-    ),
-    "tpch_q22_inactive_wealthy": (
-        "no customer passes the above-average-balance + no-orders predicate "
-        "at sf0.001; non-empty at sf0.01 and sf0.1"
-    ),
-    "tpch_q7_volume_shipping": (
-        "the two-nation shipping filter matches no lineitem at sf0.001; "
-        "non-empty at sf0.01 and sf0.1"
-    ),
+# Each entry scopes WHERE emptiness is legitimate: "sf0.001"/"sf0.01" name
+# the read-only driver fixtures; "micro" covers every generated hostile
+# micro-fixture (tools/gen_adversarial_fixture.py's ~60-row tables cannot
+# carry every predicate's signal — TPC-H date/region/part-supp predicates,
+# phrase search, serving poll windows). A query allowed empty at one
+# fixture class still fails ok_but_empty everywhere else, and every entry
+# names a standing fixture where the query IS non-empty, so at least one
+# external gate always carries signal. (Queries that were empty at a
+# fixture by ACCIDENT got retuned or the fixture got planted instead:
+# graph_kcore's k, streaming_interval_join's 1 h interval, the EXCEPT-leg
+# nation, order-less customers, big-ticket orders, BM25-term docs.)
+MAY_BE_EMPTY: dict[str, dict] = {
+    "anti_join_customers_without_orders": {
+        "fixtures": ("sf0.001", "sf0.01"),
+        "why": "every sf0.001/sf0.01 customer has >=1 order (read-only "
+               "driver fixtures); 1 row at sf0.1 and non-empty at ALL "
+               "hostile fixtures (order-less customers 15-26 planted)",
+    },
+    "phash_image_neardup": {
+        "fixtures": ("sf0.001",),
+        "why": "no pHash-near pair among sf0.001's 50 synthetic images; "
+               "non-empty at sf0.01 (driver gate SF) and sf0.1",
+    },
+    "search_phrase_positions": {
+        "fixtures": ("sf0.001", "micro"),
+        "why": "the searched phrase does not occur in sf0.001's 50-doc "
+               "corpus nor the hostile micro-corpora; non-empty at sf0.01 "
+               "and sf0.1",
+    },
+    "tpch_q22_inactive_wealthy": {
+        "fixtures": ("sf0.001", "sf0.01"),
+        "why": "no customer passes the above-average-balance + no-orders "
+               "predicate at sf0.001/sf0.01 (read-only); 1 row at sf0.1, "
+               "non-empty on the hostile fixtures (order-less customers)",
+    },
+    "tpch_q7_volume_shipping": {
+        "fixtures": ("sf0.001", "micro"),
+        "why": "the two-nation shipping filter matches nothing at sf0.001 "
+               "or the fake-nation micro-fixtures; non-empty at sf0.01+",
+    },
+    # TPC-H predicates no ~60-row hostile micro-fixture satisfies (fake
+    # region/nation names, 2024-only dates, no part-supp relation rows);
+    # all non-empty at every driver fixture — the sweeps still hash-check
+    # their 0-row agreement on NULL/unicode/skew semantics.
+    **{
+        q: {
+            "fixtures": ("micro",),
+            "why": "predicate unsatisfiable on the hostile micro-fixtures "
+                   "(fake regions/nations, 2024-only dates, no part-supp "
+                   "rows); non-empty at all driver fixtures",
+        }
+        for q in (
+            "tpch_q3_shipping_priority",
+            "tpch_q5_region_supplier_volume",
+            "tpch_q8_market_share",
+            "tpch_q9_product_profit",
+            "tpch_q10_returned_items",
+            "tpch_q11_important_stock",
+            "tpch_q12_shipclass_priority",
+            "tpch_q15_top_supplier",
+            "tpch_q20_excess_suppliers",
+            "tpch_q21_waiting_suppliers",
+        )
+    },
+    **{
+        q: {
+            "fixtures": ("micro",),
+            "why": why,
+        }
+        for q, why in (
+            ("audio_fingerprint_neardup",
+             "no fingerprint-near audio pair in the 48-clip micro-fixture; "
+             "non-empty at the driver fixtures"),
+            ("bag_set_ops_priorities",
+             "the bag INTERSECT/EXCEPT legs cancel exactly on the "
+             "micro-fixture's uniform priorities; non-empty at sf0.001+"),
+            ("dedup_winnowing_overlap",
+             "no winnowing-fingerprint overlap among the hostile docs "
+             "(below-threshold window survivors); non-empty at sf0.001+"),
+            ("mine_hard_negatives",
+             "needs BM25 positives AND embedding near-misses; the 48-vector "
+             "micro-fixture has no qualifying negatives; non-empty sf0.001+"),
+            ("orders_above_customer_avg",
+             "every micro-fixture customer's orders share one price, so no "
+             "order exceeds its customer average; non-empty at sf0.001+"),
+            ("pipeline_training_corpus",
+             "every hostile doc fails the quality gate by design; "
+             "non-empty at the driver fixtures"),
+            ("pipeline_training_manifest",
+             "empty corpus above -> empty manifest; non-empty at sf0.001+"),
+            ("serving_forward_poll",
+             "the poll cursor window contains no micro-fixture events; "
+             "non-empty at all driver fixtures"),
+            ("serving_poll_page_fused",
+             "same cursor window as serving_forward_poll; non-empty at all "
+             "driver fixtures"),
+            ("sessionize_stateful_streaming",
+             "no micro-fixture user closes a session inside the stateful "
+             "drain's horizon; non-empty at the driver fixtures"),
+        )
+    },
 }
+
+
+def may_be_empty_at(name: str, sf_dir: str) -> bool:
+    """True iff ``name`` is declared legitimately-empty for the fixture at
+    ``sf_dir`` (see MAY_BE_EMPTY). Driver fixtures match by directory base
+    name; every non-/root/testdata dir is a generated hostile micro-fixture
+    and matches the "micro" token."""
+    ent = MAY_BE_EMPTY.get(name)
+    if not ent:
+        return False
+    toks = ent["fixtures"]
+    base = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    if base in toks:
+        return True
+    return "micro" in toks and not sf_dir.startswith("/root/testdata")
 
 
 def _ordered(names: dict) -> dict:

@@ -334,14 +334,21 @@ def run_complete_to_memory(spark: SparkSession, sf_dir: str, name: str | None = 
 
 def run_stream_stream_join(spark: SparkSession, sf_dir: str, name: str | None = None) -> DataFrame:
     """Watermarked stream-stream interval join: the click stream joined to
-    the view stream on user with views inside (click_ts, click_ts + 5 s] —
+    the view stream on user with views inside (click_ts, click_ts + 1 h] —
     the attribution-style join batch engines do with a range join and
     streams need join STATE for. Both sides carry a 10 s watermark, which is
     what lets Spark evict buffered rows once no counterpart can still
     arrive; state is bounded by |events within watermark + interval|, not
-    stream length. Inner join, so matches emit as soon as both sides are
-    seen. The fixture drain (availableNow) produces exactly the batch range
-    join's answer, which the registered oracle checks."""
+    stream length. The 1 h interval is MEASURED against the fixtures
+    (vacuous-green fix, VERDICT r10 #1 class: the former 5 s window matched
+    ZERO pairs at sf0.001/0.01/0.1 — driver inter-event gaps per user are
+    minutes — so every green row was a hash match over the empty set; 1 h
+    yields 5/30/393 pairs). State grows with the interval (one hour of
+    views per user buffered) — at production rates pick the smallest
+    interval the attribution contract allows; the operator is unchanged.
+    Inner join, so matches emit as soon as both sides are seen. The fixture
+    drain (availableNow) produces exactly the batch range join's answer,
+    which the registered oracle checks."""
     name = name or "stream_join_" + re.sub(r"[^0-9a-zA-Z]", "_", sf_dir).strip("_")
     ev = stream_events(spark, sf_dir)
     clicks = (
@@ -366,7 +373,7 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str, name: str | None = 
         views,
         F.expr(
             "click_user = view_user AND "
-            "view_ts >= click_ts AND view_ts <= click_ts + interval 5 seconds"
+            "view_ts >= click_ts AND view_ts <= click_ts + interval 1 hour"
         ),
     ).select(
         "click_id",
@@ -789,7 +796,12 @@ def run_stream_outer_join(spark: SparkSession, sf_dir: str, name: str | None = N
     # staging shared with run_stream_session_windows: fixture + one
     # far-future sentinel file (click & view rows, +1 h) in a later
     # micro-batch; see _stage_events_with_sentinel for the mechanism.
-    stage = _stage_events_with_sentinel(spark, sf_dir, 1, ("click", "view"))
+    # offset 2 h: must exceed the join's state horizon (1 h interval + 10 s
+    # delay) so the sentinel batch flushes the last held click (the 1 h
+    # interval is the r11 vacuous-green retune — 5 s matched zero pairs at
+    # every driver fixture, so the outer join's MATCHED leg carried no
+    # signal; see run_stream_stream_join)
+    stage = _stage_events_with_sentinel(spark, sf_dir, 2, ("click", "view"))
 
     ev = stream_events(spark, stage, max_files_per_trigger=1, glob="*.parquet")
     clicks = (
@@ -821,7 +833,7 @@ def run_stream_outer_join(spark: SparkSession, sf_dir: str, name: str | None = N
         views,
         F.expr(
             "click_user = view_user AND "
-            "view_ts >= click_ts AND view_ts <= click_ts + interval 5 seconds"
+            "view_ts >= click_ts AND view_ts <= click_ts + interval 1 hour"
         ),
         "leftOuter",
     ).select(

@@ -599,3 +599,85 @@ def test_gapfill_runs_expand_to_dense_grid(spark):
     exp = {key(r): (r["n_events"], r["sum_value"]) for r in expanded.collect()}
     den = {key(r): (r["n_events"], r["sum_value"]) for r in dense.collect()}
     assert exp == den
+
+
+def test_linkpred_on_planted_graph(spark, tmp_path):
+    """graph_linkpred_common_neighbors vs a plain-Python reference on a
+    planted co-purchase graph: a {1,2,3} triangle, 2-4 and 3-4 bridges, and
+    a 4-5 pendant. Known answers: e.g. query node 1 is non-adjacent only to
+    4 (witnesses 2 AND 3 -> cn=2, jaccard 2/(2+3-2)) and to 5 (no common
+    neighbor -> no row); 5's sole candidate set comes through witness 4."""
+    from kinesis_demo_spark.queries.analytics import (
+        LINKPRED_TOPK,
+        graph_linkpred_common_neighbors,
+    )
+
+    orders = [(1, 1), (1, 2), (1, 3), (2, 2), (2, 4), (3, 3), (3, 4), (4, 4), (4, 5)]
+    df = spark.createDataFrame(orders, "l_orderkey bigint, l_partkey bigint")
+    df.write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    # python reference
+    import collections
+
+    adj = collections.defaultdict(set)
+    baskets = collections.defaultdict(set)
+    for k, p in orders:
+        baskets[k].add(p)
+    for ps in baskets.values():
+        for a in ps:
+            for b in ps:
+                if a != b:
+                    adj[a].add(b)
+    expected = {}
+    for q in sorted(adj)[:10]:
+        cands = []
+        for y in sorted(adj):
+            if y == q or y in adj[q]:
+                continue
+            cn = len(adj[q] & adj[y])
+            if cn:
+                jac = cn / (len(adj[q]) + len(adj[y]) - cn)
+                cands.append((-cn, y, cn, jac))
+        for rnk, (_, y, cn, jac) in enumerate(sorted(cands)[:LINKPRED_TOPK], 1):
+            expected[(q, y)] = (cn, jac, rnk)
+
+    got = {
+        (r.query_part, r.candidate_part): (r.common_neighbors, r.jaccard, r.rnk)
+        for r in graph_linkpred_common_neighbors(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
+    assert got[(1, 4)] == (2, 2 / 3, 1)  # the hand-derived anchor row
+
+
+def test_seasonal_naive_eval_known_answer(spark, tmp_path):
+    """timeseries_seasonal_naive_eval on a planted series: user 1 has hourly
+    sums 10 (h0), 12 (h0+24h), 7 (h0+25h), 12 (h0+48h) -> two evaluable
+    hours (|12-10|=2 and |12-12|=0), MAE 1.0, one exact hit; the h0+25h
+    hour has no t-24h counterpart and must be excluded."""
+    import datetime as dt
+
+    from kinesis_demo_spark.queries.analytics import timeseries_seasonal_naive_eval
+
+    h0 = dt.datetime(2024, 3, 1, 6, 0, 0)
+
+    def at(hours, minute=0):
+        return h0 + dt.timedelta(hours=hours, minutes=minute)
+
+    rows = [
+        (1, at(0), 1, "view", 4.0, "{}"),
+        (2, at(0, 30), 1, "view", 6.0, "{}"),       # h0 sums to 10
+        (3, at(24), 1, "view", 12.0, "{}"),          # |12-10| = 2
+        (4, at(25), 1, "view", 7.0, "{}"),           # no t-24h pair
+        (5, at(48), 1, "view", 12.0, "{}"),          # |12-12| = 0
+        (6, at(1), 2, "click", 5.0, "{}"),           # user 2: single hour
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r.user_id: (r.n_evals, r.sum_abs_err, r.mae, r.n_exact)
+        for r in timeseries_seasonal_naive_eval(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (2, 2.0, 1.0, 1)}

@@ -9,9 +9,9 @@ from pyspark.sql import types as T
 
 from kinesis_demo_spark.registry import (
     DRIVER_CORRECTNESS_CAP,
-    MAY_BE_EMPTY,
     all_oracle_sql,
     all_queries,
+    may_be_empty_at,
 )
 
 from .conftest import SF_ORACLE
@@ -58,9 +58,9 @@ def test_query_matches_oracle(name, spark, con):
     # vacuous-green guard (VERDICT r10 #1): a hash match over 0 rows proves
     # nothing — emptiness at this fixture must be declared, with a reason,
     # on registry.MAY_BE_EMPTY
-    assert n_rows > 0 or name in MAY_BE_EMPTY, (
+    assert n_rows > 0 or may_be_empty_at(name, SF_ORACLE), (
         f"{name}: ok_but_empty at {SF_ORACLE} and not declared in "
-        f"registry.MAY_BE_EMPTY"
+        f"registry.MAY_BE_EMPTY for this fixture"
     )
 
 

@@ -84,6 +84,9 @@ FAMILY_REPRESENTATIVES = {
     "real_codec": ("multimodal_decode_real",),
     "iterative_graph": ("pagerank_copurchase", "dedup_clusters"),
     "kmeans": ("kmeans_embeddings", "embedding_centroid_by_label"),
+    # families that debut in the r11 cap
+    "linkpred": ("graph_linkpred_common_neighbors",),
+    "forecast_eval": ("timeseries_seasonal_naive_eval", "holt_linear_forecast"),
 }
 
 
@@ -158,7 +161,7 @@ def test_cap_rows_nonempty_at_gate_sf_unless_allowlisted(spark):
     import re
 
     from kinesis_demo_spark.io import release_persisted
-    from kinesis_demo_spark.registry import MAY_BE_EMPTY
+    from kinesis_demo_spark.registry import may_be_empty_at
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     newest: dict[str, tuple[int, dict]] = {}
@@ -177,7 +180,7 @@ def test_cap_rows_nonempty_at_gate_sf_unless_allowlisted(spark):
         for name in PRIORITY_ORDER
         if name in newest
         and newest[name][1].get("spark_rows") == 0
-        and name not in MAY_BE_EMPTY
+        and not may_be_empty_at(name, "/root/testdata/sf0.01")
     ]
     qs = all_queries()
     vacuous = []

@@ -150,6 +150,26 @@ def unicode_documents_rows():
         "İstanbul ırmak IJssel straße MASSE masse",   # dotted I, sharp s
         "a­a b​b c⁠c",                 # soft hyphen, zero-width
         "ｗｉｄｅ ａｓｃｉｉ ﾊﾝｶｸ ｶﾅ",              # fullwidth/halfwidth forms
+        # BM25 query-term plants (r11, mixed with multibyte context): the
+        # retrieval family queries ("spark", "hash", "window") — without
+        # them the BM25/PRF rows are 0-row matches on this fixture too
+        "spark スパーク hash ハッシュ window ウィンドウ",
+        "die spark engine nutzt hash joins im window verfahren",
+        "спарк spark окно window хеш hash",
+        # exact-substring + intradoc-repeat plants (r11): a >=130-char
+        # shared CYRILLIC passage at different offsets (dedup_substring_runs
+        # must count anchor positions in CHARS, not bytes — 2 bytes/char
+        # here) and a thrice-repeated multibyte word trigram
+        # (text_intradoc_repeats) — without these both rows were 0-row
+        # matches on this fixture
+        "начало первого документа "
+        + "повторяющийся длинный отрывок текста для проверки точного "
+          "совпадения подстрок в юникоде где каждый символ занимает два "
+          "байта в кодировке",
+        "повторяющийся длинный отрывок текста для проверки точного "
+        "совпадения подстрок в юникоде где каждый символ занимает два "
+        "байта в кодировке — и другой конец",
+        "катя пошла домой и снова катя пошла домой и опять катя пошла домой",
     ]
     k = 0
     while len(docs) < 24:  # even count, multibyte length ladder
@@ -176,6 +196,12 @@ def documents_rows():
         "spam spam spam spam spam spam spam spam spam spam",
         "one two three four five six seven eight nine ten eleven twelve",
         "uno dos tres cuatro cinco seis siete ocho nueve diez",
+        # BM25 query-term plants (r11): the retrieval family's query is
+        # ("spark", "hash", "window") — without these the BM25/PRF/hard-
+        # negative rows hash-match over the EMPTY set on this fixture
+        "spark shuffles the hash join while the window closes",
+        "a window into spark internals",
+        "hash partitioning and hash aggregation in spark",
     ]
     # even-count median trap: pad to an EVEN total with a strictly
     # increasing length ladder so the two middle lengths DIFFER
@@ -252,7 +278,11 @@ def tpch_rows():
     for o in range(60):
         cust = 0 if o < 15 else (o % 15)  # customers 15..24 have NO orders
         date = dt.datetime(2024, 1, 1) if o < 20 else dt.datetime(2024, 1 + o % 3, 1 + o % 28)
-        orders.append((o, cust, "O" if o % 2 == 0 else "F", 1000.0, date, "1-URGENT" if o < 48 else f"{1 + o % 5}-X"))
+        # two big-ticket orders (r11): semi_join_customers_with_orders
+        # filters o_totalprice > 200000 — without these its row is a
+        # vacuous 0-row match on this fixture
+        price = 250000.0 if o in (3, 4) else 1000.0
+        orders.append((o, cust, "O" if o % 2 == 0 else "F", price, date, "1-URGENT" if o < 48 else f"{1 + o % 5}-X"))
     lineitem = []
     ln = 0
     for o in range(55):  # orders 55..59 have NO lineitems
@@ -272,6 +302,16 @@ def tpch_rows():
         for o in range(1, 55, 2):
             lineitem.append((o, 0, (o * 3) % 10, 90 + o, 2.0 + o % 3, 75.0,
                              0.0, 0.04, "N", "O", dt.datetime(2024, 1, 1 + o % 28)))
+    # link-prediction plant (r11): parts 30/31 hang off the big clique
+    # through part 30 only — part 31 shares neighbor 30 with part 5 but is
+    # NOT adjacent to part 5, so graph_linkpred_common_neighbors has
+    # non-adjacent candidates on this fixture (orders 100/101 deliberately
+    # have no orders-table row: orphan FK rows are adversarial signal for
+    # the outer-join family, and parts 30/31 are orphan part keys)
+    lineitem.append((100, 5, 0, 1, 1.0, 10.0, 0.0, 0.04, "N", "O", dt.datetime(2024, 1, 10)))
+    lineitem.append((100, 30, 1, 2, 1.0, 10.0, 0.0, 0.04, "N", "O", dt.datetime(2024, 1, 10)))
+    lineitem.append((101, 30, 2, 1, 1.0, 10.0, 0.0, 0.04, "N", "O", dt.datetime(2024, 1, 11)))
+    lineitem.append((101, 31, 3, 2, 1.0, 10.0, 0.0, 0.04, "N", "O", dt.datetime(2024, 1, 11)))
     if NULLS:
         # NULL part/supp keys on a real order: distinct counts, grouping,
         # and part/supplier joins must agree on NULL exclusion

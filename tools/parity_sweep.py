@@ -54,7 +54,7 @@ def main() -> int:
 
     import __spark_entry__ as entry  # noqa: E402
     from kinesis_demo_spark.io import release_persisted  # noqa: E402
-    from kinesis_demo_spark.registry import MAY_BE_EMPTY  # noqa: E402
+    from kinesis_demo_spark.registry import may_be_empty_at  # noqa: E402
 
     qs, osql = entry.queries(), entry.oracle_sql()
     con = duckdb_conn(sf_dir)
@@ -87,12 +87,13 @@ def main() -> int:
             # evidence — fail unless the emptiness is declared legitimate
             if ok and n_rows == 0:
                 report[name]["ok_but_empty"] = True
-                if name not in MAY_BE_EMPTY:
+                if not may_be_empty_at(name, sf_dir):
                     ok = False
                     report[name]["ok"] = False
                     report[name]["problems"] = [
                         "ok_but_empty: 0-row hash match and the query is not "
-                        "on registry.MAY_BE_EMPTY"
+                        "declared may-be-empty for this fixture "
+                        "(registry.MAY_BE_EMPTY)"
                     ]
                     n_empty_bad += 1
         except Exception as exc:  # noqa: BLE001 — the sweep must cover the rest

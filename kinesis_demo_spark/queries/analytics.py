@@ -3997,7 +3997,15 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- association rules over co-purchase baskets (Apriori-pruned) --------------------
 
-ASSOC_ITEM_DENOM = 1000  # frequent item: appears in >= n_baskets/1000 baskets
+# Frequent item: basket count >= greatest(MEAN item basket-count, floor).
+# r11 (the ok_but_empty catch): the former n_baskets/1000 rule assumed
+# baskets-per-item grows with the corpus, but in a catalog that grows WITH
+# the data (TPC-H: ~30 baskets/item at every SF) a basket-count fraction
+# goes unreachable — 0 frequent items at sf0.1, so every sweep's green row
+# was a hash match over the empty set. The mean-relative form is
+# scale-free: 117/1228/11949 frequent items and 2332/3832/3874 rules at
+# sf0.001/0.01/0.1 (measured), and on Zipf-real data the mean cuts the
+# long tail exactly as Apriori intends.
 ASSOC_ITEM_FLOOR = 5
 ASSOC_MIN_PAIR = 2       # rule support floor (fixture baskets are near-uniform)
 
@@ -4008,9 +4016,10 @@ ASSOC_MIN_PAIR = 2       # rule support floor (fixture baskets are near-uniform)
 WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
 n AS (SELECT count(DISTINCT ok) AS n_baskets FROM b),
 ic AS (SELECT item, count(*) AS cnt FROM b GROUP BY item),
+st AS (SELECT count(*) AS n_items, sum(cnt) AS tot FROM ic),
 freq AS (
-  SELECT ic.item, ic.cnt FROM ic, n
-  WHERE ic.cnt >= greatest(n.n_baskets // {ASSOC_ITEM_DENOM}, {ASSOC_ITEM_FLOOR})
+  SELECT ic.item, ic.cnt FROM ic, st
+  WHERE ic.cnt >= greatest(st.tot // st.n_items, {ASSOC_ITEM_FLOOR})
 ),
 fb AS (SELECT b.ok, b.item FROM b JOIN freq ON freq.item = b.item),
 pc AS (
@@ -4028,13 +4037,14 @@ FROM pc JOIN freq fa ON fa.item = pc.antecedent
 def assoc_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules (antecedent -> consequent over order
     baskets) with support, confidence, and lift. The Apriori property does
-    the pruning: items below the corpus-relative support floor
-    (n_baskets/{ASSOC_ITEM_DENOM}, floor {ASSOC_ITEM_FLOOR}) are removed
-    BEFORE the basket self-join, so the pair-generation input shrinks with
-    the (Zipf) item tail rather than paying |basket|^2 over everything;
-    rules themselves need support >= {ASSOC_MIN_PAIR}. Confidence and lift
-    are each one IEEE division of exact integer counts — hash-identical
-    across engines.
+    the pruning: items below the corpus-relative support floor (the MEAN
+    per-item basket count, floor {ASSOC_ITEM_FLOOR} — see the r11
+    scale-trap note above the constants) are removed BEFORE the basket
+    self-join, so the pair-generation input shrinks with the (Zipf) item
+    tail rather than paying |basket|^2 over everything; rules themselves
+    need support >= {ASSOC_MIN_PAIR}. Confidence and lift are each one
+    IEEE division of exact integer counts — hash-identical across
+    engines.
 
     Distinct from event_cooccurrence_lift (a 5-type event-pair contingency
     table): this mines a ~|parts|-wide item catalog with Apriori pruning,
@@ -4052,11 +4062,14 @@ def assoc_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = track_persist(b)
     n_row = b.agg(F.countDistinct("ok").alias("n_baskets"))
     ic = b.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    st = ic.agg(
+        F.count(F.lit(1)).alias("n_items"), F.sum("cnt").alias("tot")
+    )
     freq = track_persist(
-        ic.crossJoin(F.broadcast(n_row)).filter(
+        ic.crossJoin(F.broadcast(st)).filter(
             F.col("cnt")
             >= F.greatest(
-                F.expr(f"n_baskets DIV {ASSOC_ITEM_DENOM}"),
+                F.expr("tot DIV n_items"),
                 F.lit(ASSOC_ITEM_FLOOR).cast("long"),
             )
         ).select("item", "cnt")

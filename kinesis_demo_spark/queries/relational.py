@@ -1768,18 +1768,27 @@ WITH pv AS (
 )
 SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
 FROM pv
-WHERE CAST(value_dec AS DOUBLE) > 0.001 * (SELECT CAST(sum(value_dec) AS DOUBLE) FROM pv)
+WHERE CAST(value_dec AS DOUBLE)
+      > 1.5 * ((SELECT CAST(sum(value_dec) AS DOUBLE) FROM pv)
+               / (SELECT CAST(count(*) AS DOUBLE) FROM pv))
 """,
 )
 def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 shape: parts whose shipped value within one region exceeds a
-    fixed fraction of the region's total — the HAVING-over-a-global-
+    threshold derived from the region's total — the HAVING-over-a-global-
     scalar-subquery pattern (Q15 filters on the global MAX; this one on a
-    FRACTION of the global SUM, which is the harder case because the
-    threshold depends on every group). Per-part values are DECIMAL-exact;
-    the grand total is a DECIMAL sum OF those group sums (associative,
-    order-free), so the 0.001 x total threshold is one IEEE multiply in
-    both engines.
+    function of the global SUM, which is the harder case because the
+    threshold depends on every group). The threshold is 1.5 x the MEAN
+    per-part share (r11, the ok_but_empty catch): the former fixed
+    0.001 x total is TPC-H's own scaling trap — the spec scales its
+    FRACTION by 1/SF precisely because a fixed fraction of total goes
+    unreachable as the part catalog grows (measured here: 33 rows at
+    sf0.001, 0 at sf0.1 where every part holds ~1/20000 of total); the
+    mean-relative form is scale-free (33/290/2864 rows at
+    sf0.001/0.01/0.1). Per-part values are DECIMAL-exact; the grand total
+    and count are exact aggregates of those group sums (associative,
+    order-free), so the threshold is one IEEE divide + multiply in both
+    engines.
 
     Scale: region prunes supplier to a broadcast list before the fact
     join; the per-part aggregate shuffles once on partkey; the grand
@@ -1798,12 +1807,16 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("value_dec"))
     )
-    total = pv.agg(F.sum("value_dec").alias("total_dec"))
+    total = pv.agg(
+        F.sum("value_dec").alias("total_dec"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
         pv.crossJoin(F.broadcast(total))
         .filter(
             F.col("value_dec").cast("double")
-            > F.lit(0.001) * F.col("total_dec").cast("double")
+            > F.lit(1.5)
+            * (F.col("total_dec").cast("double") / F.col("n_parts").cast("double"))
         )
         .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
     )

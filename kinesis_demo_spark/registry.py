@@ -65,16 +65,18 @@ DRIVER_CORRECTNESS_CAP = 50
 # mechanical: recompute newest-green-round per query from the CORRECTNESS
 # files and fill.
 #
-# Round-11 rotation: 7 changed/new plans first —
+# Round-11 rotation: 9 changed/new plans first —
 #   graph_kcore (k = ceil(0.7 x mean) vacuity retune; its first NON-EMPTY
 #   driver row), er_blocking_quality (prefix-filter truth leg),
 #   graph_triangle_clustering (basket-expansion edge build),
 #   streaming_interval_join + streaming_outer_interval_join (1 h interval
 #   vacuity retune), graph_linkpred_common_neighbors +
-#   timeseries_seasonal_naive_eval (new) —
+#   timeseries_seasonal_naive_eval (new), tpch_q11_important_stock +
+#   assoc_rules_copurchase (the two empty-at-sf0.1 rows the new
+#   ok_but_empty sweep gate caught — thresholds retuned scale-free) —
 # then ALL 38 r5-stale rows (the complete list from VERDICT r10 "What's
 # missing" #2, including the 8 rotations r10's changed-plans-first rule
-# deferred), then the 6 alphabetically-first r6 rows. After this round no
+# deferred), then the 4 alphabetically-first r6 rows. After this round no
 # registered query's newest green driver row is older than r6. Everything
 # else keeps its pass(rN) standing plus the full local gates
 # (tests/test_oracle_parity.py over the whole registry every pytest run,
@@ -88,6 +90,8 @@ PRIORITY_ORDER = (
     "streaming_outer_interval_join",
     "graph_linkpred_common_neighbors",
     "timeseries_seasonal_naive_eval",
+    "tpch_q11_important_stock",
+    "assoc_rules_copurchase",
     "ann_cosine_topk_lsh",
     "dedup_contamination_check",
     "dedup_embedding_cosine_lsh",
@@ -129,8 +133,6 @@ PRIORITY_ORDER = (
     "ann_pq_adc_topk",
     "bpe_merge_candidates",
     "corpus_mixture_report",
-    "curriculum_quality_buckets",
-    "dedup_canonical_selection",
 )
 
 

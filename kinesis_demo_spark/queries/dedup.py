@@ -46,6 +46,17 @@ from ..io import fan_out, load_table, spread, track_checkpoint, track_persist
 from ..registry import register
 
 JACCARD_THRESHOLD = 0.2
+# Exact rational form of the threshold for the prefix/positional/length
+# PRUNING arithmetic (r11, caught by the --skew sweep's first run): the
+# prune bounds must be CONSERVATIVE, but float evaluation breaks exactly at
+# the J == t boundary — ceil(0.2/1.2 * 42) evaluates ceil(7.000000000000001)
+# = 8 in IEEE, pruning a true pair whose exact required overlap is 7, and
+# `na >= 0.2 * 15` is false though 3 >= 3 is true. All prune math therefore
+# uses integer ceil-divisions built from NUM/DEN; the exact-Jaccard VERIFY
+# stage still compares the one IEEE division against the float threshold,
+# identically in both engines.
+JACCARD_T_NUM, JACCARD_T_DEN = 1, 5
+assert JACCARD_T_NUM / JACCARD_T_DEN == JACCARD_THRESHOLD
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4
 SIMHASH_MAX_HAMMING = 3  # <= bands - 1 so the band join stays exact
@@ -230,10 +241,13 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     depends on the order being rarity: the AllPairs prefix theorem holds for
     ANY global total order, and (df, s) is one."""
     t = JACCARD_THRESHOLD
+    tn, td = JACCARD_T_NUM, JACCARD_T_DEN
     sh = _shingled(spark, sf_dir)
     ex = sh.select("doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
     df_tbl = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(t)) + 1
+    # integer-exact ceil(t*n) = (NUM*n + DEN - 1) DIV DEN — see the
+    # JACCARD_T_NUM note: float ceil over-prunes at the J == t boundary
+    prefix_len = F.col("n") - F.expr(f"({tn} * n + {td} - 1) DIV {td}") + 1
     ordered = (
         # broadcast hint: the df side is the DISTINCT-shingle table — it grows
         # sublinearly with the corpus (vocabulary saturation), and while it
@@ -276,13 +290,19 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ubound = F.lit(1) + F.least(
         F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")
     )
-    min_overlap = F.ceil(F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb")))
+    # exact required overlap: J >= NUM/DEN <=> inter*(NUM+DEN) >= NUM*(na+nb)
+    # <=> inter >= ceil(NUM*(na+nb)/(NUM+DEN)) — integer ceil-div, never the
+    # float form ceil(t/(1+t)*(na+nb)) which lands one ULP high at boundary
+    min_overlap = F.expr(
+        f"({tn} * (na + nb) + {tn + td} - 1) DIV {tn + td}"
+    )
     cands = (
         a.join(b, "s")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("na") >= t * F.col("nb"))
-            & (F.col("nb") >= t * F.col("na"))
+            # length filter in exact integers: na >= t*nb <=> DEN*na >= NUM*nb
+            & (F.lit(td) * F.col("na") >= F.lit(tn) * F.col("nb"))
+            & (F.lit(td) * F.col("nb") >= F.lit(tn) * F.col("na"))
             & (ubound >= min_overlap)
         )
         .select("doc_a", "doc_b")

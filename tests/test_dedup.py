@@ -398,3 +398,42 @@ def test_snm_global_rank_is_boundary_invariant(spark):
     # must appear in the output.
     verified = {(x.doc_a, x.doc_b) for x in got_pairs.collect()}
     assert verified <= expected, f"pair outside rank window: {verified - expected}"
+
+
+def test_prefix_filter_keeps_exact_boundary_pairs(spark, tmp_path):
+    """Regression for the r11 --skew sweep catch: the prefix/positional/
+    length prune bounds evaluated in FLOAT pruned true pairs sitting
+    exactly at J == t (ceil(0.2/1.2 * 42) = ceil(7.000000000000001) = 8;
+    na >= 0.2*15 false at na=3). Two planted boundary pairs:
+
+    - docs 1/2: na=3, nb=15, A's shingles a subset of B's -> J = 3/15 =
+      0.2 exactly AND na == t*nb exactly (double boundary: length filter
+      + positional bound);
+    - docs 3/4: na=nb=3, one shared shingle -> J = 1/(3+3-1) = 0.2.
+
+    The prefix-filtered output must equal the plain inverted index's
+    output (same oracle by construction) and contain both pairs."""
+    from kinesis_demo_spark.queries.dedup import (
+        dedup_ngram_jaccard,
+        dedup_ngram_jaccard_prefix,
+    )
+    from kinesis_demo_spark.io import release_persisted
+
+    w = [f"w{i}" for i in range(17)]
+    docs = [
+        (1, " ".join(w[:5])),          # 3 shingles, prefix of doc 2
+        (2, " ".join(w[:17])),         # 15 shingles
+        (3, "qa qb qc qd qe"),         # shingles qa-qb-qc, qb-qc-qd, qc-qd-qe
+        (4, "qc qd qe rx ry"),         # shares exactly qc-qd-qe
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    df = df.selectExpr("doc_id", "text", "cast(null as string) lang",
+                       "'s' source", "length(text) n_chars")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    plain = {(r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, str(tmp_path)).collect()}
+    release_persisted()
+    pref = {(r.doc_a, r.doc_b) for r in dedup_ngram_jaccard_prefix(spark, str(tmp_path)).collect()}
+    release_persisted()
+    assert (1, 2) in plain and (3, 4) in plain
+    assert pref == plain

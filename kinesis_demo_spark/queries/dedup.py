@@ -2460,15 +2460,22 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction_ratio); both ratios are single IEEE divisions of exact
     counts, so the row value-hash-checks.
 
-    Scale: the truth set is the prefix-filtered exact-Jaccard pipeline
-    (VERDICT r10 #5 — the audit's heavy leg): the AllPairs prefix theorem
-    makes its output PROVABLY identical to the plain inverted-index pair
-    aggregation for any J >= t (see dedup_ngram_jaccard_prefix — the
-    oracle still computes truth from the full index, so the hash check
-    itself certifies the equivalence at every fixture), while the
-    candidate bound drops the Zipf-head bucket blow-up that made the
-    uncapped index the audit's dominant cost (measured at sf1:
-    6.2 s -> see SCALING_SF1.json). Candidates come from the shared SNM
+    Scale: the truth set IS the audit's contract — the exact uncapped
+    inverted-index pair aggregation (VERDICT r10 #5, resolved by
+    measurement): the AllPairs prefix-filtered pipeline was tried as the
+    truth leg in r11 (provably identical output, and it WAS verified
+    hash-identical at six fixtures), but a same-session min-of-3
+    head-to-head measured it 2.6x SLOWER on this corpus (sf1: 13.5 s vs
+    5.0 s; sf0.1: 2.8 s vs 1.1 s) — the synthetic corpus's vocabulary
+    saturates, so shingle df stays low, there is no Zipf head for the
+    prefix to prune, and the prefix machinery's extra stages (df join,
+    per-doc rarity sort, posexplode, candidate distinct, array-verify)
+    are pure overhead. On a Zipf-real web corpus the prefix/df-capped
+    variants are the scale path and ship beside this audit as
+    first-class queries; the audit itself keeps the exact index because
+    its COMPLETENESS denominator must be beyond doubt (the --skew
+    fixture's df == n_docs boilerplate shingle pins the hot-bucket
+    aggregation exactness). Candidates come from the shared SNM
     banded-rank join (_snm_candidate_pairs); the final combine is a
     cross-join of four ONE-ROW aggregates — constant data movement. At
     100 TB the truth set would be sampled (audit a stratum, not the
@@ -2482,7 +2489,19 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inverted-index lineage in every reference (the 38-shuffle audit
     # depth) and needed persists at all; this one needs none.
     cand = _snm_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b").distinct()
-    truth = dedup_ngram_jaccard_prefix(spark, sf_dir).select("doc_a", "doc_b")
+    sh = _shingled(spark, sf_dir)
+    ex = sh.select("doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
+    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
+    jacc = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    truth = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"), F.min("na").alias("na"), F.min("nb").alias("nb"))
+        .filter(jacc >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
     n = _docs(spark, sf_dir).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     both = cand.withColumn("is_cand", F.lit(1)).join(
         truth.withColumn("is_true", F.lit(1)), ["doc_a", "doc_b"], "full_outer"

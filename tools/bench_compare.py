@@ -74,6 +74,9 @@ WATCH = (
     "timeseries_user_similarity",
     "mutual_nearest_lsh",
     "pipeline_training_manifest",
+    # r11: one-row window-over-window drift on a byte-identical plan while
+    # its audio siblings ran FASTER — see BENCH_COMPARE_r11.md adjudication
+    "audio_fingerprint_neardup",
 )
 
 # fused-query name -> the round-2 query names whose times it absorbed

@@ -99,7 +99,14 @@ def _load(path: str) -> tuple[dict[str, float], dict[str, float]]:
     affected run while a real plan regression moves both rounds' medians —
     so min-flag + median-clear == window noise, no re-timing needed."""
     with open(path) as f:
-        doc = json.load(f)
+        try:
+            doc = json.load(f)
+        except json.JSONDecodeError:
+            # JSON-lines seal file (BENCH_r{N}_local.json: headline_detail
+            # line first, then summary/second-window lines) — the first
+            # line is the sealed clean-window detail.
+            f.seek(0)
+            doc = json.loads(f.readline())
     if "parsed" in doc and isinstance(doc["parsed"], dict):
         doc = doc["parsed"]
     if SERIES == "queries_cold" and "queries_cold" in doc:

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..functions.hashing import h60, h60_sql
+from ..functions.timeutil import trunc_hour_ntz
 from ..io import load_table
 from ..plans.movements import X_SQL, Y_SQL, x_col, y_col
 from ..registry import register
@@ -4431,7 +4432,14 @@ def timeseries_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFram
     arithmetic on truncated hours, abs_err stays decimal through the
     per-user SUM (a double sum over hours would be fold-order-sensitive),
     and only the two final reported columns cast to double — one cast and
-    one IEEE division per row, identical in both engines.
+    one IEEE division per row, identical in both engines. The hour bucket
+    and the 24 h lag live entirely in the TIMESTAMP_NTZ (wall-clock)
+    domain (trunc_hour_ntz; NTZ + day-time interval is pure wall-clock
+    arithmetic): under a DST session timezone a coerced date_trunc would
+    shift gap-hour rows and split an ambiguous fall-back hour by offset
+    while the DuckDB oracle's naive timestamps would not (ADVICE r11 #4) —
+    NTZ end-to-end makes the backtest bit-exact in EVERY session zone,
+    transitions included.
 
     Scale: one map-side-combinable hourly rollup, then a self-equi-join on
     (user_id, hour) — both sides hash-partition on user_id, the join is
@@ -4440,7 +4448,7 @@ def timeseries_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFram
     collapsed. At 100 TB with a date-partitioned lake the lagged side
     prunes to the same partitions shifted by one day."""
     ev = _events(spark, sf_dir)
-    hour = F.date_trunc("hour", F.col("ts"))
+    hour = trunc_hour_ntz(F.col("ts").cast("timestamp_ntz"))
     hourly = ev.groupBy("user_id", hour.alias("h")).agg(
         F.sum(F.col("value").cast("decimal(18,2)")).alias("y")
     )

@@ -1063,7 +1063,14 @@ def _bm25_contrib_index(spark: SparkSession, sf_dir: str):
     pulls instead of eager checkpoints (measured: checkpointing tf+contrib
     here cost 1.8-3.6x at sf0.1 — full-width materialization without AQE —
     while the bounded pulls keep r9 runtime AND cut the final plan to the
-    index lineage once)."""
+    index lineage once).
+
+    INVARIANT (ADVICE r11 #2): the (tf, contrib) this returns is the ONLY
+    index shape _prf_from_index may be handed — its literal memo is keyed
+    on (corpus identity, BM25_K1/B, query terms, PRF sizes, cache epoch),
+    i.e. on THIS build recipe. A caller constructing a different index
+    (filtered corpus, re-parameterized BM25) must bump _PRF_CACHE_EPOCH or
+    bypass the memo, or it will receive stale baked-in literals."""
     docs = _docs(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(_tokens()).alias("term")).filter(
         F.col("term") != ""
@@ -1114,14 +1121,38 @@ def _bm25_contrib_index(spark: SparkSession, sf_dir: str):
 # makes the second and later builds free.
 _PRF_LITERAL_CACHE: dict = {}
 
+# Bump when the PRF/index recipe changes in a way the parameter constants
+# below don't capture (ADVICE r11 #2: the memo key must encode the identity
+# of the index BUILD, not just the corpus path, or a differently-built index
+# for the same corpus would silently serve stale literals).
+_PRF_CACHE_EPOCH = 1
+
 
 def _prf_corpus_key(sf_dir: str) -> tuple:
     path = os.path.join(sf_dir, "documents.parquet")
     try:
         mtime = os.stat(path).st_mtime_ns
+        if os.path.isdir(path):
+            # an in-place rewrite of part files that adds/removes nothing
+            # leaves the directory mtime unchanged — fold in the newest
+            # entry so such a rewrite still invalidates (ADVICE r11 #2)
+            for entry in os.scandir(path):
+                try:
+                    mtime = max(mtime, entry.stat().st_mtime_ns)
+                except OSError:
+                    pass
     except OSError:
         mtime = -1
-    return (os.path.realpath(sf_dir), mtime)
+    return (
+        os.path.realpath(sf_dir),
+        mtime,
+        BM25_K1,
+        BM25_B,
+        BM25_QUERY_TERMS,
+        PRF_FEEDBACK_DOCS,
+        PRF_EXPANSION_TERMS,
+        _PRF_CACHE_EPOCH,
+    )
 
 
 def _prf_from_index(

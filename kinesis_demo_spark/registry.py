@@ -7,6 +7,7 @@ operator (the driver then records a rows-only check).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from importlib import import_module
 
@@ -250,19 +251,41 @@ MAY_BE_EMPTY: dict[str, dict] = {
 }
 
 
+# Marker file gen_adversarial_fixture.py writes into every hostile
+# micro-fixture dir. Micro-fixtures are matched POSITIVELY by this marker
+# (or a well-known basename), never by "not under /root/testdata" — a
+# full-scale generated fixture (e.g. /tmp/sf1, used by the SCALING seals
+# and tools/graph_watch.py) must NOT inherit the micro allowance, or the
+# vacuous-green guard silently evaporates at exactly the largest fixture
+# (ADVICE r11 #1).
+MICRO_MARKER = ".micro-fixture"
+_MICRO_BASENAMES = frozenset(
+    {"sfadv", "sfuni", "sfskew", "sfnull", "sfnulls", "sftime"}
+)
+
+
+def _is_micro_fixture(sf_dir: str) -> bool:
+    real = os.path.realpath(sf_dir)
+    base = real.rstrip("/").rsplit("/", 1)[-1]
+    return base in _MICRO_BASENAMES or os.path.exists(
+        os.path.join(real, MICRO_MARKER)
+    )
+
+
 def may_be_empty_at(name: str, sf_dir: str) -> bool:
     """True iff ``name`` is declared legitimately-empty for the fixture at
     ``sf_dir`` (see MAY_BE_EMPTY). Driver fixtures match by directory base
-    name; every non-/root/testdata dir is a generated hostile micro-fixture
-    and matches the "micro" token."""
+    name (realpath'd, so relative paths work); the "micro" token matches
+    only POSITIVELY identified hostile micro-fixtures — a well-known
+    basename or the generator's ``.micro-fixture`` marker file."""
     ent = MAY_BE_EMPTY.get(name)
     if not ent:
         return False
     toks = ent["fixtures"]
-    base = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = os.path.realpath(sf_dir).rstrip("/").rsplit("/", 1)[-1]
     if base in toks:
         return True
-    return "micro" in toks and not sf_dir.startswith("/root/testdata")
+    return "micro" in toks and _is_micro_fixture(sf_dir)
 
 
 def _ordered(names: dict) -> dict:

@@ -681,3 +681,76 @@ def test_seasonal_naive_eval_known_answer(spark, tmp_path):
         for r in timeseries_seasonal_naive_eval(spark, str(tmp_path)).collect()
     }
     assert got == {1: (2, 2.0, 1.0, 1)}
+
+
+def test_seasonal_naive_eval_dst_wall_clock(spark, tmp_path):
+    """ADVICE r11 #4: the hour bucket and the 24 h lag must be pure
+    wall-clock (TIMESTAMP_NTZ) so a DST session timezone cannot split the
+    engines. Planted: a forecast target INSIDE the spring-forward gap
+    (2024-03-10 02:30 America/New_York does not exist locally — a coerced
+    date_trunc shifts it to the 03:00 bucket and loses the pair) and a
+    fall-back hour whose two local 01:xx readings must merge into ONE
+    wall-clock bucket. Runs under an America/New_York session and checks
+    both the hand-derived answer and bit-exact DuckDB parity."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kinesis_demo_spark.queries.analytics import timeseries_seasonal_naive_eval
+    from kinesis_demo_spark.registry import all_oracle_sql
+
+    def ts(s):
+        import datetime as dt
+
+        return dt.datetime.fromisoformat(s)
+
+    rows = [
+        # user 1: spring-forward gap target
+        (1, ts("2024-03-09 02:30:00"), 1, "view", 10.0, "{}"),
+        (2, ts("2024-03-10 02:30:00"), 1, "view", 13.0, "{}"),  # gap hour
+        # user 2: fall-back ambiguous hour, two readings one wall bucket
+        (3, ts("2024-11-02 01:30:00"), 2, "view", 5.0, "{}"),
+        (4, ts("2024-11-03 01:15:00"), 2, "view", 2.0, "{}"),
+        (5, ts("2024-11-03 01:45:00"), 2, "view", 3.5, "{}"),
+    ]
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(cols[0], pa.int64()),
+                "ts": pa.array(cols[1], pa.timestamp("us")),
+                "user_id": pa.array(cols[2], pa.int64()),
+                "event_type": pa.array(cols[3], pa.string()),
+                "value": pa.array(cols[4], pa.float64()),
+                "props": pa.array(cols[5], pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        got = {
+            r.user_id: (r.n_evals, r.sum_abs_err, r.mae, r.n_exact)
+            for r in timeseries_seasonal_naive_eval(spark, str(tmp_path)).collect()
+        }
+        assert got == {1: (1, 3.0, 3.0, 0), 2: (1, 0.5, 0.5, 0)}
+
+        import duckdb
+
+        from .oracle_harness import compare_counted
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        problems, n = compare_counted(
+            timeseries_seasonal_naive_eval(spark, str(tmp_path)),
+            con,
+            all_oracle_sql()["timeseries_seasonal_naive_eval"],
+            "timeseries_seasonal_naive_eval",
+        )
+        assert not problems and n == 2
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

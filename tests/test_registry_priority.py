@@ -210,3 +210,34 @@ def test_oracle_order_is_a_subsequence_of_query_order():
     pos = {n: i for i, n in enumerate(qnames)}
     assert all(n in pos for n in onames)
     assert onames == sorted(onames, key=pos.__getitem__)
+
+
+def test_micro_fixture_match_is_positive(tmp_path):
+    """ADVICE r11 #1: the "micro" allowance must match POSITIVELY (marker
+    file or well-known basename), never "any dir outside /root/testdata" —
+    a full-scale generated fixture like /tmp/sf1 must keep the full
+    vacuous-green guard."""
+    from kinesis_demo_spark.registry import MICRO_MARKER, may_be_empty_at
+
+    name = "search_phrase_positions"  # declared ("sf0.001", "micro")
+
+    # a full-scale fixture dir outside /root/testdata, no marker: NOT micro
+    big = tmp_path / "sf1"
+    big.mkdir()
+    assert not may_be_empty_at(name, str(big))
+
+    # same dir carrying the generator's marker: micro
+    (big / MICRO_MARKER).write_text("x")
+    assert may_be_empty_at(name, str(big))
+
+    # well-known hostile basenames match without a marker
+    adv = tmp_path / "sfadv"
+    adv.mkdir()
+    assert may_be_empty_at(name, str(adv))
+
+    # driver-fixture declaration matches through a relative path (realpath)
+    import os
+
+    rel = os.path.relpath("/root/testdata/sf0.001", os.getcwd())
+    assert may_be_empty_at(name, rel)
+    assert not may_be_empty_at(name, "/root/testdata/sf0.01")

@@ -102,11 +102,28 @@ def _load(path: str) -> tuple[dict[str, float], dict[str, float]]:
         try:
             doc = json.load(f)
         except json.JSONDecodeError:
-            # JSON-lines seal file (BENCH_r{N}_local.json: headline_detail
-            # line first, then summary/second-window lines) — the first
-            # line is the sealed clean-window detail.
+            # JSON-lines seal file (BENCH_r{N}_local.json). Scan for the
+            # line that actually carries a per-query map instead of
+            # trusting line order (ADVICE r11 #3: a seal leading with the
+            # summary line would otherwise compare an empty map and exit
+            # green with nothing compared).
             f.seek(0)
-            doc = json.loads(f.readline())
+            doc = None
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                cand = json.loads(line)
+                if isinstance(cand, dict) and (
+                    "queries" in cand or "queries_cold" in cand
+                ):
+                    doc = cand
+                    break
+            if doc is None:
+                raise SystemExit(
+                    f"{path}: JSON-lines seal has no line with a "
+                    f"'queries'/'queries_cold' map — nothing to compare"
+                )
     if "parsed" in doc and isinstance(doc["parsed"], dict):
         doc = doc["parsed"]
     if SERIES == "queries_cold" and "queries_cold" in doc:

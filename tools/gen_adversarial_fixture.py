@@ -328,6 +328,12 @@ def write(name: str, rows, schema: pa.Schema) -> None:
 
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
+    # Positive micro-fixture identification (ADVICE r11 #1): the vacuity
+    # gate's "micro" allowance matches ONLY dirs carrying this marker (or a
+    # well-known basename) — never "any dir outside /root/testdata", which
+    # would silently exempt full-scale fixtures like /tmp/sf1.
+    with open(os.path.join(OUT, ".micro-fixture"), "w") as f:
+        f.write("hostile micro-fixture written by tools/gen_adversarial_fixture.py\n")
     ts_us = pa.timestamp("us")
     write("events", events_rows(), pa.schema([
         ("event_id", pa.int64()), ("ts", ts_us), ("user_id", pa.int64()),

@@ -276,6 +276,11 @@ HEADLINE = (
     # r11: query-anchored link prediction + the seasonal-naive backtest
     "graph_linkpred_common_neighbors",
     "timeseries_seasonal_naive_eval",
+    # r12: sampled-truth ER audit (the bounded-cost scale path next to the
+    # exact audit) + incremental IVF index maintenance (frozen-codebook
+    # delta merge with drift report)
+    "er_blocking_quality_sampled",
+    "ann_ivf_delta_merge",
 )
 
 

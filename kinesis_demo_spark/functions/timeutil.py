@@ -49,3 +49,15 @@ def trunc_minute_ntz(col: Column | str) -> Column:
     return F.make_timestamp_ntz(
         F.year(c), F.month(c), F.day(c), F.hour(c), F.minute(c), F.lit(0)
     )
+
+
+def epoch_ms_sql(expr: str) -> str:
+    """DuckDB fragment mirroring Spark's ``unix_millis`` (FLOOR division of
+    epoch micros) on a timestamp expression. DuckDB's native ``epoch_ms``
+    and integer ``//`` both TRUNCATE toward zero, so every pre-1970
+    timestamp with sub-millisecond residue comes out one millisecond high
+    vs Spark (found by the --time sweep, r12). The CAST to TIMESTAMP first
+    truncates ns->us exactly like load_table's ``ts DIV 1000``
+    normalization, keeping the whole ns->us->ms chain engine-identical."""
+    u = f"epoch_us(CAST({expr} AS TIMESTAMP))"
+    return f"({u} // 1000 + CASE WHEN {u} % 1000 < 0 THEN -1 ELSE 0 END)"

@@ -287,7 +287,7 @@ SELECT event_id, user_id,
        last_value(event_id) OVER t AS last_eid,
        nth_value(event_id, 2) OVER t AS second_eid
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+WINDOW w AS (PARTITION BY user_id ORDER BY (epoch_us(CAST(ts AS TIMESTAMP)) // 1000 + CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) % 1000 < 0 THEN -1 ELSE 0 END)
              RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW),
        o AS (PARTITION BY user_id ORDER BY value NULLS FIRST, event_id),
        t AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -1396,12 +1396,16 @@ _US_PER_MIN = 60_000_000
 @register(
     "hopping_window_counts",
     oracle=f"""
-WITH hops AS (
+WITH base AS (
+  SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS u FROM events
+),
+hops AS (
   SELECT user_id, value,
-         epoch_us(ts) // {HOP_SLIDE_MIN * _US_PER_MIN} - k.k AS slide_idx
-  FROM events,
+         (u // {HOP_SLIDE_MIN * _US_PER_MIN}
+          + CASE WHEN u % {HOP_SLIDE_MIN * _US_PER_MIN} < 0 THEN -1 ELSE 0 END)
+           - k.k AS slide_idx
+  FROM base,
        (SELECT unnest(range({HOP_WINDOW_MIN // HOP_SLIDE_MIN})) AS k) k
-  WHERE epoch_us(ts) // {HOP_SLIDE_MIN * _US_PER_MIN} - k.k >= 0
 )
 SELECT user_id,
        make_timestamp(slide_idx * {HOP_SLIDE_MIN * _US_PER_MIN}) AS window_start,
@@ -1420,8 +1424,14 @@ def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle replicates the assignment arithmetic (an event at slide
     index i belongs to windows starting at i and i-1 slide units) from
-    integer epoch DIV buckets, so both engines window identically with no
-    timezone in play. Scale: the explode factor is the constant
+    integer epoch buckets, so both engines window identically with no
+    timezone in play. The bucket index FLOORS (explicit CASE correction:
+    DuckDB ``//`` truncates toward zero while Spark's ``window()`` floors
+    — they differ on every pre-1970 slide, --time sweep r12), and the
+    epoch base is ``epoch_us(CAST(ts AS TIMESTAMP))`` so a TIMESTAMP(NANOS)
+    fixture truncates ns->us exactly like load_table; windows with
+    negative starts are real windows (the r11 ``>= 0`` guard silently
+    dropped every pre-epoch window). Scale: the explode factor is the constant
     window/slide ratio; state per (user, window) is two exact aggregates —
     the same bounded-state story as the tumbling form, x2."""
     ev = _events(spark, sf_dir)
@@ -1835,12 +1845,12 @@ def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "trend_slope_per_user",
     oracle="""
-WITH t0 AS (SELECT min(epoch_us(ts)) // 1000000 AS x0 FROM events),
+WITH t0 AS (SELECT user_id, min(epoch_us(ts)) AS us0 FROM events GROUP BY user_id),
 base AS (
-  SELECT user_id,
-         epoch_us(ts) // 1000000 - t0.x0 AS x,
+  SELECT e.user_id,
+         (epoch_us(ts) - t0.us0) // 1000000 AS x,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
-  FROM events, t0
+  FROM events e JOIN t0 ON t0.user_id = e.user_id
 ),
 s AS (
   SELECT user_id, count(*) AS n,
@@ -1860,28 +1870,36 @@ def trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user least-squares trend of event value over time — the
     drift/trend detector every monitoring and feature pipeline wants,
     grouped-regression shape. Everything before the final formula is exact
-    BIGINT arithmetic: x = whole seconds since the corpus's first event
-    (global-min rebase keeps x small enough that sum(x*x) stays far below
-    2^63 — raw epoch seconds squared would overflow), y = exact cents.
-    Bound condition: span_seconds^2 x max-rows-per-key must stay under
-    2^63 (a decade's span supports ~90k rows/key at second resolution);
-    coarser x units (minutes/hours) buy 3-4 orders of magnitude when a
-    deployment exceeds it, changing only the slope's unit.
+    BIGINT arithmetic: x = whole seconds since THE USER's first event,
+    y = exact cents. The rebase is per-user and happens in the MICROS
+    domain (r12, --time fixture findings): (a) a per-user origin bounds
+    sum(x*x) by the user's own span — the r11 global-min rebase overflowed
+    int64 the moment one corpus spanned centuries (the temporal-extremes
+    fixture covers 1677-2262; Spark 4 ANSI raises while DuckDB widens to
+    int128, splitting the engines) — the bound condition is now
+    user_span_seconds^2 x rows-per-user < 2^63 (a decade's span supports
+    ~90k rows/key); (b) subtracting micros BEFORE the integer divide keeps
+    the dividend non-negative, where Spark's truncating DIV and DuckDB's
+    flooring // agree — divide-then-subtract diverges on pre-1970
+    sub-second timestamps. Slope is shift-invariant, so only
+    intercept_cents changed meaning: value at the user's first event (a
+    better-conditioned origin than the corpus start).
     Slope and intercept are then a fixed handful of IEEE ops on identical
     integers, so both engines produce bit-identical doubles. Degenerate
     users (a single event, or zero time variance) are excluded by an
     integer predicate.
 
-    Scale: one scan -> one map-side-combinable power-sum aggregate per
-    user (5 sums), the same single-exchange shape as the moments battery;
-    the global min rides in as a broadcast 1-row aggregate."""
+    Scale: per-user min (map-side-combinable agg), an equi-join back on
+    user_id (same key as the final power-sum aggregate, so AQE reuses the
+    partitioning), then one 5-sum aggregate per user; no broadcast of
+    data-sized state, no global rebase scalar."""
     ev = _events(spark, sf_dir)
     # integer DIV, not "/": long / long is a DOUBLE divide in Spark, lossy
     # above 2^53 — epoch micros are ~2^60 (the io.py nanos precedent)
-    x0 = ev.agg(F.min(F.expr("unix_micros(ts) DIV 1000000")).alias("x0"))
-    base = ev.crossJoin(F.broadcast(x0)).select(
+    um = ev.groupBy("user_id").agg(F.min(F.expr("unix_micros(ts)")).alias("us0"))
+    base = ev.join(um, "user_id").select(
         "user_id",
-        (F.expr("unix_micros(ts) DIV 1000000") - F.col("x0")).alias("x"),
+        F.expr("(unix_micros(ts) - us0) DIV 1000000").alias("x"),
         (F.col("value").cast(D2) * 100).cast("long").alias("y"),
     )
     s = base.groupBy("user_id").agg(

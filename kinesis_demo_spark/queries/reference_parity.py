@@ -42,7 +42,7 @@ mov AS (
   SELECT event_id, user_id, ts,
          {X_SQL} AS x,
          {Y_SQL} AS y,
-         epoch_ms(ts) AS time_ms,
+         (epoch_us(CAST(ts AS TIMESTAMP)) // 1000 + CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) % 1000 < 0 THEN -1 ELSE 0 END) AS time_ms,
          {SENTINEL_SQL} AS is_sentinel
   FROM events
 )

@@ -21,7 +21,7 @@ _SESSIONS_CTE = f"""
 o AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {SESSION_GAP_MS}
+                OR (epoch_us(CAST(ts AS TIMESTAMP)) // 1000 + CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) % 1000 < 0 THEN -1 ELSE 0 END) - (epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) // 1000 + CASE WHEN epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) % 1000 < 0 THEN -1 ELSE 0 END) > {SESSION_GAP_MS}
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -125,7 +125,18 @@ def sessionize_builtin_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_session_windows",
     oracle=f"""
-WITH {_SESSIONS_CTE}
+WITH events_f AS (
+  -- Spark's streaming watermark initializes at EPOCH ZERO: the native
+  -- session_window operator drops any input row whose prospective session
+  -- end (ts + gap) does not clear that initial watermark, so events older
+  -- than epoch - 24 h are late-on-arrival in the first micro-batch (--time
+  -- fixture, r12: the 1677-era sessions vanished and the pre-1970 sessions
+  -- lost their first three days). The oracle mirrors the drop; the CAST
+  -- truncates ns->us like the stream's own load normalization.
+  SELECT * FROM events
+  WHERE CAST(ts AS TIMESTAMP) + INTERVAL 24 HOURS > TIMESTAMP '1970-01-01 00:00:00'
+),
+{_SESSIONS_CTE.replace("FROM events", "FROM events_f")}
 SELECT user_id, session_start, session_end, n_events, sum_value
 FROM sessions
 WHERE user_id IS NOT NULL

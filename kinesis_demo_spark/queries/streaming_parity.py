@@ -41,11 +41,13 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_interval_join",
     oracle="""
 SELECT l.event_id AS click_id, r.event_id AS view_id, l.user_id,
-       CAST(epoch_ms(r.ts) - epoch_ms(l.ts) AS BIGINT) AS lag_ms
+       CAST((epoch_us(CAST(r.ts AS TIMESTAMP)) // 1000 + CASE WHEN epoch_us(CAST(r.ts AS TIMESTAMP)) % 1000 < 0 THEN -1 ELSE 0 END) - (epoch_us(CAST(l.ts AS TIMESTAMP)) // 1000 + CASE WHEN epoch_us(CAST(l.ts AS TIMESTAMP)) % 1000 < 0 THEN -1 ELSE 0 END) AS BIGINT) AS lag_ms
 FROM events l JOIN events r
   ON l.user_id = r.user_id
  AND l.event_type = 'click' AND r.event_type = 'view'
  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+WHERE CAST(l.ts AS TIMESTAMP) > TIMESTAMP '1970-01-01 00:00:00'
+  AND CAST(r.ts AS TIMESTAMP) > TIMESTAMP '1970-01-01 00:00:00'
 """,
 )
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,7 +57,13 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, like streaming_window_counts is for aggregate state. The 1 h
     interval is the vacuous-green retune (r11): 5 s matched zero pairs at
     every driver fixture, so the row carried no signal — see
-    run_stream_stream_join's docstring for the measured pair counts."""
+    run_stream_stream_join's docstring for the measured pair counts.
+
+    Epoch-zero initial watermark (r12, --time fixture): the stream-stream
+    join drops input rows with ts <= epoch on BOTH sides in the first
+    micro-batch — even a matched pre-epoch pair never emits (pinned at the
+    boundary in tests/test_temporal_extremes.py); the oracle mirrors the
+    drop on both legs."""
     return run_stream_stream_join(spark, sf_dir)
 
 
@@ -87,6 +95,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hour
 FROM events
+WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '1970-01-01 00:00:00'
 """,
 )
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,19 +103,34 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked against batch DISTINCT — exactly-once delivery semantics on the
     (user, type, hour) delivery key with state evicted at the watermark
     (see streaming/pipeline.py::run_stream_dedup for the bounded-state
-    argument)."""
+    argument).
+
+    Pre-epoch rows are excluded in BOTH engines: Spark's streaming
+    watermark INITIALIZES AT EPOCH ZERO, so ``dropDuplicatesWithinWatermark``
+    treats every event time at or before the epoch as already-late in the
+    first micro-batch and drops it (strict: ts <= watermark is late, pinned
+    at the boundary in tests/test_temporal_extremes.py) — a real engine behavior the --time fixture
+    exposed (r12; 145 pre-epoch rows silently vanished from the drain). A
+    deployment carrying legitimate pre-1970 event times must rebase them
+    (or use processing time); the oracle mirrors the drop so the
+    differential pins it instead of papering over it. The CAST truncates
+    ns->us exactly like the stream's own ``ts DIV 1000`` load
+    normalization, so the boundary row set is identical."""
     return run_stream_dedup(spark, sf_dir)
 
 
 @register(
     "streaming_hopping_counts",
     oracle=f"""
-WITH hops AS (
+WITH base AS (
+  SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS u FROM events
+),
+hops AS (
   SELECT user_id, value,
-         epoch_us(ts) // {5 * 60_000_000} - k.k AS slide_idx
-  FROM events,
+         (u // {5 * 60_000_000}
+          + CASE WHEN u % {5 * 60_000_000} < 0 THEN -1 ELSE 0 END) - k.k AS slide_idx
+  FROM base,
        (SELECT unnest(range(2)) AS k) k
-  WHERE epoch_us(ts) // {5 * 60_000_000} - k.k >= 0
 )
 SELECT user_id,
        make_timestamp(slide_idx * {5 * 60_000_000}) AS window_start,
@@ -129,15 +153,21 @@ def streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_outer_interval_join",
     oracle="""
 WITH clicks AS (
+  -- epoch-zero initial watermark: both join inputs drop ts <= epoch rows
+  -- in the first micro-batch (r12 --time fixture; boundary pinned in
+  -- tests/test_temporal_extremes.py) — a pre-epoch click neither matches
+  -- nor null-pads, so the oracle excludes it on both legs
   SELECT event_id AS click_id, user_id AS click_user, ts AS click_ts
   FROM events WHERE event_type = 'click'
+    AND CAST(ts AS TIMESTAMP) > TIMESTAMP '1970-01-01 00:00:00'
 ),
 views AS (
   SELECT event_id AS view_id, user_id AS view_user, ts AS view_ts
   FROM events WHERE event_type = 'view'
+    AND CAST(ts AS TIMESTAMP) > TIMESTAMP '1970-01-01 00:00:00'
 )
 SELECT c.click_id, v.view_id, c.click_user AS user_id,
-       CAST(epoch_ms(v.view_ts) - epoch_ms(c.click_ts) AS BIGINT) AS lag_ms
+       CAST((epoch_us(CAST(v.view_ts AS TIMESTAMP)) // 1000 + CASE WHEN epoch_us(CAST(v.view_ts AS TIMESTAMP)) % 1000 < 0 THEN -1 ELSE 0 END) - (epoch_us(CAST(c.click_ts AS TIMESTAMP)) // 1000 + CASE WHEN epoch_us(CAST(c.click_ts AS TIMESTAMP)) % 1000 < 0 THEN -1 ELSE 0 END) AS BIGINT) AS lag_ms
 FROM clicks c LEFT OUTER JOIN views v
   ON c.click_user = v.view_user
  AND v.view_ts >= c.click_ts AND v.view_ts <= c.click_ts + INTERVAL 1 HOUR

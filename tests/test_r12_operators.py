@@ -1,0 +1,75 @@
+"""r12 operator pins: the sampled-truth ER audit and the incremental IVF
+delta merge (VERDICT r11 #6/#7)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .conftest import SF_SMOKE
+
+
+def test_er_sampled_equals_exact_at_saturated_threshold(spark):
+    """At fixtures with <= ER_SAMPLE_TARGET docs the hash threshold
+    saturates: the sample IS the corpus, every true pair is anchored, and
+    the estimator must EQUAL the exact audit's pairs_completeness — the
+    in-driver-gate pin of estimator correctness. CI invariants hold too."""
+    from kinesis_demo_spark.queries.dedup import (
+        er_blocking_quality,
+        er_blocking_quality_sampled,
+    )
+
+    s = er_blocking_quality_sampled(spark, SF_SMOKE).collect()[0]
+    e = er_blocking_quality(spark, SF_SMOKE).collect()[0]
+    assert s.n_docs == e.n_docs
+    assert s.n_sampled == s.n_docs  # saturated
+    assert s.sample_thr_ppm == 1_000_000
+    assert s.n_true_anchored == e.n_true
+    assert s.n_caught_anchored == e.n_caught
+    assert s.pairs_completeness_est == e.pairs_completeness
+    if s.n_true_anchored:
+        assert 0.0 <= s.ci_low <= s.pairs_completeness_est <= s.ci_high <= 1.0
+
+
+def test_ann_ivf_delta_merge_known_answer(spark, tmp_path):
+    """Hand-planted corpus: 16 one-hot centroid vectors (the frozen
+    codebook) plus four copies of centroid 0 — ids 16/17 land in the base,
+    ids 18/19 in the delta (cut = 20*9 DIV 10 = 18). Cell 0 must report
+    3 base / 2 delta, delta_mass 0.4 (> 0.15 -> rebuild), zero
+    quantization error on both sides; every other cell is its own centroid
+    alone, no delta, no rebuild."""
+    from kinesis_demo_spark.queries.similarity import (
+        N_CENTROIDS,
+        ann_ivf_delta_merge,
+    )
+
+    dim = N_CENTROIDS
+    vecs = []
+    for i in range(N_CENTROIDS):
+        v = [0.0] * dim
+        v[i] = 1.0
+        vecs.append((i, v, 0))
+    e0 = [1.0] + [0.0] * (dim - 1)
+    for i in range(16, 20):
+        vecs.append((i, e0, 1))
+    ids, embs, labels = zip(*vecs)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(embs, pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    got = {
+        r.cid: (r.n_base, r.n_delta, r.delta_mass, r.base_mean_qerr,
+                r.delta_mean_qerr, r.rebuild)
+        for r in ann_ivf_delta_merge(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == (3, 2, 0.4, 0.0, 0.0, True)
+    for cid in range(1, N_CENTROIDS):
+        n_base, n_delta, mass, bq, dq, rb = got[cid]
+        assert (n_base, n_delta, mass, rb) == (1, 0, 0.0, False)
+        assert bq == 0.0 and dq is None

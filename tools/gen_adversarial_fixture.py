@@ -41,7 +41,7 @@ import sys
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ARGS = [a for a in sys.argv[1:] if a not in ("--unicode", "--nulls", "--skew")]
+ARGS = [a for a in sys.argv[1:] if a not in ("--unicode", "--nulls", "--skew", "--time")]
 UNICODE = "--unicode" in sys.argv[1:]
 # --nulls (r10, from the r9 ADVICE class): NULL join/agg KEYS the base
 # fixture never carries — NULL l_partkey/l_suppkey lineitem rows, a
@@ -59,8 +59,25 @@ NULLS = "--nulls" in sys.argv[1:]
 # wrong any_value/first, a non-commutative fold, or a hash-collision
 # assumption splits the engines.
 SKEW = "--skew" in sys.argv[1:]
+# --time (r12, VERDICT r11 #3): TEMPORAL EXTREMES — the sixth hostile class.
+# The session-TZ axis has been hostile since r8, but the DATA was always
+# benign 2024 timestamps; this class plants hostile INSTANTS instead:
+# pre-1970 negative epochs (sign/floor-vs-truncate bugs in epoch math),
+# rows crossing epoch zero exactly (+-1 us), DST spring-forward-gap and
+# fall-back-repeat LOCAL times (naive values a DST zone cannot represent
+# uniquely), and TIMESTAMP(NANOS) values within seconds of the int64
+# nanosecond range edges (1677-09-21 / 2262-04-11) carrying sub-microsecond
+# residues — the events table is written as parquet TIMESTAMP(NANOS) like
+# the driver fixtures, so load_table's `ts DIV 1000` normalization runs
+# against negative and near-overflow nanos. Each hostile era gets its OWN
+# user ids (>= 100): the gapfill family's dense grid is per-user, so eras
+# must never share a user or the contract output explodes to centuries of
+# hours. TPC-H gets a pre-1970 order and a year-9999 order, plus matching
+# lineitems.
+TIME = "--time" in sys.argv[1:]
 OUT = ARGS[0] if ARGS else (
-    "/tmp/sfuni" if UNICODE else ("/tmp/sfskew" if SKEW else "/tmp/sfadv")
+    "/tmp/sfuni" if UNICODE
+    else ("/tmp/sfskew" if SKEW else ("/tmp/sftime" if TIME else "/tmp/sfadv"))
 )
 
 SEED = 0x5EED
@@ -124,6 +141,65 @@ def events_rows():
         for i in range(2400):
             add(_ts(510000 + i * 61.0), 0, ("click", "purchase", "view")[i % 3],
                 2.0 + (i % 13), f'{{"k": {i % 9}}}')
+    if TIME:
+        # --- temporal extremes (users >= 100; one era per user block) ---
+        # ts here may be a raw int64 NANOSECOND epoch (negative / near the
+        # int64 edges / sub-us residues) — write() converts datetimes to ns
+        # under TIME and passes ints through.
+        NS_US = 1000
+        NS_S = 1_000_000_000
+
+        # (a) epoch-zero crossing, sub-us residues: -1.5us, -999ns, -1ns,
+        # 0, +1ns, +999ns, +1.5us — the DIV-vs-cast truncation boundary
+        for j, ns in enumerate((-1500, -999, -1, 0, 1, 999, 1500)):
+            add(ns, 100, "view", 1.0 + j, f'{{"k": {j}}}')
+        # (b) pre-1970 block: users 101-103, four days up to the epoch,
+        # hourly cadence with residues — negative epoch s/ms math,
+        # pre-epoch windows/gapfill/LOCF/seasonal pairs (24 h apart)
+        for i in range(96):
+            ns = -(4 * 86400 - i * 3600) * NS_S + (i % 3) * 333 + (i % 7) * NS_US
+            add(ns, 101 + i % 3, ("view", "click", "error")[i % 3],
+                1.0 + (i % 11), f'{{"k": {i % 5}}}')
+        # (c) DST spring-forward gap (America/New_York 2024-03-10
+        # 02:00-03:00 does not exist locally): users 105-107, two days
+        # around the transition including 02:15/02:30/02:45 gap locals
+        for i in range(48):
+            add(dt.datetime(2024, 3, 9, 0, 0) + dt.timedelta(hours=i),
+                105 + i % 3, ("view", "click")[i % 2], 2.0 + (i % 9), '{"k": 1}')
+        for m in (15, 30, 45):
+            add(dt.datetime(2024, 3, 10, 2, m), 105, "purchase", 9.5, '{"k": 2}')
+        # (d) DST fall-back repeat (2024-11-03 01:xx occurs twice locally):
+        # users 108-110, two days around it plus three 01:xx readings
+        for i in range(48):
+            add(dt.datetime(2024, 11, 2, 0, 0) + dt.timedelta(hours=i),
+                108 + i % 3, ("view", "error")[i % 2], 3.0 + (i % 7), '{"k": 3}')
+        for m in (10, 30, 50):
+            add(dt.datetime(2024, 11, 3, 1, m), 108, "purchase", 4.25, '{"k": 4}')
+        # (e)/(f) nanos int64 range edges. The compare harness's arbiter is
+        # pandas, whose Timestamp domain IS the int64-ns range — so derived
+        # values (day truncation, window starts, ts + interval) must stay
+        # representable too. A 3-day margin off each edge keeps every
+        # derived timestamp in-domain while the raw values still exercise
+        # near-overflow `DIV 1000` normalization and sub-us residues; the
+        # exact +-(2^63-1) edge is untestable through a pandas-backed
+        # differential and is pinned Spark-side in tests instead.
+        margin = 3 * 86400 * NS_S
+        # (e) near-MAX block: anchored in LATE MARCH 2262 (11 days under the
+        # 2262-04-11T23:47:16 edge) — not just a 3-day margin, because
+        # CALENDAR derivations reach further than interval arithmetic:
+        # last_day() of an April-2262 event is 2262-04-30, out of the
+        # pandas domain (caught by scalar_extended_battery on the first
+        # 3-day-margin cut); March's month-end 2262-03-31 stays in-domain.
+        max_ns = (1 << 63) - 1 - 11 * 86400 * NS_S
+        for i in range(48):
+            add(max_ns - (48 - i) * 3600 * NS_S + (i % 5) * 777,
+                115 + i % 2, ("view", "click")[i % 2], 5.0 + (i % 6), '{"k": 5}')
+        add(max_ns - 1000, 115, "purchase", 6.5, '{"k": 6}')
+        # (f) near-MIN block (1677-09-24, 3 days above 1677-09-21T00:12:43)
+        min_ns = -(1 << 63) + 1 + margin
+        for i in range(48):
+            add(min_ns + (i + 1) * 3600 * NS_S + (i % 5) * 777,
+                117 + i % 2, ("view", "error")[i % 2], 7.0 + (i % 4), '{"k": 7}')
     return rows
 
 
@@ -317,12 +393,48 @@ def tpch_rows():
         # and part/supplier joins must agree on NULL exclusion
         lineitem.append((1, None, None, 99, 3.0, 50.0, 0.0, 0.04, "N", "O", dt.datetime(2024, 1, 7)))
         lineitem.append((2, None, 3, 98, 4.0, 60.0, 0.05, 0.04, "A", "F", dt.datetime(2024, 1, 9)))
+    if TIME:
+        # temporal extremes in the TPC-H date columns: a pre-1970 order
+        # (negative-epoch o_orderdate) and a far-future order at the pandas
+        # ns-domain ceiling (year 9999 is valid us-timestamp data but
+        # unrepresentable by the pandas-backed compare harness — pinned
+        # Spark-side in tests instead), each with an era-matching lineitem
+        # — date filters, date diffs, and month math must agree on era signs
+        # far-future pair sits in MARCH 2262 so month-end derivations
+        # (last_day, end-of-month rollups) stay inside the pandas domain
+        orders.append((200, 1, "F", 500.0, dt.datetime(1969, 7, 20, 20, 17), "5-LOW"))
+        orders.append((201, 2, "O", 750.0, dt.datetime(2262, 3, 5, 23, 59, 59), "1-URGENT"))
+        lineitem.append((200, 3, 1, 1, 2.0, 40.0, 0.0, 0.04, "A", "F", dt.datetime(1969, 7, 21)))
+        lineitem.append((201, 4, 2, 1, 3.0, 55.0, 0.05, 0.04, "N", "O", dt.datetime(2262, 3, 5)))
     return region, nation, customer, supplier, part, orders, lineitem
+
+
+_EPOCH = dt.datetime(1970, 1, 1)
+
+
+def _ns(v) -> int | None:
+    """Naive-datetime or raw-int -> int64 epoch nanoseconds (no TZ)."""
+    if v is None or isinstance(v, int):
+        return v
+    return ((v - _EPOCH) // dt.timedelta(microseconds=1)) * 1000
 
 
 def write(name: str, rows, schema: pa.Schema) -> None:
     cols = list(zip(*rows)) if rows else [[] for _ in schema.names]
-    table = pa.table({n: list(c) for n, c in zip(schema.names, cols)}, schema=schema)
+    data = {n: list(c) for n, c in zip(schema.names, cols)}
+    if TIME and name == "events":
+        # the driver fixtures store events.ts as parquet TIMESTAMP(NANOS);
+        # this class must exercise the same read path (load_table's
+        # `ts DIV 1000`) against negative / near-edge nanos, so ts is
+        # written as int64 ns -> timestamp[ns], parquet format 2.6
+        data["ts"] = pa.array([_ns(v) for v in data["ts"]], pa.timestamp("ns"))
+        schema = pa.schema(
+            [f if f.name != "ts" else pa.field("ts", pa.timestamp("ns")) for f in schema]
+        )
+        table = pa.table(data, schema=schema)
+        pq.write_table(table, os.path.join(OUT, f"{name}.parquet"), version="2.6")
+        return
+    table = pa.table(data, schema=schema)
     pq.write_table(table, os.path.join(OUT, f"{name}.parquet"))
 
 

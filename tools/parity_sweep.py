@@ -19,6 +19,18 @@ ok-with-0-rows result is recorded as ``ok_but_empty`` and COUNTS AS A
 FAILURE unless the query is on ``registry.MAY_BE_EMPTY`` — a hash match
 over the empty set proves nothing, and without this flag a plan edit that
 silently empties a query would stay green forever.
+
+PROCESS timezone (r12): the --time fixture (temporal extremes) must sweep
+under a FIXED-OFFSET hostile zone, e.g. ``TZ=Etc/GMT-14`` — still non-UTC,
+but with no LMT or DST rules. The py4j/pandas collection round-trip
+converts instants through the JVM-default (process) zone, and outside
+modern eras the JVM and pandas disagree on real zones for reasons that are
+tzdata plumbing, not engine math: pytz rounds pre-standard-time LMT to
+whole minutes (Asia/Kathmandu 1677 -> a +16 s shift on every collected
+value) and pandas projects America/New_York as EST beyond tzdata's 2262
+horizon while the JVM projects EDT (a +1 h shift). Engine-side correctness
+at those eras is pinned TZ-independently in tests (CAST AS STRING). The
+five modern-era fixture classes keep sweeping under real hostile zones.
 """
 
 from __future__ import annotations

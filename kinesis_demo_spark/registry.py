@@ -66,74 +66,74 @@ DRIVER_CORRECTNESS_CAP = 50
 # mechanical: recompute newest-green-round per query from the CORRECTNESS
 # files and fill.
 #
-# Round-11 rotation: 9 changed/new plans first —
-#   graph_kcore (k = ceil(0.7 x mean) vacuity retune; its first NON-EMPTY
-#   driver row), er_blocking_quality (prefix-filter truth leg),
-#   graph_triangle_clustering (basket-expansion edge build),
-#   streaming_interval_join + streaming_outer_interval_join (1 h interval
-#   vacuity retune), graph_linkpred_common_neighbors +
-#   timeseries_seasonal_naive_eval (new), tpch_q11_important_stock +
-#   assoc_rules_copurchase (the two empty-at-sf0.1 rows the new
-#   ok_but_empty sweep gate caught — thresholds retuned scale-free) —
-# then ALL 38 r5-stale rows (the complete list from VERDICT r10 "What's
-# missing" #2, including the 8 rotations r10's changed-plans-first rule
-# deferred), then the 4 alphabetically-first r6 rows. After this round no
-# registered query's newest green driver row is older than r6. Everything
+# Round-12 rotation (the standing cadence rule, applied mechanically):
+# 21 changed/new differentials first —
+#   er_blocking_quality_sampled + ann_ivf_delta_merge (NEW operators),
+#   trend_slope_per_user (per-user micros-domain rebase — the --time
+#   fixture's int64-overflow + floor-vs-truncate fix),
+#   timeseries_seasonal_naive_eval (NTZ wall-clock hour/lag, ADVICE r11 #4),
+#   and the 17 queries whose ORACLES changed for temporal-extremes parity
+#   (epoch_ms floor fragment through _MOV_CTE/sessions/lag_ms, the hopping
+#   floor-div + dropped >=0 guard, the epoch-zero initial-watermark mirrors
+#   on the four streaming stateful differentials) —
+# then the 29 alphabetically-first rows of the r6 evidence band (oldest
+# driver evidence; the 11 leftover r6 rows — tpch_q19/q20/q21/q22/q2/q4/
+# q6/q7/q8/q9 + zorder_heatmap_locality — lead the r13 fill). Everything
 # else keeps its pass(rN) standing plus the full local gates
 # (tests/test_oracle_parity.py over the whole registry every pytest run,
-# and the five full-registry sweeps: sf0.1, adversarial, --nulls,
-# --unicode, --skew).
+# and the SIX full-registry sweeps: sf0.1, adversarial, --nulls,
+# --unicode, --skew, --time).
 PRIORITY_ORDER = (
-    "graph_kcore",
-    "er_blocking_quality",
-    "graph_triangle_clustering",
+    "er_blocking_quality_sampled",
+    "ann_ivf_delta_merge",
+    "trend_slope_per_user",
+    "timeseries_seasonal_naive_eval",
+    "agg_window_movs_stats",
+    "grouped_count_by_position",
+    "heatmap_max_intensity",
+    "heatmap_rollup",
+    "heatmap_rollup_client_order",
+    "hopping_window_counts",
+    "scalar_functions_parity",
+    "serving_projection_movs",
+    "sessionize_builtin_window",
+    "sessionize_events",
+    "sessionize_stateful_streaming",
+    "streaming_dedup_events",
+    "streaming_hopping_counts",
     "streaming_interval_join",
     "streaming_outer_interval_join",
-    "graph_linkpred_common_neighbors",
-    "timeseries_seasonal_naive_eval",
-    "tpch_q11_important_stock",
-    "assoc_rules_copurchase",
-    "ann_cosine_topk_lsh",
-    "dedup_contamination_check",
-    "dedup_embedding_cosine_lsh",
-    "dedup_ngram_jaccard_prefix",
-    "dedup_simhash_wide",
-    "doc_length_histogram",
-    "embedding_quantize_int8",
-    "full_outer_join_supplier_customer_nations",
-    "heatmap_rollup",
-    "heavy_hitters_cms",
-    "json_wire_roundtrip",
-    "locf_impute_value",
-    "map_in_arrow_vector_norms",
-    "orders_above_customer_avg",
-    "posexplode_document_tokens",
-    "range_join_events_before_orders",
-    "salted_sum_by_user",
-    "sample_k_per_group",
-    "scalar_extended_battery",
-    "scalar_functions_parity",
-    "serving_cursor_bootstrap",
-    "serving_poll_sum",
-    "serving_reverse_limit",
-    "sessionize_builtin_window",
-    "set_ops_nations",
-    "sql_frontend_revenue_by_nation",
-    "star_join_revenue_by_region",
-    "stats_mode_event_type_per_user",
-    "streaming_window_counts",
-    "text_chunk_documents",
-    "text_pii_redact",
-    "text_repetition_score",
-    "text_tfidf",
-    "text_token_count",
-    "text_vocab_topk",
-    "timeseries_hourly_gapfill",
-    "timeseries_user_similarity",
-    "ann_cosine_topk_truncated",
-    "ann_pq_adc_topk",
-    "bpe_merge_candidates",
-    "corpus_mixture_report",
+    "streaming_session_windows",
+    "window_functions_battery",
+    "curriculum_quality_buckets",
+    "dedup_canonical_selection",
+    "dedup_clusters",
+    "dedup_quality_report",
+    "dedup_shingle_containment",
+    "dedup_winnowing_overlap",
+    "fuzzy_match_blocked_pairs",
+    "incremental_agg_union_merge",
+    "kmeans_embeddings",
+    "multimodal_decode_real",
+    "pit_feature_join_orders",
+    "python_datasource_events",
+    "python_datasource_stream_events",
+    "recursive_hierarchy_rollup",
+    "retrieval_rank_fusion",
+    "sample_mixture_weighted",
+    "snapshot_diff_user_state",
+    "sql_modern_surfaces",
+    "temporal_join_orders_state",
+    "text_bm25_topk",
+    "text_winnowing_fingerprints",
+    "timeseries_user_similarity_bucketed",
+    "tpch_q10_returned_items",
+    "tpch_q12_shipclass_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_diversity",
+    "tpch_q17_small_quantity_revenue",
 )
 
 

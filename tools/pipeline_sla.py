@@ -49,10 +49,23 @@ CLIENTS_DEFAULT = 32
 REQUESTS_DEFAULT = 600
 
 
-def _one_rung(spark, sf1_dir: str, offered: int, clients: int, requests: int) -> dict:
+_HDFS_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+)
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _one_rung(
+    spark, sf1_dir: str, offered: int, clients: int, requests: int,
+    provider: str | None = None,
+) -> dict:
     import shutil
 
-    ckpt = f"/tmp/pipeline_sla_ckpt_{offered}"
+    if provider:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    ckpt = f"/tmp/pipeline_sla_ckpt_{offered}_{(provider or 'default').rsplit('.', 1)[-1]}"
     shutil.rmtree(ckpt, ignore_errors=True)
     # ingest side: the sealed movs shape, started FIRST so the serving loop
     # runs entirely inside the ingest window
@@ -109,7 +122,50 @@ def _one_rung(spark, sf1_dir: str, offered: int, clients: int, requests: int) ->
     }
 
 
+def _state_store_h2h(spark, sf1_dir: str, clients: int, requests: int) -> dict:
+    """Same-JVM ladder head-to-head: the 100k rung (the sealed ceiling, p99
+    1008 ms — 0.8% over the 1 s budget in r11) plus the 75k control rung,
+    each under the default HDFS-backed store AND RocksDB (VERDICT r11 #2).
+    The state shape (~180k windows x ~1.7 KB of sorted movement structs) is
+    exactly the regime where the provider changes the batch-time
+    distribution: HDFS-backed keeps versioned copies on the JVM heap (GC
+    pressure in the tail), RocksDB keeps native memory + changelog. The
+    decision (keep/switch) is recorded with the numbers either way."""
+    out: dict = {"rungs": []}
+    for offered in (100_000, 75_000):
+        for label, provider in (("hdfs_default", _HDFS_PROVIDER),
+                                ("rocksdb", _ROCKSDB_PROVIDER)):
+            r = _one_rung(spark, sf1_dir, offered, clients, requests,
+                          provider=provider)
+            row = {
+                "offered_rows_s": offered,
+                "provider": label,
+                "ingest_p99_ms": r["ingest"]["batch_ms_p99"],
+                "ingest_p50_ms": r["ingest"]["batch_ms_p50"],
+                "ingest_max_ms": r["ingest"]["batch_ms_max"],
+                "achieved_rows_s": r["ingest"]["achieved_rows_s"],
+                "state_rows_total": r["ingest"]["state_rows_total"],
+                "serving_p99_s": r["serving"].get("value"),
+                "both_budgets_held": r["both_budgets_held"],
+            }
+            out["rungs"].append(row)
+            print(json.dumps(row), file=sys.stderr)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", _HDFS_PROVIDER)
+    return out
+
+
 def main() -> int:
+    if "--h2h" in sys.argv:
+        sys.argv.remove("--h2h")
+        clients = int(sys.argv[2]) if len(sys.argv) > 2 else CLIENTS_DEFAULT
+        requests = int(sys.argv[3]) if len(sys.argv) > 3 else REQUESTS_DEFAULT
+        sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+        spark = get_spark("pipeline-sla-h2h")
+        spark.sparkContext.setLogLevel("ERROR")
+        h2h = _state_store_h2h(spark, sf1_dir, clients, requests)
+        print(json.dumps(h2h))
+        return 0
+
     ladder = (int(sys.argv[1]),) if len(sys.argv) > 1 else LADDER
     clients = int(sys.argv[2]) if len(sys.argv) > 2 else CLIENTS_DEFAULT
     requests = int(sys.argv[3]) if len(sys.argv) > 3 else REQUESTS_DEFAULT

@@ -2652,7 +2652,13 @@ def er_blocking_quality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     saturates and the sample is the full corpus — the estimate then EQUALS
     the exact audit's pairs_completeness, which pins the estimator's
     correctness in the driver gate; sampling bites at sf0.1 (20%) and sf1
-    (2%), where SCALE_PROBE measures the cost path this query exists for.
+    (2%). Measured r12 (min-of-3, local[16]): sampled 3.56 s -> 5.86 s
+    across sf0.1 -> sf1 (exponent 0.22/decade) vs the exact audit's
+    1.91 s -> 6.29 s (0.52); the estimate tracked the exact completeness
+    at sf1 (0.875 vs 0.873 on 112 anchored true pairs). Below the
+    crossover (~sf0.3) the extra legs cost more than they save — the
+    variant exists for the 100 TB regime, where the flat-cost truth leg is
+    the difference between auditing nightly and not auditing.
 
     Scale: the SNM candidate leg is the exact audit's (linearithmic,
     range-sharded rank — no global window); the truth leg is rate-bounded;

@@ -61,6 +61,19 @@ def main() -> None:
     ham_ann = _pairs(q["ann_hamming_binary"](spark, sf_dir), "query_id", "neighbor_id")
     release_persisted()
 
+    # recall-after-merge (r12, VERDICT r11 #7): the IVF search runs against
+    # base+delta under the FROZEN codebook (exactly the state
+    # ann_ivf_delta_merge maintains), so its recall restricted to exact
+    # pairs whose NEIGHBOR lies in the delta (the newest tenth by vec_id —
+    # the same cut the merge query uses) measures whether tonight's merged
+    # vectors are actually searchable before the retrain fires.
+    from kinesis_demo_spark.io import load_table
+
+    n_max = load_table(spark, sf_dir, "embeddings").agg({"vec_id": "max"}).collect()[0][0]
+    cut = (n_max + 1) * 9 // 10
+    release_persisted()
+    exact_delta = {(a, b) for a, b in exact_ann if b >= cut}
+
     exact_emb = _pairs(q["dedup_embedding_cosine"](spark, sf_dir), "vec_a", "vec_b")
     release_persisted()
     lsh_emb = _pairs(q["dedup_embedding_cosine_lsh"](spark, sf_dir), "vec_a", "vec_b")
@@ -94,6 +107,10 @@ def main() -> None:
                 "simhash_vs_jaccard_overlap": ratio(len(sh_dup & exact_dup), len(sh_dup)),
                 "df_capped_pair_recall": ratio(len(dfcap_dup & exact_dup), len(exact_dup)),
                 "df_capped_pair_precision": ratio(len(dfcap_dup & exact_dup), len(dfcap_dup)),
+                "ivf_delta_recall_after_merge": ratio(
+                    len(ivf_ann & exact_delta), len(exact_delta)
+                ),
+                "n_exact_delta_pairs": len(exact_delta),
                 "n_exact_ann_pairs": len(exact_ann),
                 "n_exact_dup_pairs": len(exact_dup),
             }

@@ -87,6 +87,11 @@ QUERIES = (
     "multimodal_audio_decode_real",
     # blocking-quality audit (documents-based; SNM + inverted-index truth)
     "er_blocking_quality",
+    # r12: the bounded-cost sampled audit (absolute-size-targeted sample,
+    # measured 0.22/decade vs the exact audit's 0.52) and the frozen-
+    # codebook IVF delta merge (one assignment pass + 16-group aggregate)
+    "er_blocking_quality_sampled",
+    "ann_ivf_delta_merge",
 )
 
 SF_DIRS = (

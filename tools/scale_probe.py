@@ -122,6 +122,9 @@ PROBES = (
     "tokenizer_fertility_report",     # BPE encode folds + lang aggregate
     "approx_distinct_error_bound",    # HLL sketch + exact distinct audit
     "approx_percentile_rank_bound",   # sketch + broadcast rank-window check
+    # r12
+    "er_blocking_quality_sampled",    # hash-sampled anchored truth + SNM cand
+    "ann_ivf_delta_merge",            # frozen-codebook assignment + 16-group agg
 )
 
 SF_SMALL = "/root/testdata/sf0.01"

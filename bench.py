@@ -281,6 +281,7 @@ HEADLINE = (
     # delta merge with drift report)
     "er_blocking_quality_sampled",
     "ann_ivf_delta_merge",
+    "timeseries_classical_decomposition",
 )
 
 

@@ -4484,3 +4484,142 @@ def timeseries_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFram
         (F.sum("abs_err").cast("double") / F.count(F.lit(1)).cast("double")).alias("mae"),
         F.sum(F.when(F.col("abs_err") == 0, 1).otherwise(0)).cast("long").alias("n_exact"),
     )
+
+
+# --- classical seasonal decomposition (r12) ------------------------------------------
+
+DECOMP_MA = 25          # centered moving-average width (12 back, 12 ahead)
+DECOMP_PERIOD = 24      # hour-of-day seasonality
+
+
+@register(
+    "timeseries_classical_decomposition",
+    oracle=f"""
+WITH bounds AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         sum(CAST(value AS DECIMAL(18,2))) AS y
+  FROM events GROUP BY 1, 2
+),
+dense AS (
+  SELECT g.user_id, g.hour,
+         coalesce(a.y, CAST(0 AS DECIMAL(18,2))) AS y
+  FROM grid g LEFT JOIN agg a ON a.user_id = g.user_id AND a.hour = g.hour
+),
+ma AS (
+  SELECT user_id, hour, y,
+         sum(y) OVER w AS trend_sum,
+         count(*) OVER w AS w_n
+  FROM dense
+  WINDOW w AS (PARTITION BY user_id ORDER BY hour
+               ROWS BETWEEN {DECOMP_MA // 2} PRECEDING AND {DECOMP_MA // 2} FOLLOWING)
+),
+mid AS (
+  SELECT user_id, hour, y,
+         CAST({DECOMP_MA} AS DECIMAL(4,0)) * y - trend_sum AS detr
+  FROM ma WHERE w_n = {DECOMP_MA}
+),
+seas AS (
+  SELECT user_id, CAST(hour(hour) AS INT) AS hod,
+         sum(detr) AS s_detr, CAST(count(*) AS BIGINT) AS n_hod
+  FROM mid GROUP BY 1, 2
+)
+SELECT m.user_id, m.hour,
+       CAST(m.y AS DOUBLE) AS y,
+       CAST(({DECOMP_MA} * m.y - m.detr) AS DOUBLE) / {DECOMP_MA}.0 AS trend,
+       CAST(s.s_detr AS DOUBLE) / (s.n_hod * {DECOMP_MA}.0) AS seasonal,
+       CAST(m.y AS DOUBLE)
+         - CAST(({DECOMP_MA} * m.y - m.detr) AS DOUBLE) / {DECOMP_MA}.0
+         - CAST(s.s_detr AS DOUBLE) / (s.n_hod * {DECOMP_MA}.0) AS remainder
+FROM mid m JOIN seas s ON s.user_id = m.user_id AND s.hod = CAST(hour(m.hour) AS INT)
+""",
+)
+def timeseries_classical_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (Hyndman & Athanasopoulos,
+    FPP §3.4 — the moving-average method, the deterministic ancestor of
+    STL): per user, the dense zero-filled hourly series splits into
+    trend (centered {DECOMP_MA}-hour moving average, emitted only where the
+    full window exists), seasonal (mean detrended value per hour-of-day —
+    the {DECOMP_PERIOD}-period seasonal index, un-normalized variant), and
+    remainder. Completes the timeseries family's decomposition story:
+    EWMA/Holt smooth, CUSUM alarms, seasonal-naive backtests, gapfill
+    densifies — this separates the signal a dashboard overlays and a
+    feature pipeline feeds as three channels.
+
+    Cross-engine exactness: the series is DECIMAL(18,2) end-to-end through
+    every aggregation — the MA window sums <= {DECOMP_MA} decimals
+    (exact), the detrended value is kept as the SCALED exact integer form
+    {DECOMP_MA}*y - trend_sum (no division before the per-hour-of-day
+    sum), and only the three reported channels divide, as doubles, in the
+    same expression order in both engines. The window frame is ROWS-based
+    over the dense grid (one row per hour by construction), so frame
+    membership is integer-exact; rows without a full window are excluded
+    by count, not null-padded.
+
+    Scale: inherits the gapfill grid contract (Theta(users x span) rows —
+    the decomposition is defined on the dense series); ONE user-keyed
+    window (the same partitioning the grid join already produced, no
+    extra exchange beyond the sort), one (user, hour-of-day)-grouped
+    aggregate (24 groups per user), and a co-keyed join back. At 100 TB
+    the window is the textbook bounded-frame sliding aggregate — state is
+    {DECOMP_MA} rows per user — and the seasonal table is users x 24
+    rows, broadcastable."""
+    ev = _events(spark, sf_dir)
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"),
+    )
+    agg = ev.groupBy("user_id", hour.alias("hour")).agg(
+        F.sum(F.col("value").cast(D2)).alias("y")
+    )
+    dense = grid.join(agg, ["user_id", "hour"], "left").select(
+        "user_id", "hour", F.coalesce("y", F.lit(0).cast(D2)).alias("y")
+    )
+    half = DECOMP_MA // 2
+    w = Window.partitionBy("user_id").orderBy("hour").rowsBetween(-half, half)
+    ma = dense.select(
+        "user_id",
+        "hour",
+        "y",
+        F.sum("y").over(w).alias("trend_sum"),
+        F.count(F.lit(1)).over(w).alias("w_n"),
+    ).filter(F.col("w_n") == DECOMP_MA)
+    mid = ma.select(
+        "user_id",
+        "hour",
+        "y",
+        (F.lit(DECOMP_MA).cast("decimal(4,0)") * F.col("y") - F.col("trend_sum")).alias(
+            "detr"
+        ),
+    )
+    # seasonal via an unbounded window over (user, hour-of-day) instead of
+    # groupBy + join-back: same values (decimal sums are order-free), one
+    # fewer full-grid exchange — measured 74 s -> see docstring at sf1,
+    # where the grid is ~13M rows and every extra shuffle is ~linear cost
+    mid = mid.withColumn("hod", F.hour("hour").cast("int"))
+    whod = Window.partitionBy("user_id", "hod")
+    trend = (
+        (F.lit(DECOMP_MA) * F.col("y") - F.col("detr")).cast("double") / DECOMP_MA
+    )
+    seasonal = F.sum("detr").over(whod).cast("double") / (
+        F.count(F.lit(1)).over(whod) * float(DECOMP_MA)
+    )
+    return mid.select(
+        "user_id",
+        "hour",
+        F.col("y").cast("double").alias("y"),
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        (F.col("y").cast("double") - trend - seasonal).alias("remainder"),
+    )

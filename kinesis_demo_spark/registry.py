@@ -76,9 +76,10 @@ DRIVER_CORRECTNESS_CAP = 50
 #   (epoch_ms floor fragment through _MOV_CTE/sessions/lag_ms, the hopping
 #   floor-div + dropped >=0 guard, the epoch-zero initial-watermark mirrors
 #   on the four streaming stateful differentials) —
-# then the 29 alphabetically-first rows of the r6 evidence band (oldest
-# driver evidence; the 11 leftover r6 rows — tpch_q19/q20/q21/q22/q2/q4/
-# q6/q7/q8/q9 + zorder_heatmap_locality — lead the r13 fill). Everything
+# then 28 alphabetically-first rows of the r6 evidence band (oldest
+# driver evidence) and the late-r12 timeseries_classical_decomposition
+# (new plan -> in-cap; the 12 leftover r6 rows — tpch_q17/q19/q20/q21/
+# q22/q2/q4/q6/q7/q8/q9 + zorder_heatmap_locality — lead the r13 fill). Everything
 # else keeps its pass(rN) standing plus the full local gates
 # (tests/test_oracle_parity.py over the whole registry every pytest run,
 # and the SIX full-registry sweeps: sf0.1, adversarial, --nulls,
@@ -133,7 +134,7 @@ PRIORITY_ORDER = (
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_diversity",
-    "tpch_q17_small_quantity_revenue",
+    "timeseries_classical_decomposition",
 )
 
 

@@ -73,3 +73,45 @@ def test_ann_ivf_delta_merge_known_answer(spark, tmp_path):
         n_base, n_delta, mass, bq, dq, rb = got[cid]
         assert (n_base, n_delta, mass, rb) == (1, 0, 0.0, False)
         assert bq == 0.0 and dq is None
+
+
+def test_classical_decomposition_linear_ramp(spark, tmp_path):
+    """On a pure linear hourly ramp the centered moving average reproduces
+    the series exactly: trend == y, seasonal == 0, remainder == 0, and only
+    hours with the full 25-point window emit (indices 12..37 of 50)."""
+    import datetime as dt
+
+    from kinesis_demo_spark.queries.analytics import (
+        timeseries_classical_decomposition,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, t0 + dt.timedelta(hours=i), 1, "view", float(i))
+        for i in range(50)
+    ]
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(cols[0], pa.int64()),
+                "ts": pa.array(cols[1], pa.timestamp("us")),
+                "user_id": pa.array(cols[2], pa.int64()),
+                "event_type": pa.array(cols[3], pa.string()),
+                "value": pa.array(cols[4], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = sorted(
+        (r.hour, r.y, r.trend, r.seasonal, r.remainder)
+        for r in timeseries_classical_decomposition(spark, str(tmp_path)).collect()
+    )
+    assert len(got) == 26  # 50 hours, full 25-window at indices 12..37
+    for k, (hour, y, trend, seasonal, remainder) in enumerate(got):
+        i = k + 12
+        assert y == float(i)
+        assert trend == float(i)
+        assert seasonal == 0.0
+        assert remainder == 0.0

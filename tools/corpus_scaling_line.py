@@ -92,6 +92,8 @@ QUERIES = (
     # codebook IVF delta merge (one assignment pass + 16-group aggregate)
     "er_blocking_quality_sampled",
     "ann_ivf_delta_merge",
+    # classical decomposition: gapfill grid + one bounded-frame window
+    "timeseries_classical_decomposition",
 )
 
 SF_DIRS = (

@@ -125,6 +125,7 @@ PROBES = (
     # r12
     "er_blocking_quality_sampled",    # hash-sampled anchored truth + SNM cand
     "ann_ivf_delta_merge",            # frozen-codebook assignment + 16-group agg
+    "timeseries_classical_decomposition",  # dense grid + bounded-frame MA window
 )
 
 SF_SMALL = "/root/testdata/sf0.01"

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..functions.hashing import h60, h60_sql
-from ..functions.timeutil import trunc_hour_ntz
+from ..functions.timeutil import epoch_ms_sql, trunc_hour_ntz
 from ..io import load_table
 from ..plans.movements import X_SQL, Y_SQL, x_col, y_col
 from ..registry import register
@@ -276,7 +276,7 @@ def stats_mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "window_functions_battery",
-    oracle="""
+    oracle=f"""
 SELECT event_id, user_id,
        CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h,
        count(*) OVER w AS n_1h,
@@ -287,7 +287,7 @@ SELECT event_id, user_id,
        last_value(event_id) OVER t AS last_eid,
        nth_value(event_id, 2) OVER t AS second_eid
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY (epoch_us(CAST(ts AS TIMESTAMP)) // 1000 + CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) % 1000 < 0 THEN -1 ELSE 0 END)
+WINDOW w AS (PARTITION BY user_id ORDER BY {epoch_ms_sql('ts')}
              RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW),
        o AS (PARTITION BY user_id ORDER BY value NULLS FIRST, event_id),
        t AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -1845,10 +1845,11 @@ def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "trend_slope_per_user",
     oracle="""
-WITH t0 AS (SELECT user_id, min(epoch_us(ts)) AS us0 FROM events GROUP BY user_id),
+WITH t0 AS (SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS us0
+            FROM events GROUP BY user_id),
 base AS (
   SELECT e.user_id,
-         (epoch_us(ts) - t0.us0) // 1000000 AS x,
+         (epoch_us(CAST(ts AS TIMESTAMP)) - t0.us0) // 1000000 AS x,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
   FROM events e JOIN t0 ON t0.user_id = e.user_id
 ),
@@ -4576,10 +4577,17 @@ def timeseries_classical_decomposition(spark: SparkSession, sf_dir: str) -> Data
     streaming-friendly sliding/partition aggregates over a
     date-partitioned grid."""
     ev = _events(spark, sf_dir)
-    hour = F.date_trunc("hour", F.col("ts"))
+    # NTZ wall-clock domain end-to-end (ADVICE r12 #4): date_trunc/sequence
+    # on instant timestamps silently coerce through the session timezone, so
+    # a DST gap/repeat hour would split the hourly buckets vs the oracle's
+    # naive date_trunc the moment io.py's UTC enforcement relaxed. Same fix
+    # class as timeseries_seasonal_naive_eval (ADVICE r11 #4); sequence()
+    # is NTZ-native in Spark 4 (element type stays timestamp_ntz).
+    hntz = F.col("ts").cast("timestamp_ntz")
+    hour = trunc_hour_ntz(hntz)
     bounds = ev.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
+        trunc_hour_ntz(F.min(hntz)).alias("h0"),
+        trunc_hour_ntz(F.max(hntz)).alias("h1"),
     )
     grid = bounds.select(
         "user_id",

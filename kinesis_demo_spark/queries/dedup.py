@@ -2611,14 +2611,16 @@ m AS (
 SELECT n_docs, n_sampled, sample_thr_ppm,
        n_candidates_anchored, n_true_anchored, n_caught_anchored,
        phat AS pairs_completeness_est,
+       CASE WHEN phat IS NULL THEN NULL ELSE
        greatest(0.0, ((phat + {_WILSON_Z2} / (2.0 * n))
           - {_WILSON_Z} * sqrt(phat * (1.0 - phat) / n
                                + {_WILSON_Z2} / (4.0 * n * n)))
-         / (1.0 + {_WILSON_Z2} / n)) AS ci_low,
+         / (1.0 + {_WILSON_Z2} / n)) END AS ci_low,
+       CASE WHEN phat IS NULL THEN NULL ELSE
        least(1.0, ((phat + {_WILSON_Z2} / (2.0 * n))
           + {_WILSON_Z} * sqrt(phat * (1.0 - phat) / n
                                + {_WILSON_Z2} / (4.0 * n * n)))
-         / (1.0 + {_WILSON_Z2} / n)) AS ci_high
+         / (1.0 + {_WILSON_Z2} / n)) END AS ci_high
 FROM m
 """.replace("{SHINGLES}", SHINGLES_SQL)
    .replace("{H60_DOC}", h60_sql("CAST(d.doc_id AS VARCHAR)")),
@@ -2745,7 +2747,16 @@ def er_blocking_quality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_true_anchored",
             "n_caught_anchored",
             phat.alias("pairs_completeness_est"),
-            F.greatest(F.lit(0.0), center_lo / denom).alias("ci_low"),
-            F.least(F.lit(1.0), center_hi / denom).alias("ci_high"),
+            # NULL phat (no anchored true pairs) must propagate: bare
+            # greatest/least SKIP NULL args in both engines, which would
+            # emit a misleading full-uncertainty [0, 1] interval instead
+            # of NULL (ADVICE r12 #3) — and parity would hinge on both
+            # engines agreeing on that skip forever.
+            F.when(
+                phat.isNotNull(), F.greatest(F.lit(0.0), center_lo / denom)
+            ).alias("ci_low"),
+            F.when(
+                phat.isNotNull(), F.least(F.lit(1.0), center_hi / denom)
+            ).alias("ci_high"),
         )
     )

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from ..functions.timeutil import epoch_ms_sql
 from ..io import load_table, spread
 from ..plans.heatmap import heatmap_counts, heatmap_max_intensity
 from ..plans.movements import SENTINEL_SQL, X_SQL, Y_SQL, movement_aggregates, movements
@@ -42,7 +43,7 @@ mov AS (
   SELECT event_id, user_id, ts,
          {X_SQL} AS x,
          {Y_SQL} AS y,
-         (epoch_us(CAST(ts AS TIMESTAMP)) // 1000 + CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) % 1000 < 0 THEN -1 ELSE 0 END) AS time_ms,
+         {epoch_ms_sql('ts')} AS time_ms,
          {SENTINEL_SQL} AS is_sentinel
   FROM events
 )

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.timeutil import epoch_ms_sql
 from ..io import load_table
 from ..operators.sessionize import SESSION_GAP_MS, batch_sessionize, streaming_sessionize
 from ..registry import register
@@ -21,7 +22,7 @@ _SESSIONS_CTE = f"""
 o AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR (epoch_us(CAST(ts AS TIMESTAMP)) // 1000 + CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) % 1000 < 0 THEN -1 ELSE 0 END) - (epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) // 1000 + CASE WHEN epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) % 1000 < 0 THEN -1 ELSE 0 END) > {SESSION_GAP_MS}
+                OR {epoch_ms_sql('ts')} - {epoch_ms_sql('lag(ts) OVER w')} > {SESSION_GAP_MS}
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

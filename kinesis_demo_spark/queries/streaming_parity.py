@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.timeutil import epoch_ms_sql
 from ..registry import register
 from ..streaming.pipeline import (
     run_complete_to_memory,
@@ -39,9 +40,9 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_interval_join",
-    oracle="""
+    oracle=f"""
 SELECT l.event_id AS click_id, r.event_id AS view_id, l.user_id,
-       CAST((epoch_us(CAST(r.ts AS TIMESTAMP)) // 1000 + CASE WHEN epoch_us(CAST(r.ts AS TIMESTAMP)) % 1000 < 0 THEN -1 ELSE 0 END) - (epoch_us(CAST(l.ts AS TIMESTAMP)) // 1000 + CASE WHEN epoch_us(CAST(l.ts AS TIMESTAMP)) % 1000 < 0 THEN -1 ELSE 0 END) AS BIGINT) AS lag_ms
+       CAST({epoch_ms_sql('r.ts')} - {epoch_ms_sql('l.ts')} AS BIGINT) AS lag_ms
 FROM events l JOIN events r
   ON l.user_id = r.user_id
  AND l.event_type = 'click' AND r.event_type = 'view'
@@ -151,7 +152,7 @@ def streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_outer_interval_join",
-    oracle="""
+    oracle=f"""
 WITH clicks AS (
   -- epoch-zero initial watermark: both join inputs drop ts <= epoch rows
   -- in the first micro-batch (r12 --time fixture; boundary pinned in
@@ -167,7 +168,7 @@ views AS (
     AND CAST(ts AS TIMESTAMP) > TIMESTAMP '1970-01-01 00:00:00'
 )
 SELECT c.click_id, v.view_id, c.click_user AS user_id,
-       CAST((epoch_us(CAST(v.view_ts AS TIMESTAMP)) // 1000 + CASE WHEN epoch_us(CAST(v.view_ts AS TIMESTAMP)) % 1000 < 0 THEN -1 ELSE 0 END) - (epoch_us(CAST(c.click_ts AS TIMESTAMP)) // 1000 + CASE WHEN epoch_us(CAST(c.click_ts AS TIMESTAMP)) % 1000 < 0 THEN -1 ELSE 0 END) AS BIGINT) AS lag_ms
+       CAST({epoch_ms_sql('v.view_ts')} - {epoch_ms_sql('c.click_ts')} AS BIGINT) AS lag_ms
 FROM clicks c LEFT OUTER JOIN views v
   ON c.click_user = v.view_user
  AND v.view_ts >= c.click_ts AND v.view_ts <= c.click_ts + INTERVAL 1 HOUR

@@ -115,3 +115,35 @@ def test_classical_decomposition_linear_ramp(spark, tmp_path):
         assert trend == float(i)
         assert seasonal == 0.0
         assert remainder == 0.0
+
+
+def test_er_sampled_null_ci_propagates(spark, tmp_path):
+    """Zero anchored true pairs (every doc unique, no J >= t neighbor) must
+    emit NULL ci_low/ci_high, not the misleading full-uncertainty [0, 1]
+    that bare greatest/least produce by skipping a NULL phat (ADVICE r12
+    #3) — cross-engine parity must not hinge on both engines agreeing to
+    skip NULL args in greatest/least forever."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kinesis_demo_spark.queries.dedup import er_blocking_quality_sampled
+
+    texts = [
+        " ".join(f"tok{i}w{j}" for j in range(12)) for i in range(8)
+    ]  # pairwise-disjoint shingle sets -> Jaccard 0 everywhere
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(8), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 8, pa.string()),
+                "source": pa.array(["s0"] * 8, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    row = er_blocking_quality_sampled(spark, str(tmp_path)).collect()[0]
+    assert row.n_true_anchored == 0
+    assert row.pairs_completeness_est is None
+    assert row.ci_low is None and row.ci_high is None

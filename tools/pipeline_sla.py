@@ -156,9 +156,12 @@ def _state_store_h2h(spark, sf1_dir: str, clients: int, requests: int) -> dict:
 
 def main() -> int:
     if "--h2h" in sys.argv:
+        # Positionals are relative to the flag: `--h2h [clients] [requests]`
+        # (ADVICE r12 #1 — the old argv[2]/argv[3] read silently dropped the
+        # first positional after the remove() shift).
         sys.argv.remove("--h2h")
-        clients = int(sys.argv[2]) if len(sys.argv) > 2 else CLIENTS_DEFAULT
-        requests = int(sys.argv[3]) if len(sys.argv) > 3 else REQUESTS_DEFAULT
+        clients = int(sys.argv[1]) if len(sys.argv) > 1 else CLIENTS_DEFAULT
+        requests = int(sys.argv[2]) if len(sys.argv) > 2 else REQUESTS_DEFAULT
         sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
         spark = get_spark("pipeline-sla-h2h")
         spark.sparkContext.setLogLevel("ERROR")

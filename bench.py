@@ -282,6 +282,10 @@ HEADLINE = (
     "er_blocking_quality_sampled",
     "ann_ivf_delta_merge",
     "timeseries_classical_decomposition",
+    # r13: corpus drift report (TVD + vocab churn between snapshot halves)
+    # + the sparse observed-hours twin of the classical decomposition
+    "corpus_drift_report",
+    "timeseries_decomposition_sparse",
 )
 
 
@@ -296,6 +300,38 @@ def _median(xs: list) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
 
 
+# Plan-free CPU control (VERDICT r12 #4): two rounds in a row attributed a
+# uniform shared-row shift to the host by inference from control QUERIES;
+# this makes the host factor a first-class measurement instead. The kernel
+# is a fixed whole-stage-codegen hash chain over spark.range — no IO, no
+# shuffle (single-stage partial + 1-row final), no data dependence, no
+# Spark state — so cross-window ratios on it are pure host/JVM speed.
+# Fixed 16 partitions regardless of $SPARK_GRAFT_CPUS keeps the work
+# identical across windows. bit_xor (not sum) because sum(xxhash64)
+# overflows BIGINT under ANSI mode.
+_CONTROL_ROWS = 1 << 29
+
+
+def _host_control(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, _CONTROL_ROWS, 1, 16).select(
+            F.bit_xor(F.xxhash64(F.xxhash64("id")))
+        ).collect()
+        return time.perf_counter() - t0
+
+    run()  # codegen warmup — the control measures the host, not Janino
+    runs = [round(run(), 3) for _ in range(5)]
+    return {
+        "rows": _CONTROL_ROWS,
+        "runs": runs,
+        "min": min(runs),
+        "median": _median(runs),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("kinesis-demo-spark-bench")
@@ -305,6 +341,8 @@ def main() -> None:
     # Warm the JVM/codegen/parquet-reader paths once so per-query timings
     # measure the queries, not session bring-up.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    host_control = _host_control(spark)
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -375,6 +413,7 @@ def main() -> None:
         "cold_total": round(sum(cold.values()), 3),
         "serving": serving,
         "serving_sf1": serving_sf1,
+        "host_control": host_control,
         "sf": sf,
     }
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),

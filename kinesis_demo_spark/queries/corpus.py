@@ -1601,3 +1601,164 @@ def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("double") / F.nullif(F.sum("n_bpe"), F.lit(0))
         ).alias("chars_per_token"),
     )
+
+
+# --- corpus drift report (r13) --------------------------------------------------------
+
+_DRIFT_KEY = "coalesce(CAST(doc_id AS VARCHAR), '<NULL>')"
+
+
+@register(
+    "corpus_drift_report",
+    oracle=f"""
+WITH d AS (
+  SELECT source, text,
+         CAST({h60_sql(_DRIFT_KEY)} % 2 AS INT) AS half
+  FROM documents
+),
+nd AS (
+  SELECT source,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_a,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_b
+  FROM d GROUP BY source
+),
+tok AS (
+  SELECT source, half, unnest(string_split(text, ' ')) AS term FROM d
+),
+tc AS (
+  SELECT source, term,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM tok GROUP BY 1, 2
+),
+tot AS (
+  SELECT source, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+  FROM tc GROUP BY source
+),
+agg AS (
+  SELECT t.source,
+         count(CASE WHEN t.ca > 0 THEN 1 END) AS vocab_a,
+         count(CASE WHEN t.cb > 0 THEN 1 END) AS vocab_b,
+         count(CASE WHEN t.ca > 0 AND t.cb > 0 THEN 1 END) AS n_common_terms,
+         count(CASE WHEN t.ca = 0 AND t.cb > 0 THEN 1 END) AS n_new_terms,
+         count(CASE WHEN t.ca > 0 AND t.cb = 0 THEN 1 END) AS n_dropped_terms,
+         sum(abs(CAST(t.ca AS DECIMAL(38,0)) * x.nb
+                 - CAST(t.cb AS DECIMAL(38,0)) * x.na)) AS tvd_num
+  FROM tc t JOIN tot x USING (source) GROUP BY t.source
+)
+SELECT nd.source, nd.n_docs_a, nd.n_docs_b,
+       x.na AS tokens_a, x.nb AS tokens_b,
+       a.vocab_a, a.vocab_b, a.n_new_terms, a.n_dropped_terms, a.n_common_terms,
+       CAST(a.n_common_terms AS DOUBLE)
+         / nullif(CAST(a.vocab_a + a.vocab_b - a.n_common_terms AS DOUBLE), 0.0)
+         AS vocab_jaccard,
+       CAST(a.tvd_num AS DOUBLE)
+         / nullif(2.0 * CAST(x.na AS DOUBLE) * CAST(x.nb AS DOUBLE), 0.0) AS tvd
+FROM nd
+LEFT JOIN tot x ON x.source IS NOT DISTINCT FROM nd.source
+LEFT JOIN agg a ON a.source IS NOT DISTINCT FROM nd.source
+""",
+)
+def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus drift report between two deterministic hash-split
+    halves of `documents` (VERDICT r12 #6) — the monitoring companion to
+    dedup_incremental_batch and ann_ivf_delta_merge that a 100 TB nightly
+    pipeline runs before accepting a crawl: token-distribution divergence
+    plus vocabulary churn, half A standing in for "yesterday's snapshot"
+    and half B for "today's" (swap in real snapshot ids in production; the
+    hash split keeps the operator a pure function of the corpus, like
+    split_train_val_test).
+
+    Divergence metric: total variation distance, tvd = (1/2) * sum_t
+    |p_t - q_t| over the per-source token unigram distributions. TVD is
+    the drift measure PSI approximates for small shifts, and unlike
+    PSI/KL it needs no transcendental: with integer counts c_t (half A,
+    total N_a) and d_t (half B, total N_b), the summand is
+    |c_t*N_b - d_t*N_a| — an exact DECIMAL(38,0) integer — and the whole
+    sum divides ONCE by 2*N_a*N_b at the end, so the metric value-hash
+    checks across engines. ln() is a libm transcendental whose last-ulp
+    rounding differs across engines (the text_tfidf precedent), which
+    rules out PSI/KL for a bit-exact differential; TVD bounds both
+    (Pinsker: KL >= 2*TVD^2) and is the standard distribution-shift
+    alarm. NULL when either half of a source is empty (drift undefined),
+    with the counts still exact; vocabulary churn (new/dropped/common
+    terms, vocab Jaccard) is pure integer counting.
+
+    Scale: tokenize-explode -> one (source, term)-keyed hash aggregate
+    with both halves' counts as conditional sums (ONE shuffle over the
+    token stream, map-side combinable), a source-level re-aggregate of
+    that table for totals (tiny), a broadcast join back, and a final
+    source-level aggregate. No windows, no joins on data-sized keys, no
+    driver pulls; term-key skew (Zipf head) is bounded by map-side
+    combine — the reducer sees one row per (source, term, partition).
+    Reference parity: the reference has no corpus surface (browser client,
+    functions.js:1-476); north-star axis per the build brief."""
+    docs = _docs(spark, sf_dir)
+    half = (
+        h60(F.coalesce(F.col("doc_id").cast("string"), F.lit("<NULL>"))) % 2
+    ).cast("int")
+    d = docs.select("source", "text", half.alias("half"))
+    nd = d.groupBy("source").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("n_docs_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("n_docs_b"),
+    )
+    tok = d.select("source", "half", F.explode(F.split("text", " ")).alias("term"))
+    tc = tok.groupBy("source", "term").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    tot = tc.groupBy("source").agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    tot = tot.withColumnRenamed("source", "src_t")
+    joined = tc.join(
+        F.broadcast(tot), F.col("source").eqNullSafe(F.col("src_t"))
+    ).drop("src_t")
+    agg = joined.groupBy("source").agg(
+        F.count(F.when(F.col("ca") > 0, 1)).alias("vocab_a"),
+        F.count(F.when(F.col("cb") > 0, 1)).alias("vocab_b"),
+        F.count(F.when((F.col("ca") > 0) & (F.col("cb") > 0), 1)).alias("n_common_terms"),
+        F.count(F.when((F.col("ca") == 0) & (F.col("cb") > 0), 1)).alias("n_new_terms"),
+        F.count(F.when((F.col("ca") > 0) & (F.col("cb") == 0), 1)).alias("n_dropped_terms"),
+        F.sum(
+            F.abs(
+                F.col("ca").cast("decimal(38,0)") * F.col("nb")
+                - F.col("cb").cast("decimal(38,0)") * F.col("na")
+            )
+        ).alias("tvd_num"),
+    )
+    agg = agg.withColumnRenamed("source", "src_a")
+    out = (
+        nd.join(F.broadcast(tot), F.col("source").eqNullSafe(F.col("src_t")), "left")
+        .drop("src_t")
+        .join(F.broadcast(agg), F.col("source").eqNullSafe(F.col("src_a")), "left")
+        .drop("src_a")
+    )
+    return out.select(
+        "source",
+        "n_docs_a",
+        "n_docs_b",
+        F.col("na").alias("tokens_a"),
+        F.col("nb").alias("tokens_b"),
+        "vocab_a",
+        "vocab_b",
+        "n_new_terms",
+        "n_dropped_terms",
+        "n_common_terms",
+        (
+            F.col("n_common_terms").cast("double")
+            / F.nullif(
+                (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common_terms")).cast(
+                    "double"
+                ),
+                F.lit(0.0),
+            )
+        ).alias("vocab_jaccard"),
+        (
+            F.col("tvd_num").cast("double")
+            / F.nullif(
+                F.lit(2.0) * F.col("na").cast("double") * F.col("nb").cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("tvd"),
+    )

@@ -66,75 +66,78 @@ DRIVER_CORRECTNESS_CAP = 50
 # mechanical: recompute newest-green-round per query from the CORRECTNESS
 # files and fill.
 #
-# Round-12 rotation (the standing cadence rule, applied mechanically):
-# 21 changed/new differentials first —
-#   er_blocking_quality_sampled + ann_ivf_delta_merge (NEW operators),
-#   trend_slope_per_user (per-user micros-domain rebase — the --time
-#   fixture's int64-overflow + floor-vs-truncate fix),
-#   timeseries_seasonal_naive_eval (NTZ wall-clock hour/lag, ADVICE r11 #4),
-#   and the 17 queries whose ORACLES changed for temporal-extremes parity
-#   (epoch_ms floor fragment through _MOV_CTE/sessions/lag_ms, the hopping
-#   floor-div + dropped >=0 guard, the epoch-zero initial-watermark mirrors
-#   on the four streaming stateful differentials) —
-# then 28 alphabetically-first rows of the r6 evidence band (oldest
-# driver evidence) and the late-r12 timeseries_classical_decomposition
-# (new plan -> in-cap; the 12 leftover r6 rows — tpch_q17/q19/q20/q21/
-# q22/q2/q4/q6/q7/q8/q9 + zorder_heatmap_locality — lead the r13 fill). Everything
-# else keeps its pass(rN) standing plus the full local gates
+# Round-12 rotation kept 21 changed differentials + 28 alphabetically-first
+# r6-band rows in cap; see CORRECTNESS_r12.json (50/50 green).
+#
+# Round-13 rotation (the standing cadence rule, applied mechanically):
+# 5 changed/new differentials first —
+#   corpus_drift_report + timeseries_decomposition_sparse (NEW operators,
+#   VERDICT r12 #5/#6),
+#   timeseries_classical_decomposition (NTZ wall-clock hour bucketing/grid,
+#   ADVICE r12 #4),
+#   er_blocking_quality_sampled (NULL ci_low/ci_high propagation, ADVICE
+#   r12 #3),
+#   trend_slope_per_user (oracle adopts the CAST-to-TIMESTAMP ns->us
+#   convention, ADVICE r12 #2) —
+# then the 12 leftover r6-band rows (oldest driver evidence; burns the r6
+# band to ZERO per VERDICT r12 #1), then the 33 alphabetically-first rows
+# of the r7 band (35 rows). The 2 leftover r7 rows — twap_value_per_user,
+# udtf_sentence_split — lead the r14 fill. Everything else keeps its
+# pass(rN) standing plus the full local gates
 # (tests/test_oracle_parity.py over the whole registry every pytest run,
 # and the SIX full-registry sweeps: sf0.1, adversarial, --nulls,
 # --unicode, --skew, --time).
 PRIORITY_ORDER = (
-    "er_blocking_quality_sampled",
-    "ann_ivf_delta_merge",
-    "trend_slope_per_user",
-    "timeseries_seasonal_naive_eval",
-    "agg_window_movs_stats",
-    "grouped_count_by_position",
-    "heatmap_max_intensity",
-    "heatmap_rollup",
-    "heatmap_rollup_client_order",
-    "hopping_window_counts",
-    "scalar_functions_parity",
-    "serving_projection_movs",
-    "sessionize_builtin_window",
-    "sessionize_events",
-    "sessionize_stateful_streaming",
-    "streaming_dedup_events",
-    "streaming_hopping_counts",
-    "streaming_interval_join",
-    "streaming_outer_interval_join",
-    "streaming_session_windows",
-    "window_functions_battery",
-    "curriculum_quality_buckets",
-    "dedup_canonical_selection",
-    "dedup_clusters",
-    "dedup_quality_report",
-    "dedup_shingle_containment",
-    "dedup_winnowing_overlap",
-    "fuzzy_match_blocked_pairs",
-    "incremental_agg_union_merge",
-    "kmeans_embeddings",
-    "multimodal_decode_real",
-    "pit_feature_join_orders",
-    "python_datasource_events",
-    "python_datasource_stream_events",
-    "recursive_hierarchy_rollup",
-    "retrieval_rank_fusion",
-    "sample_mixture_weighted",
-    "snapshot_diff_user_state",
-    "sql_modern_surfaces",
-    "temporal_join_orders_state",
-    "text_bm25_topk",
-    "text_winnowing_fingerprints",
-    "timeseries_user_similarity_bucketed",
-    "tpch_q10_returned_items",
-    "tpch_q12_shipclass_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_diversity",
+    "corpus_drift_report",
+    "timeseries_decomposition_sparse",
     "timeseries_classical_decomposition",
+    "er_blocking_quality_sampled",
+    "trend_slope_per_user",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_inactive_wealthy",
+    "zorder_heatmap_locality",
+    "bag_set_ops_priorities",
+    "bloom_prefilter_semi_join",
+    "bpe_train_merges",
+    "cohort_weekly_retention",
+    "cusum_value_alarms",
+    "dq_constraint_violations",
+    "dsir_importance_resample",
+    "embedding_source_drift",
+    "event_cooccurrence_lift",
+    "event_transition_matrix",
+    "funnel_user_stages",
+    "hierarchical_revenue_shares",
+    "interval_union_coverage",
+    "join_size_prediction",
+    "lateral_top_lineitems_per_order",
+    "lineitem_2d_histogram",
+    "mine_hard_negatives",
+    "not_in_null_semantics",
+    "null_safe_join_semantics",
+    "orders_share_by_priority",
+    "pseudonymize_user_activity",
+    "revenue_month_over_month",
+    "rfm_customer_segments",
+    "rolling_active_users",
+    "scd2_user_state_intervals",
+    "skew_concentration_report",
+    "split_train_val_test",
+    "streaming_static_enrich",
+    "text_bigram_lm",
+    "text_freq_quality",
+    "text_source_novelty",
+    "training_order_shuffle",
+    "trimmed_mean_value_by_type",
 )
 
 

@@ -92,12 +92,14 @@ RENAMES = {
 }
 
 
-def _load(path: str) -> tuple[dict[str, float], dict[str, float]]:
-    """Returns (primary series, medians-if-present). The median map (r10+,
-    bench.py queries_median) lets a >1.3x min-ratio row be dispositioned
-    in-artifact: a host burst inflates min and median TOGETHER on the
-    affected run while a real plan regression moves both rounds' medians —
-    so min-flag + median-clear == window noise, no re-timing needed."""
+def _load(path: str) -> tuple[dict[str, float], dict[str, float], dict | None]:
+    """Returns (primary series, medians-if-present, host_control-if-present).
+    The median map (r10+, bench.py queries_median) lets a >1.3x min-ratio
+    row be dispositioned in-artifact: a host burst inflates min and median
+    TOGETHER on the affected run while a real plan regression moves both
+    rounds' medians — so min-flag + median-clear == window noise, no
+    re-timing needed. host_control (r13+, VERDICT r12 #4) is bench.py's
+    plan-free CPU kernel timing — the dedicated host-speed normalizer."""
     with open(path) as f:
         try:
             doc = json.load(f)
@@ -126,12 +128,13 @@ def _load(path: str) -> tuple[dict[str, float], dict[str, float]]:
                 )
     if "parsed" in doc and isinstance(doc["parsed"], dict):
         doc = doc["parsed"]
+    hc = doc.get("host_control") if isinstance(doc, dict) else None
     if SERIES == "queries_cold" and "queries_cold" in doc:
         # ADVICE r10: queries_median is WARM-series data (r11+: warm runs
         # only). Dispositioning a cold-series flag against it would let a
         # genuine cold-path regression (first-run compile/IO) exit 0, so
         # cold mode returns no medians and a cold flag stays a hard flag.
-        return doc["queries_cold"], {}
+        return doc["queries_cold"], {}, hc
     med = doc.get("queries_median", {}) if isinstance(doc, dict) else {}
     if "queries" not in doc:
         # r5+ short driver summary: per-query maps live in the sidecar the
@@ -140,15 +143,49 @@ def _load(path: str) -> tuple[dict[str, float], dict[str, float]]:
             f"{path}: no per-query map — this is the short r5+ summary line; "
             f"compare the detail sidecar instead ({doc.get('detail', 'BENCH_local_detail.json')})"
         )
-    return doc["queries"], med
+    return doc["queries"], med, hc
 
 
-def _control_factor(old: dict[str, float], new: dict[str, float]) -> tuple[float, str]:
-    """Estimate the host-speed ratio new/old from control plans; fall back to
-    the shared-row median. Returns (factor, description)."""
+def _control_factor(
+    old: dict[str, float],
+    new: dict[str, float],
+    hc_old: dict | None = None,
+    hc_new: dict | None = None,
+) -> tuple[float, str]:
+    """Estimate the host-speed ratio new/old. Preference order (VERDICT r12
+    #4): the dedicated plan-free CPU kernel when both rounds sealed one
+    (bench.py host_control — a measurement, not an inference), then the
+    control-query median, then the capped shared-row median. The kernel
+    factor is cross-checked against the control queries when both exist;
+    a >25% disagreement is printed loudly (a kernel shift without a
+    matching query shift means the bottleneck moved — IO vs CPU — and the
+    window needs a human eye, not silent normalization)."""
     ctrl = [new[c] / old[c] for c in CONTROLS if c in old and c in new and old[c] > 0]
     shared = [new[n] / old[n] for n in new if n in old and old[n] > 0]
     med = statistics.median(shared) if shared else 1.0
+    if (
+        hc_old
+        and hc_new
+        and hc_old.get("min")
+        and hc_old.get("rows") == hc_new.get("rows")
+    ):
+        f = hc_new["min"] / hc_old["min"]
+        note = (
+            f"host-control kernel {f:.2f}x "
+            f"({hc_old['min']:.2f}s -> {hc_new['min']:.2f}s on "
+            f"{hc_new['rows']:,} rows; control-query median "
+            f"{statistics.median(ctrl):.2f}x over n={len(ctrl)}, "
+            f"shared-row median {med:.2f}x)"
+            if ctrl
+            else f"host-control kernel {f:.2f}x (shared-row median {med:.2f}x)"
+        )
+        if ctrl and abs((statistics.median(ctrl)) / f - 1.0) > 0.25:
+            note += (
+                " — KERNEL AND CONTROL QUERIES DISAGREE >25%: the CPU/IO"
+                " balance moved between windows; normalizing by the kernel,"
+                " but adjudicate flagged rows by hand"
+            )
+        return f, note
     if len(ctrl) >= 3:
         f = statistics.median(ctrl)
         note = f"controls n={len(ctrl)} median {f:.2f}x (shared-row median {med:.2f}x)"
@@ -174,9 +211,9 @@ def main() -> int:
         SERIES = "queries_cold"
         argv.remove("cold")
     old_path, new_path = argv[0], argv[1]
-    (old, old_med), (new, new_med) = _load(old_path), _load(new_path)
+    (old, old_med, hc_old), (new, new_med, hc_new) = _load(old_path), _load(new_path)
 
-    factor, factor_note = _control_factor(old, new)
+    factor, factor_note = _control_factor(old, new, hc_old, hc_new)
 
     rows, regressions, burst_noise = [], [], []
     for name, t_new in new.items():

@@ -1703,9 +1703,16 @@ def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("n_docs_b"),
     )
     tok = d.select("source", "half", F.explode(F.split("text", " ")).alias("term"))
-    tc = tok.groupBy("source", "term").agg(
-        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("ca"),
-        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("cb"),
+    # tc feeds three consumers (totals, the divergence aggregate, and the
+    # totals' broadcast); without a persist Spark re-runs the token-stream
+    # explode+aggregate for each — the one data-sized leg of this plan.
+    # The persisted table is vocab-sized (one row per source x term), tiny
+    # next to the token stream it summarizes.
+    tc = track_persist(
+        tok.groupBy("source", "term").agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("ca"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("cb"),
+        )
     )
     tot = tc.groupBy("source").agg(
         F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")

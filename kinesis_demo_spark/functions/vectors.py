@@ -16,12 +16,34 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 
+# Fixture/production embedding width for the unrolled fast path. The
+# zip_with+aggregate HOF is evaluated INTERPRETED per element (higher-order
+# lambdas never enter whole-stage codegen and allocate the intermediate
+# product array per row); a fixed-width chain of element_at products is the
+# same left-to-right IEEE fold — seed 0.0, add one product at a time, so the
+# result is bit-identical — but compiles into the stage's generated code.
+# Arrays of any OTHER width fall back to the HOF, so the function stays
+# correct for every input; only the known width gets the fast path.
+DOT_UNROLL_DIM = 64
+
+
+def _dot_unrolled(a: Column, b: Column, n: int) -> Column:
+    acc = F.lit(0.0)
+    for d in range(1, n + 1):
+        acc = acc + F.element_at(a, d).cast("double") * F.element_at(b, d).cast("double")
+    return acc
+
+
 def dot_fold(a: Column, b: Column) -> Column:
-    return F.aggregate(
+    hof = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    return F.when(
+        (F.size(a) == DOT_UNROLL_DIM) & (F.size(b) == DOT_UNROLL_DIM),
+        _dot_unrolled(a, b, DOT_UNROLL_DIM),
+    ).otherwise(hof)
 
 
 def dot_fold_sql(a: str, b: str) -> str:

@@ -1377,6 +1377,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("u").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # The changed flag rides the materialized round table (new label is
+        # least(old, nbr_min), so changed iff nbr_min < old): the former
+        # separate new-vs-old join for the convergence count re-shuffled
+        # both label tables once per round; filtering the already-persisted
+        # table costs one cached scan and no exchange.
         new_labels = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
@@ -1384,6 +1389,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
+                (F.col("nbr_min") < F.col("cluster_id")).alias("chg"),
             )
         )
         if (rnd + 1) % CC_CHECKPOINT_EVERY == 0:
@@ -1398,12 +1404,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             new_labels = track_persist(new_labels)
             new_is_ckpt = False
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("chg")).count()
         if not labels_is_ckpt:
             # persisted intermediates can be dropped (lineage re-derives
             # them); checkpointed ones cannot — descendants reference their
@@ -1779,7 +1780,11 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound; everything after is source-keyed aggregates over the pair list
     (pairs << corpus) plus one doc-grain left join — at 100 TB the report
     costs one corpus scan more than the dedup it audits."""
-    jp = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # persist: the pair list feeds TWO consumers (the source-label join and
+    # the dup-doc distinct) — as pure lineage the whole inverted-index
+    # explode + self-join + verify pipeline would run twice. The persisted
+    # table is pair-sized (near-dup pairs << corpus).
+    jp = track_persist(dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b"))
     ds = _docs(spark, sf_dir).select("doc_id", "source")
     lab = (
         jp.join(ds.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")), "doc_a")
@@ -2372,7 +2377,9 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     an integer-ordered row_number — no floats anywhere."""
     labels = dedup_clusters(spark, sf_dir)
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
-    lab = labels.join(docs, "doc_id")
+    # persist: the labeled-docs join feeds THREE aggregates (profile + two
+    # field modes) — as pure lineage the label join re-runs per consumer.
+    lab = track_persist(labels.join(docs, "doc_id"))
     base = lab.groupBy("cluster_id").agg(
         F.min("doc_id").alias("canonical_id"),
         F.count(F.lit(1)).alias("n_members"),
@@ -2381,20 +2388,30 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _mode(col: str, out: str) -> DataFrame:
-        # asc_nulls_last: survivorship must prefer a real attested value
-        # over NULL on a count tie — and Spark's ASC default (nulls FIRST)
-        # silently disagrees with the oracle's (nulls LAST), so a cluster
-        # whose lang votes tie between NULL and 'de' diverged (r8
-        # adversarial sweep)
-        w = Window.partitionBy("cluster_id").orderBy(
-            F.col("c").desc(), F.col(col).asc_nulls_last()
-        )
+        # Argmax as a struct-min AGGREGATE, not a row_number window: the
+        # (count DESC, value ASC NULLS LAST) order is encoded as
+        # min(struct(-c, value IS NULL, value)) — the null flag keeps the r8
+        # survivorship rule (a real attested value beats NULL on a count
+        # tie; Spark's bare ASC is nulls-FIRST, which diverged from the
+        # oracle's nulls-last row_number in the r8 adversarial sweep). The
+        # aggregate is map-side combinable and needs no per-cluster sort;
+        # the null field itself is never the tiebreaker — a cluster has at
+        # most one NULL-value vote row, so two structs never compare equal
+        # through the flag.
         return (
             lab.groupBy("cluster_id", col)
             .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("cluster_id", F.col(col).alias(out))
+            .groupBy("cluster_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"),
+                        F.col(col).isNull().alias("un"),
+                        F.col(col).alias("v"),
+                    )
+                ).alias("m")
+            )
+            .select("cluster_id", F.col("m.v").alias(out))
         )
 
     return (

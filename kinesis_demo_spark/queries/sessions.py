@@ -76,17 +76,23 @@ def sessionize_stateful_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
     from the oracle by construction)."""
     name = "stream_sessions_" + str(abs(hash(sf_dir)) % 10**6)
     sessions = streaming_sessionize(stream_events(spark, sf_dir))
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    # per-user session state commits dominate the bounded drain — scope the
+    # state partition count down (values are partitioning-independent; see
+    # streaming/pipeline.py::_drain_state_partitions).
+    from ..streaming.pipeline import _drain_state_partitions
+
+    with _drain_state_partitions(spark):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     return spark.table(name)
 
 

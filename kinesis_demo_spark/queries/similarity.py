@@ -1630,10 +1630,17 @@ def mutual_nearest_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     slim = v.select("vec_id", bands.alias("b")).select("vec_id", "b.tbl", "b.bucket")
+    # Candidates are canonicalized to a < b BEFORE the distinct and each
+    # unordered pair is scored ONCE; the reverse direction is re-derived by
+    # a shuffle-free projection+union afterwards. Cosine is bit-symmetric
+    # (same element order, commutative IEEE multiplies — see the docstring),
+    # so the argmax sees exactly the rows the both-directions form produced
+    # while the distinct output, both embedding-fetch joins, and the dot
+    # products all halve.
     cand = (
         slim.select(F.col("vec_id").alias("a"), "tbl", "bucket")
         .join(slim.select(F.col("vec_id").alias("b"), "tbl", "bucket"), ["tbl", "bucket"])
-        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
     )
@@ -1647,7 +1654,10 @@ def mutual_nearest_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dot_fold(F.col("xe"), F.col("ye")) / (F.col("xn") * F.col("yn"))).alias("score"),
         )
     )
-    best = scored.groupBy("a").agg(
+    scored_both = scored.union(
+        scored.select(F.col("b").alias("a"), F.col("a").alias("b"), "score")
+    )
+    best = scored_both.groupBy("a").agg(
         F.min(F.struct((-F.col("score")).alias("ns"), F.col("b").alias("b")))["b"].alias("best_id"),
         F.max("score").alias("best_score"),
     )

@@ -318,17 +318,21 @@ def run_complete_to_memory(spark: SparkSession, sf_dir: str, name: str | None = 
     for the production path)."""
     name = name or "stream_agg_" + re.sub(r"[^0-9a-zA-Z]", "_", sf_dir).strip("_")
     agg = windowed_aggregate(stream_events(spark, sf_dir))
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    # aggregate state store commits dominate the bounded drain like the
+    # outer join's (r13 measured at sf0.1: 1.5 s -> sub-second warm); values
+    # are partitioning-independent — see _drain_state_partitions.
+    with _drain_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -381,17 +385,21 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str, name: str | None = 
         F.col("click_user").alias("user_id"),
         (F.unix_millis("view_ts") - F.unix_millis("click_ts")).alias("lag_ms"),
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    # 4 join state stores x partitions x batches of delta commits — scope
+    # the state partition count down like the outer-join drain (values are
+    # partitioning-independent; see _drain_state_partitions).
+    with _drain_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -461,17 +469,21 @@ def run_stream_hopping_counts(spark: SparkSession, sf_dir: str, name: str | None
     agg = windowed_aggregate(
         stream_events(spark, sf_dir), window="10 minutes", slide="5 minutes"
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    # hopping state = 2 rows per event across the store partitions; the
+    # per-batch delta commits dominate the bounded drain — scope down
+    # (values are partitioning-independent; see _drain_state_partitions).
+    with _drain_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -500,17 +512,21 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str, name: str | None = None) 
         .dropDuplicatesWithinWatermark(["user_id", "event_type", "hour"])
         .select("user_id", "event_type", "hour")
     )
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    # dedup state commits dominate the bounded drain — scope the state
+    # partition count down (values are partitioning-independent; see
+    # _drain_state_partitions).
+    with _drain_state_partitions(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     return spark.table(name)
 
 

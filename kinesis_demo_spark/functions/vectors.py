@@ -16,34 +16,21 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 
-# Fixture/production embedding width for the unrolled fast path. The
-# zip_with+aggregate HOF is evaluated INTERPRETED per element (higher-order
-# lambdas never enter whole-stage codegen and allocate the intermediate
-# product array per row); a fixed-width chain of element_at products is the
-# same left-to-right IEEE fold — seed 0.0, add one product at a time, so the
-# result is bit-identical — but compiles into the stage's generated code.
-# Arrays of any OTHER width fall back to the HOF, so the function stays
-# correct for every input; only the known width gets the fast path.
-DOT_UNROLL_DIM = 64
-
-
-def _dot_unrolled(a: Column, b: Column, n: int) -> Column:
-    acc = F.lit(0.0)
-    for d in range(1, n + 1):
-        acc = acc + F.element_at(a, d).cast("double") * F.element_at(b, d).cast("double")
-    return acc
-
-
 def dot_fold(a: Column, b: Column) -> Column:
-    hof = F.aggregate(
+    # The zip_with+aggregate HOF evaluates interpreted per element (lambdas
+    # never enter whole-stage codegen), but its expression tree is ~5 nodes.
+    # An unrolled 64-term element_at chain IS codegen-able and measured 2.1x
+    # faster per 1M dots in isolation — and a net LOSS in every real query
+    # (r13 A/B at sf0.1: mmr_rerank 2.1 s -> 20-100 s, ann_recall 1.9 -> 5.1,
+    # retrieval_eval 2.1 -> 5.4): the ~390-node tree per dot SITE multiplies
+    # through Catalyst analysis/optimization and Janino compilation, which
+    # dominate fixture-scale compute; iterative plans (MMR, coreset) embed
+    # the tree once per round and planning explodes. Keep the tiny HOF.
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    return F.when(
-        (F.size(a) == DOT_UNROLL_DIM) & (F.size(b) == DOT_UNROLL_DIM),
-        _dot_unrolled(a, b, DOT_UNROLL_DIM),
-    ).otherwise(hof)
 
 
 def dot_fold_sql(a: str, b: str) -> str:

@@ -1654,6 +1654,11 @@ def mutual_nearest_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dot_fold(F.col("xe"), F.col("ye")) / (F.col("xn") * F.col("yn"))).alias("score"),
         )
     )
+    # persist: the union's two legs are separate plan subtrees — without
+    # materializing, the whole candidate+score pipeline runs twice. The
+    # cached table is (a, b, score) per surviving pair, tiny next to the
+    # band join it summarizes.
+    scored = track_persist(scored)
     scored_both = scored.union(
         scored.select(F.col("b").alias("a"), F.col("a").alias("b"), "score")
     )

@@ -2488,7 +2488,11 @@ def python_datasource_stream_events(spark: SparkSession, sf_dir: str) -> DataFra
         while _time.time() < deadline:
             if spark.table(name).count() >= PYDS_N:
                 break
-            _time.sleep(0.2)
+            # 50 ms poll: the four micro-batches land ~0.1-0.3 s apart, so a
+            # coarser poll adds up to its own granularity per batch boundary
+            # to the drain's wall clock (r13; the count over the memory sink
+            # is a local-relation scan, cheap at any cadence).
+            _time.sleep(0.05)
         else:
             raise TimeoutError(f"stream drain incomplete: {spark.table(name).count()}/{PYDS_N}")
     finally:

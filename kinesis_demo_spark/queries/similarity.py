@@ -1828,59 +1828,55 @@ def coreset_kcenter_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = track_persist(
         emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
     )
-    seed = v.agg(F.min("vec_id").alias("id")).collect()[0].id
-    chosen = [seed]
+    # Each greedy round is ONE map-only scan + 1-row argmax: the chosen
+    # centers are already driver-side scalars (the per-round collect the
+    # iterative-query policy allows), so their embeddings ride along in the
+    # argmax struct and become array LITERALS in the next round's distance
+    # expression — no per-round broadcast build, no crossJoin, no per-point
+    # groupBy shuffle (r13: the former crossJoin+groupBy form paid a
+    # broadcast job and an exchange per round; measured A/B below). least()
+    # over the k per-center distances is the same IEEE min the grouped
+    # aggregate computed, and float->double literalization is exact, so the
+    # greedy trajectory is bit-identical (oracle-checked).
+    seed = v.agg(
+        F.min(F.struct("vec_id", "embedding", "nrm")).alias("m")
+    ).collect()[0].m
+    chosen = [(seed.vec_id, seed.embedding, seed.nrm)]
+
+    def _dists():
+        return [
+            F.lit(1.0)
+            - dot_fold(F.col("embedding"), F.array(*[F.lit(x) for x in ce]))
+            / (F.col("nrm") * F.lit(cn))
+            for _, ce, cn in chosen
+        ]
+
     for _ in range(1, KCENTER_K):
-        centers = F.broadcast(
-            v.filter(F.col("vec_id").isin(chosen)).select(
-                F.col("vec_id").alias("c_id"),
-                F.col("embedding").alias("ce"),
-                F.col("nrm").alias("cn"),
+        ds = _dists()
+        dmin = ds[0] if len(ds) == 1 else F.least(*ds)
+        ids = [cid for cid, _, _ in chosen]
+        pick = (
+            v.filter(~F.col("vec_id").isin(ids))
+            .select("vec_id", "embedding", "nrm", dmin.alias("dmin"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("dmin")).alias("nd"),
+                        F.col("vec_id").alias("id"),
+                        F.col("embedding").alias("e"),
+                        F.col("nrm").alias("n"),
+                    )
+                ).alias("m")
             )
+            .collect()[0]
+            .m
         )
-        dmin = (
-            v.filter(~F.col("vec_id").isin(chosen))
-            .crossJoin(centers)
-            .select(
-                "vec_id",
-                (
-                    F.lit(1.0)
-                    - dot_fold(F.col("embedding"), F.col("ce"))
-                    / (F.col("nrm") * F.col("cn"))
-                ).alias("d"),
-            )
-            .groupBy("vec_id")
-            .agg(F.min("d").alias("dmin"))
-        )
-        pick = dmin.agg(
-            F.min(F.struct((-F.col("dmin")).alias("nd"), F.col("vec_id").alias("id")))[
-                "id"
-            ].alias("pick")
-        ).collect()[0].pick
-        chosen.append(pick)
-    centers = F.broadcast(
-        v.filter(F.col("vec_id").isin(chosen)).select(
-            F.col("vec_id").alias("c_id"),
-            F.col("embedding").alias("ce"),
-            F.col("nrm").alias("cn"),
-        )
-    )
-    radius = (
-        v.crossJoin(centers)
-        .select(
-            "vec_id",
-            (
-                F.lit(1.0)
-                - dot_fold(F.col("embedding"), F.col("ce"))
-                / (F.col("nrm") * F.col("cn"))
-            ).alias("d"),
-        )
-        .groupBy("vec_id")
-        .agg(F.min("d").alias("dmin"))
-        .agg(F.max("dmin").alias("coverage_radius"))
+        chosen.append((pick.id, pick.e, pick.n))
+    radius = v.select(F.least(*_dists()).alias("dmin")).agg(
+        F.max("dmin").alias("coverage_radius")
     )
     picks = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(chosen)], "sel_round bigint, vec_id bigint"
+        [(i, c[0]) for i, c in enumerate(chosen)], "sel_round bigint, vec_id bigint"
     )
     return picks.crossJoin(F.broadcast(radius))
 

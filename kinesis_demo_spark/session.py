@@ -45,6 +45,21 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Let the planner pick shuffled-hash over sort-merge when its size
+        # conditions hold, and let AQE rewrite SMJ->SHJ at runtime when every
+        # post-shuffle partition is under the threshold: SHJ skips both
+        # sides' sorts. Measured same-session min-of-3 at sf0.1 (r13):
+        # join_orders_lineitem_priority 4.16->3.31 s, tpch_q9 2.77->2.57,
+        # dedup_ngram_jaccard 1.87->1.74, never worse beyond noise. Values
+        # are join-strategy-independent (oracle-checked). At cluster scale
+        # the 64 MB per-partition build bound is what makes SHJ safe — the
+        # AQE advisory size keeps post-shuffle partitions near that bound;
+        # SHJ spills in Spark 3.3+ rather than OOMing if estimates are off.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         # local mode hosts the driver AND all 32 executor threads in ONE JVM:
         # an 8g heap put the 60-query bench under old-gen GC churn (measured:
         # mid-bench queries 3-4x their fresh-session warm time, serving p95

@@ -2225,8 +2225,11 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             # tolerance).
             nxt = track_checkpoint(nxt)
         else:
+            # persist WITHOUT an eager count (r13): each round's ranks have
+            # exactly one consumer (the next round's contrib join), so the
+            # cache fills on first use anyway — the former count() was one
+            # extra full-plan driver-blocking job per non-checkpoint round.
             nxt = track_persist(nxt)
-            nxt.count()  # materialize before the next round reuses it
         ranks = nxt
     # caches stay tracked; the CALLER releases them after its action (the
     # io.track_persist contract) — the returned plan reads the final

@@ -31,18 +31,22 @@ from ..io import ensure_runtime_confs
 
 
 @contextmanager
-def _drain_state_partitions(spark: SparkSession, n: int = 8):
+def _drain_state_partitions(spark: SparkSession, n: int = 4):
     """Scope ``spark.sql.shuffle.partitions`` down for a bounded drain.
 
     A stateful streaming query fixes its state-store partition count at
     query start from this conf, and EVERY micro-batch then commits a delta
     per partition per state store — for the outer interval join that is 4
     stores x partitions x batches of pure file I/O, which dominates a small
-    finite drain (measured at sf0.1: 19 s at 32 partitions, 5.4 s at 8 —
-    identical results; state partitioning never affects values). Production
-    streaming jobs size this explicitly per query for the same reason. The
-    previous value is restored on exit; a session whose conf is locked
-    (hostile driver harness) just runs at its own setting."""
+    finite drain (measured at sf0.1: 19 s at 32 partitions, 5.4 s at 8,
+    ~3.9 s at 4 in the r13 three-way A/B — identical results; state
+    partitioning never affects values). Default 4; a drain whose per-batch
+    COMPUTE parallelism matters more than its commit count (the
+    applyInPandasWithState sessionizer runs one Python worker per
+    partition) passes a higher n explicitly. Production streaming jobs
+    size this explicitly per query for the same reason. The previous value
+    is restored on exit; a session whose conf is locked (hostile driver
+    harness) just runs at its own setting."""
     prev = None
     try:
         prev = spark.conf.get("spark.sql.shuffle.partitions", None)

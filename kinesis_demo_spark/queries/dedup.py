@@ -2696,6 +2696,11 @@ def er_blocking_quality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("thr"),
     )
     sh = _shingled(spark, sf_dir)
+    # NOTE (r13): persisting the exploded index here was tried and measured
+    # SLOWER (min-of-5 A/B at sf0.1: 5.3 s persisted vs 3.7 s re-exploded)
+    # — the four join legs re-explode from the cached shingle table inside
+    # whole-stage codegen for less than the persist's materialization
+    # barrier + memory write of the string-keyed index costs.
     ex = sh.select(
         "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s")
     ).crossJoin(F.broadcast(nd_thr.select("thr")))

@@ -217,7 +217,10 @@ def main() -> int:
 
     rows, regressions, burst_noise = [], [], []
     for name, t_new in new.items():
-        parts = RENAMES.get(name, (name,))
+        # direct match first: from r4 on BOTH artifacts carry the fused
+        # battery names, and mapping to the (absent) pre-fusion parts made
+        # those rows print as "new" against any r4+ baseline (r13 fix)
+        parts = (name,) if name in old else RENAMES.get(name, (name,))
         known = [old[p] for p in parts if p in old]
         t_old = sum(known) if known else None
         if t_old is None:

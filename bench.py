@@ -12,12 +12,15 @@ window and cost the round its externally-recorded bench number):
                   latency percentiles (same document as the sidecar)
   stdout line 2:  ONE SHORT summary line, always last:
     {"metric": "headline_total", "value": <warm-sum-sec>, "unit": "sec",
-     "cold_total": <cold-sum-sec>, "n_queries": N, "sf": 0.1,
-     "detail": "BENCH_local_detail.json"}
+     "cold_total": <cold-sum-sec>, "n_queries": N, "cpus": C, "sf": 0.1,
+     "detail": "BENCH_local_detail_c<C>.json"}
 
-The full detail is also written to ``BENCH_local_detail.json`` next to this
-script; ``tools/bench_compare.py`` consumes either the detail line/file or
-any pre-r5 artifact for per-query regression gating.
+The full detail is written to ``BENCH_local_detail_c{cpus}.json`` (per-run
+sidecar, r14: the driver's 8-core scaling run used to clobber the 32-core
+run's per-query detail through the old single fixed path) AND to the legacy
+``BENCH_local_detail.json`` path next to this script;
+``tools/bench_compare.py`` consumes either the detail line/file or any
+pre-r5 artifact for per-query regression gating.
 
 Each query is forced end-to-end with a ``noop``-format write (full plan
 execution, nothing collected to the driver), timed with a monotonic clock.
@@ -403,6 +406,7 @@ def main() -> None:
             serving_sf1 = {"error": f"{type(exc).__name__}: {exc}"}
 
     sf = _sf_from_dir(sf_dir)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     detail = {
         "metric": "headline_detail",
         "value": round(sum(timings.values()), 3),
@@ -414,12 +418,20 @@ def main() -> None:
         "serving": serving,
         "serving_sf1": serving_sf1,
         "host_control": host_control,
+        "cpus": cpus,
         "sf": sf,
     }
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_local_detail.json")
-    with open(sidecar, "w") as f:
-        json.dump(detail, f, indent=1)
+    here = os.path.dirname(os.path.abspath(__file__))
+    # Per-run sidecar keyed on the core count (VERDICT r13 #2): the driver
+    # runs the bench at BOTH 32 and 8 cores, and a single fixed path meant
+    # the scaling run clobbered the main run's per-query detail two rounds
+    # running (PERF n_common=0, empty scaling block). The summary line now
+    # points at the per-cpus file; the legacy fixed path is still written so
+    # pre-r14 tooling and the seal-file protocol keep working unchanged.
+    per_run = f"BENCH_local_detail_c{cpus}.json"
+    for name in (per_run, "BENCH_local_detail.json"):
+        with open(os.path.join(here, name), "w") as f:
+            json.dump(detail, f, indent=1)
     print(json.dumps(detail))
     # The short, driver-parseable summary — ALWAYS the last line of stdout.
     print(
@@ -430,8 +442,9 @@ def main() -> None:
                 "unit": "sec",
                 "cold_total": detail["cold_total"],
                 "n_queries": len(timings),
+                "cpus": cpus,
                 "sf": sf,
-                "detail": "BENCH_local_detail.json",
+                "detail": per_run,
             }
         )
     )

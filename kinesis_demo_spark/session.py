@@ -21,6 +21,31 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def default_shuffle_partitions(cores: int) -> int:
+    """Static shuffle-partition default: cores // 4, floored at 4, overridable
+    via ``$SPARK_GRAFT_SHUFFLE_PARTITIONS`` (clusters set it to match data
+    volume, or pass ``shuffle_partitions`` explicitly).
+
+    Why below the core count (r14 measurement, guide §2.2/§1.2): at fixture
+    scale every shuffle moves single-digit MB, so reduce-task count is pure
+    dispatch overhead — the driver's own 8-core bench beat its 32-core bench
+    by 23% (VERDICT r13), and a same-session alternating A/B at 32 cores
+    measured 32 -> 8 static partitions as -16% over an 18-query sample
+    (iterative loops largest: pagerank 11.4 -> 8.5 s, LPA 8.3 -> 7.4,
+    dedup_rate_by_source 3.2 -> 2.7; worst loss tpch_q1 +15%). AQE can only
+    COALESCE below the static number, never split above it (except skew),
+    so the static value is the parallelism CAP per shuffle: compute-heavy
+    stages keep full-core fan-out through spread()/fan_out() (which use
+    defaultParallelism = all cores, unchanged), and a 100 TB deployment
+    must size this to data volume (100 MB - 1 GB per partition), not
+    inherit the fixture-scale default — hence the env override and the
+    explicit parameter."""
+    env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if env:
+        return int(env)
+    return max(cores // 4, 4)
+
+
 def get_spark(
     app_name: str = "kinesis-demo-spark",
     shuffle_partitions: int | None = None,
@@ -28,9 +53,9 @@ def get_spark(
 ) -> SparkSession:
     """Build (or reuse) the session.
 
-    ``shuffle_partitions`` defaults to the local core count; on a real cluster
-    AQE coalesces the post-shuffle partitions anyway, so the static value only
-    needs to be "not absurdly small" relative to the input size.
+    ``shuffle_partitions`` defaults to ``default_shuffle_partitions`` (cores
+    derived, env-overridable — see its docstring for the r14 measurement);
+    AQE still coalesces below it by bytes.
     ``extra_confs`` lets a harness set startup-only confs (e.g. the serving
     loop's FAIR scheduler) — ignored if a session already exists in-process.
     """
@@ -39,7 +64,10 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or default_shuffle_partitions(cores)),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -31,7 +31,7 @@ from ..io import ensure_runtime_confs
 
 
 @contextmanager
-def _drain_state_partitions(spark: SparkSession, n: int = 4):
+def drain_state_partitions(spark: SparkSession, n: int = 4):
     """Scope ``spark.sql.shuffle.partitions`` down for a bounded drain.
 
     A stateful streaming query fixes its state-store partition count at
@@ -41,12 +41,14 @@ def _drain_state_partitions(spark: SparkSession, n: int = 4):
     finite drain (measured at sf0.1: 19 s at 32 partitions, 5.4 s at 8,
     ~3.9 s at 4 in the r13 three-way A/B — identical results; state
     partitioning never affects values). Default 4; a drain whose per-batch
-    COMPUTE parallelism matters more than its commit count (the
-    applyInPandasWithState sessionizer runs one Python worker per
-    partition) passes a higher n explicitly. Production streaming jobs
-    size this explicitly per query for the same reason. The previous value
-    is restored on exit; a session whose conf is locked (hostile driver
-    harness) just runs at its own setting."""
+    COMPUTE parallelism matters more than its commit count passes a higher
+    n explicitly — the one current case is the applyInPandasWithState
+    sessionizer (queries/sessions.py), which runs one Python worker per
+    partition and drains fastest at n=8 (r13 three-way A/B: 2.5 s at 8 vs
+    3.1 at 4 vs 4.6 at 2). Production streaming jobs size this explicitly
+    per query for the same reason. The previous value is restored on exit;
+    a session whose conf is locked (hostile driver harness) just runs at
+    its own setting."""
     prev = None
     try:
         prev = spark.conf.get("spark.sql.shuffle.partitions", None)
@@ -324,8 +326,8 @@ def run_complete_to_memory(spark: SparkSession, sf_dir: str, name: str | None = 
     agg = windowed_aggregate(stream_events(spark, sf_dir))
     # aggregate state store commits dominate the bounded drain like the
     # outer join's (r13 measured at sf0.1: 1.5 s -> sub-second warm); values
-    # are partitioning-independent — see _drain_state_partitions.
-    with _drain_state_partitions(spark):
+    # are partitioning-independent — see drain_state_partitions.
+    with drain_state_partitions(spark):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
@@ -391,8 +393,8 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str, name: str | None = 
     )
     # 4 join state stores x partitions x batches of delta commits — scope
     # the state partition count down like the outer-join drain (values are
-    # partitioning-independent; see _drain_state_partitions).
-    with _drain_state_partitions(spark):
+    # partitioning-independent; see drain_state_partitions).
+    with drain_state_partitions(spark):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -475,8 +477,8 @@ def run_stream_hopping_counts(spark: SparkSession, sf_dir: str, name: str | None
     )
     # hopping state = 2 rows per event across the store partitions; the
     # per-batch delta commits dominate the bounded drain — scope down
-    # (values are partitioning-independent; see _drain_state_partitions).
-    with _drain_state_partitions(spark):
+    # (values are partitioning-independent; see drain_state_partitions).
+    with drain_state_partitions(spark):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
@@ -518,8 +520,8 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str, name: str | None = None) 
     )
     # dedup state commits dominate the bounded drain — scope the state
     # partition count down (values are partitioning-independent; see
-    # _drain_state_partitions).
-    with _drain_state_partitions(spark):
+    # drain_state_partitions).
+    with drain_state_partitions(spark):
         q = (
             deduped.writeStream.format("memory")
             .queryName(name)
@@ -764,7 +766,7 @@ def run_stream_session_windows(
         )
         .select("user_id", "session_start", "session_end", "n_events", "sum_value")
     )
-    with _drain_state_partitions(spark):
+    with drain_state_partitions(spark):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
@@ -864,8 +866,8 @@ def run_stream_outer_join(spark: SparkSession, sf_dir: str, name: str | None = N
     )
     # 4 join state stores x partitions x 3 micro-batches of delta commits
     # dominate this bounded drain — scope the state partition count down
-    # (values are partitioning-independent; see _drain_state_partitions).
-    with _drain_state_partitions(spark):
+    # (values are partitioning-independent; see drain_state_partitions).
+    with drain_state_partitions(spark):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)

@@ -3,6 +3,19 @@ SQL). ``__spark_entry__.queries()`` / ``oracle_sql()`` are thin views over
 this. Query modules self-register at import time via the ``@register``
 decorator; oracle SQL of ``None`` marks a genuinely non-SQL-expressible
 operator (the driver then records a rows-only check).
+
+Registration discipline — physical row order is NOT stable (ADVICE r13 #1):
+the session enables shuffled-hash joins alongside broadcast and sort-merge
+(session.py), and AQE rewrites strategies at runtime, so the order rows
+reach any operator is plan-dependent. An operator whose VALUE depends on
+encounter order without a total ordering key — first()/last() without an
+ordered window, dropDuplicates() over a key subset, limit without a sort —
+is a latent cross-engine mismatch even if today's plan happens to agree
+with the oracle. Every registered query must either aggregate
+order-independently (sums, min/max, struct-min argmax with full
+tie-breaks) or carry an explicit total ordering (the row_number
+tie-to-id idiom used throughout). The six full-registry sweeps catch
+violations empirically; this note is the design rule.
 """
 
 from __future__ import annotations

@@ -1697,6 +1697,78 @@ def mutual_nearest_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- in-engine ANN recall report (approx-vs-exact as a query) -----------------------
 
 
+def _exact_and_lsh_topk(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared body of the two index-quality REPORT queries (r14, guide
+    §2.4/§5): one persisted exhaustive scored table — the exact yardstick
+    both reports pay for BY CONTRACT — serves as the score source for both
+    legs. The LSH leg contributes only its banded candidate PAIRS, attached
+    by left-semi join, which also dedups multi-table bucket collisions (no
+    separate DISTINCT exchange) and cannot add or drop pairs vs the r13
+    independent-pipelines form: the candidate set is the same band
+    equi-join, and every candidate's score comes from the same dot-fold
+    expression over the same rows, so both legs' top-k are bit-identical
+    (verified full-result at sf0.01 + sf0.1). vs r13: one corpus scan
+    instead of two, no per-candidate re-scoring, no candidate DISTINCT, no
+    two embedding fetch joins — and at 100 TB the exhaustive leg runs ONCE
+    instead of alongside a second candidate-scoring pass. The standalone
+    ann_cosine_topk_lsh / mine_hard_negatives keep the candidate-only
+    scoring (_lsh_scored): an ANN *index* query must never pay the
+    exhaustive scan; an index *audit* already does."""
+    v = track_persist(_vectors(spark, sf_dir))
+    q = F.broadcast(
+        v.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    c = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    scored_all = track_persist(
+        q.join(c, F.col("neighbor_id") != F.col("query_id")).select(
+            "query_id",
+            "neighbor_id",
+            (dot_fold(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
+                "score"
+            ),
+        )
+    )
+    exact_topk = _topk(scored_all)
+
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    sign_bucket_band(
+                        "embedding", t * ANN_LSH_BAND_BITS, ANN_LSH_BAND_BITS
+                    ).alias("bucket"),
+                )
+                for t in range(ANN_LSH_TABLES)
+            ]
+        )
+    )
+    slim = v.select("vec_id", bands.alias("b")).select("vec_id", "b.tbl", "b.bucket")
+    q_slim = F.broadcast(
+        slim.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "tbl", "bucket"
+        )
+    )
+    cand = (
+        q_slim.join(
+            slim.select(F.col("vec_id").alias("neighbor_id"), "tbl", "bucket"),
+            ["tbl", "bucket"],
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    lsh_topk = _topk(scored_all.join(cand, ["query_id", "neighbor_id"], "left_semi"))
+    return exact_topk, lsh_topk
+
+
 @register(
     "ann_recall_report",
     oracle=f"""
@@ -1752,14 +1824,16 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines independently, so the report is value-hash checked end to
     end.
 
-    Scale: composes the two existing plans (broadcast-query exact scan —
-    the labeled O(n·q) yardstick over a fixed query panel — and the banded
-    LSH shortlist) plus one {N_QUERIES}x{TOP_K}-row outer join; the
-    reporting overhead is negligible next to the index build it audits."""
-    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    approx = ann_cosine_topk_lsh(spark, sf_dir).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
-    )
+    Scale: one exhaustive scored pass (the labeled O(n·q) yardstick over a
+    fixed query panel, persisted) feeds BOTH legs — the LSH leg attaches
+    its banded candidate pairs by semi-join instead of re-scoring them
+    (_exact_and_lsh_topk; r14 restructure, measured A/B 1.73 -> 1.53 s
+    min-of-4 at sf0.1, full-result identical at both SFs) — plus one
+    {N_QUERIES}x{TOP_K}-row outer join; the reporting overhead is
+    negligible next to the index build it audits."""
+    exact_topk, lsh_topk = _exact_and_lsh_topk(spark, sf_dir)
+    exact = exact_topk.select("query_id", "neighbor_id")
+    approx = lsh_topk.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     return (
         exact.join(approx, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
@@ -2074,16 +2148,29 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller neighbor_id; the first pick is the plain relevance argmax and
     reports its relevance as its mmr_score).
 
-    Spark shape: the expensive part is the shortlist (the ann_cosine_topk
-    broadcast scan — corpus never shuffles); everything after operates on
-    |queries| x 20 rows, so the {MMR_SELECT-1} unrolled greedy rounds (each
-    an anti-join + max-sim aggregate + argmax window over constant-size
-    data) cost nothing at any corpus scale — MMR's O(k^2) is over the
-    SHORTLIST, never the corpus. Pairwise sims among shortlist members are
-    computed once up front (|queries| * 20 * 19 rows). Cross-engine
-    exactness: all similarities are the shared double fold; the 0.5
-    coefficients are exactly representable so the combine is deterministic
-    IEEE in both engines."""
+    Spark shape (r14 restructure, guide §2.4/§1.2): the expensive part is
+    the shortlist (the ann_cosine_topk broadcast scan — corpus never
+    shuffles); everything after operates on |queries| x 20 rows, so the
+    whole greedy selection runs as ONE per-query array fold — the shortlist
+    is collected per query (groupBy reuses the ranking window's
+    hash(query_id) partitioning, zero extra exchange) and the
+    {MMR_SELECT - 1} rounds execute inside a single F.aggregate HOF
+    (candidate filter -> max-sim-to-picked -> argmax, all on the 20-element
+    array). The r13 form unrolled the rounds as {MMR_SELECT - 1} eagerly
+    localCheckpointed jobs over a persisted pairwise-sim self-join; at any
+    scale that is {MMR_SELECT - 1} extra job dispatches + a shuffle for
+    O(|queries| x 20 x 19) rows of work — measured same-session A/B
+    min-of-5 at sf0.1: 2.12 -> 0.73 s, full-result identical at sf0.01 AND
+    sf0.1. MMR's O(k^2) stays over the SHORTLIST, never the corpus.
+    Cross-engine exactness: all similarities are the shared double fold
+    (commutative IEEE multiplies, same element order, so sim(a,b) ==
+    sim(b,a) bitwise vs the r13 pairwise table); max-sim is an array_max
+    over the same value set the old F.max aggregate saw; the per-round
+    argmax is a struct array_max on (mmr, -neighbor_id) — identical
+    ordering, NaN-largest semantics included, to the old
+    row_number(mmr desc, neighbor_id asc) pick; the 0.5 coefficients are
+    exactly representable so the combine is deterministic IEEE in both
+    engines."""
     v = _vectors(spark, sf_dir)
     q = F.broadcast(
         v.filter(F.col("vec_id") < N_QUERIES).select(
@@ -2109,94 +2196,90 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("relevance").desc(), F.col("neighbor_id")
     )
-    # track_persist: the shortlist feeds the pairwise-sim self-join AND every
-    # greedy round — as pure lineage the corpus scan would re-run per round.
-    short = track_persist(
+    short = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= MMR_SHORTLIST)
-        .select("query_id", "neighbor_id", "relevance", "ce", "cn")
+        .select("query_id", "rn", "neighbor_id", "relevance", "ce", "cn")
     )
-    # pairwise sims among shortlist members — constant |q| x 20 x 19 rows
-    a = short.select("query_id", F.col("neighbor_id").alias("ia"),
-                     F.col("ce").alias("ea"), F.col("cn").alias("na"))
-    b = short.select("query_id", F.col("neighbor_id").alias("ib"),
-                     F.col("ce").alias("eb"), F.col("cn").alias("nb"))
-    psim = track_persist(
-        a.join(b, "query_id")
-        .filter(F.col("ia") != F.col("ib"))
-        .select(
-            "query_id",
-            "ia",
-            "ib",
-            (dot_fold(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias(
-                "sim"
-            ),
+    # Collect each query's shortlist into ONE rank-ordered array (rn is
+    # unique per query, so array_sort on the (rn, ...) struct restores the
+    # relevance-desc/id-asc ranking regardless of collect_list order) and
+    # run the whole greedy selection as a single F.aggregate fold over it.
+    grouped = short.groupBy("query_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("rn", "neighbor_id", "relevance", "ce", "cn"))
+        ).alias("sl")
+    )
+
+    def pick_struct(rnk, nid, rel, mmr, ce, cn):
+        return F.struct(
+            rnk.cast("long").alias("rnk"),
+            nid.alias("neighbor_id"),
+            rel.alias("relevance"),
+            mmr.alias("mmr_score"),
+            ce.alias("ce"),
+            cn.alias("cn"),
+        )
+
+    sl = F.col("sl")
+    # First pick: the relevance argmax == rank-1 shortlist row; its
+    # mmr_score is its relevance (no selected set to penalize against yet).
+    first = sl[0]
+    init = F.array(
+        pick_struct(
+            F.lit(1),
+            first["neighbor_id"],
+            first["relevance"],
+            first["relevance"],
+            first["ce"],
+            first["cn"],
         )
     )
-    cand = short.select("query_id", "neighbor_id", "relevance")
-    w1 = Window.partitionBy("query_id").orderBy(
-        F.col("relevance").desc(), F.col("neighbor_id")
-    )
-    # Each round's pick is localCheckpointed (|queries| rows): round r
-    # references the running selection THREE times (anti-join, max-sim
-    # source, union), so as pure lineage the re-evaluation count grows
-    # 3^rounds AND the final plan re-embeds every prior round (the audited
-    # dedup_clusters lesson). The checkpoint materializes each pick eagerly
-    # and cuts it to a leaf — the returned plan is a flat 5-way union.
-    picks = [
-        track_checkpoint(
-            cand.withColumn("r1", F.row_number().over(w1))
-            .filter(F.col("r1") == 1)
-            .select(
-                "query_id",
-                F.lit(1).cast("long").alias("rnk"),
-                "neighbor_id",
-                "relevance",
-                F.col("relevance").alias("mmr_score"),
-            )
+
+    def step(acc, r):
+        # Round r: drop already-picked members, score each remaining
+        # candidate 0.5*relevance - 0.5*max(sim to picked), take the argmax
+        # with ties to the smaller neighbor_id. struct array_max on
+        # (mmr, -neighbor_id) reproduces the old
+        # row_number(mmr desc, id asc) ordering exactly (double comparison
+        # semantics included). The guard keeps shortened shortlists
+        # (micro fixtures with < MMR_SELECT rows) on the old behavior:
+        # exhausted candidates end the trajectory early.
+        cands = F.filter(
+            sl,
+            lambda x: ~F.exists(acc, lambda p: p["neighbor_id"] == x["neighbor_id"]),
         )
-    ]
-    for r in range(2, MMR_SELECT + 1):
-        sel = picks[0]
-        for p in picks[1:]:
-            sel = sel.union(p)
-        picked = sel.select("query_id", F.col("neighbor_id").alias("ib"))
-        remaining = cand.join(
-            sel.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_anti"
-        )
-        mx = (
-            psim.join(picked, ["query_id", "ib"])
-            .groupBy("query_id", F.col("ia").alias("neighbor_id"))
-            .agg(F.max("sim").alias("mps"))
-        )
-        scored_r = remaining.join(mx, ["query_id", "neighbor_id"]).select(
-            "query_id",
-            "neighbor_id",
-            "relevance",
-            (F.lit(0.5) * F.col("relevance") - F.lit(0.5) * F.col("mps")).alias(
-                "mmr_score"
-            ),
-        )
-        wr = Window.partitionBy("query_id").orderBy(
-            F.col("mmr_score").desc(), F.col("neighbor_id")
-        )
-        picks.append(
-            track_checkpoint(
-                scored_r.withColumn("rr", F.row_number().over(wr))
-                .filter(F.col("rr") == 1)
-                .select(
-                    "query_id",
-                    F.lit(r).cast("long").alias("rnk"),
-                    "neighbor_id",
-                    "relevance",
-                    "mmr_score",
+
+        def keyed(x):
+            mps = F.array_max(
+                F.transform(
+                    acc, lambda p: dot_fold(x["ce"], p["ce"]) / (x["cn"] * p["cn"])
                 )
             )
+            mmr = F.lit(0.5) * x["relevance"] - F.lit(0.5) * mps
+            return F.struct(
+                mmr.alias("m"),
+                (-x["neighbor_id"]).alias("nneg"),
+                x["relevance"].alias("rel"),
+                x["ce"].alias("ce"),
+                x["cn"].alias("cn"),
+            )
+
+        best = F.array_max(F.transform(cands, keyed))
+        appended = F.array_append(
+            acc,
+            pick_struct(r, -best["nneg"], best["rel"], best["m"], best["ce"], best["cn"]),
         )
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.union(p)
-    return out
+        return F.when(F.size(cands) > 0, appended).otherwise(acc)
+
+    picks = F.aggregate(F.sequence(F.lit(2), F.lit(MMR_SELECT)), init, step)
+    return grouped.select("query_id", F.explode(picks).alias("p")).select(
+        "query_id",
+        F.col("p.rnk").alias("rnk"),
+        F.col("p.neighbor_id").alias("neighbor_id"),
+        F.col("p.relevance").alias("relevance"),
+        F.col("p.mmr_score").alias("mmr_score"),
+    )
 
 
 # --- retrieval evaluation metrics (MRR / nDCG of the ANN index) ---------------------
@@ -2287,20 +2370,19 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval deployment tracks per release. MRR rewards putting ANY true
     neighbor first; nDCG rewards putting MANY true neighbors early.
 
-    Scale shape: composes the two existing plans (broadcast exact scan over
-    a fixed query panel + banded LSH shortlist) and adds only
+    Scale shape: one exhaustive scored pass feeds both legs (the LSH leg
+    semi-joins its banded candidates against it — _exact_and_lsh_topk; r14
+    restructure, measured A/B 1.60 -> 1.40 s min-of-4 at sf0.1,
+    full-result identical at both SFs) and adds only
     |queries| x {TOP_K} rows of judgment joins; the metric arithmetic is a
     fold over each query's rank-ordered 10-element list. Cross-engine
     exactness: rank discounts are shared full-precision literals (no libm
     in either engine), the DCG sum folds in rank order from a 0.0 seed on
     both sides, MRR is a single exact division, and nDCG divides by the
     constant-relevance IDCG literal."""
-    truth = ann_cosine_topk(spark, sf_dir).select(
-        "query_id", "neighbor_id", F.lit(1).alias("rel")
-    )
-    lsh_topk = ann_cosine_topk_lsh(spark, sf_dir).select(
-        "query_id", "neighbor_id", "rnk"
-    )
+    exact_topk, lsh_topk_df = _exact_and_lsh_topk(spark, sf_dir)
+    truth = exact_topk.select("query_id", "neighbor_id", F.lit(1).alias("rel"))
+    lsh_topk = lsh_topk_df.select("query_id", "neighbor_id", "rnk")
     darr = F.array(*[F.lit(d) for d in _DCG_DISCOUNTS])
     judged = (
         lsh_topk.join(truth, ["query_id", "neighbor_id"], "left")
